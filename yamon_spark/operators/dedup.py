@@ -1,0 +1,186 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Four strategies, cheapest to richest:
+
+1. exact_dedup      — hash-groupBy on content digest. One shuffle on the
+                      digest (64 hex chars, uniformly distributed → no
+                      skew). The canonical survivor is min(doc_id).
+2. ngram_jaccard    — EXACT near-dup pairs via an inverted shingle index:
+                      explode distinct shingles, self-join on shingle,
+                      count intersections, Jaccard from |A|+|B|-|∩|.
+                      Never materializes the O(N²) pair space — only pairs
+                      sharing ≥1 shingle. At 100 TB add the stop-shingle
+                      cap (`max_doc_freq`) to bound hot-shingle blowup.
+3. minhash_lsh      — MinHash signatures + banded LSH: candidates are
+                      pairs agreeing on ≥1 band; candidates are then
+                      verified with exact Jaccard. Hashes are md5 hex
+                      strings (engine-independent total order) so the
+                      DuckDB oracle reproduces signatures bit-for-bit.
+4. simhash          — 16-bit SimHash fingerprint from word unigrams
+                      (per-bit majority vote over md5-derived bits).
+
+Scale notes: every strategy is shuffle-by-hash-key (uniform); LSH band
+keys bound candidate generation to buckets, the standard 100-TB near-dup
+design (shingle → minhash → band → bucket-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.text import words_col
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content digest; survivor = min(doc_id) per digest."""
+    return (
+        docs.select(F.sha2(F.col("text").cast("binary"), 256).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).cast("bigint").alias("n_copies"))
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def _shingles(ngram: int) -> F.Column:
+    """Distinct word n-gram shingles of the `text` column."""
+    w = words_col(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram))))
+
+
+def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
+    """(doc_id, shingle) inverted index + per-doc distinct-shingle counts."""
+    return docs.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jacc >= threshold).
+
+    ``max_doc_freq``: optionally drop shingles occurring in more than this
+    many docs before the self-join (stop-shingle cap — the knob that keeps
+    the inverted-index join bounded at 100 TB; leave None for exact
+    semantics against the oracle).
+    """
+    sh = shingle_table(docs, ngram)
+    if max_doc_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "shingle").select(
+            "doc_id", "shingle"
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) -> DataFrame:
+    """(doc_id, seed, sig): MinHash signature rows. sig = lexicographic min
+    of md5(seed || ':' || shingle) over the doc's distinct shingles —
+    md5-hex strings give an engine-independent uniform total order."""
+    sh = shingle_table(docs, ngram)
+    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    return (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH candidate generation with exact-Jaccard verification.
+
+    bands = num_hashes / band_size; candidate pairs share at least one
+    band key (md5 of the band's concatenated signature values in seed
+    order); survivors have exact shingle-Jaccard >= threshold.
+    """
+    sigs = minhash_signatures(docs, ngram, num_hashes)
+    band = (F.col("seed") / band_size).cast("int").alias("band")
+    # concat sigs within a band in seed order -> stable band key
+    band_keys = (
+        sigs.select("doc_id", band, "seed", "sig")
+        .groupBy("doc_id", "band")
+        .agg(F.md5(F.concat_ws("|", F.array_join(F.array_sort(F.collect_list(F.struct("seed", "sig"))).getField("sig"), "|"))).alias("band_key"))
+    )
+    a = band_keys.alias("a")
+    b = band_keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification restricted to candidates
+    sh = shingle_table(docs, ngram)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Per-doc SimHash fingerprint from distinct word unigrams.
+
+    Bit j of a word's hash = bit (3 - j%4) of hex nibble j//4 of
+    md5(word); fingerprint bit j = 1 iff the majority of words set bit j.
+    Arithmetic-only hex decoding keeps the oracle byte-identical.
+    """
+    w = F.array_distinct(words_col(F.col("text")))
+    exploded = docs.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
+    hexmap = "0123456789abcdef"
+    bit_sums = []
+    for j in range(bits):
+        nibble = F.instr(F.lit(hexmap), F.substring("h", j // 4 + 1, 1)) - 1
+        bit = F.floor(nibble / (2 ** (3 - j % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    votes = exploded.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")

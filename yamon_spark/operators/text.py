@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines over `documents`:
+tokenization, quality scoring, language ID, token counting, fingerprints.
+
+All pure JVM-side built-ins (split/filter/transform/regexp) — no Python
+UDFs — so they whole-stage-codegen and scale linearly with input splits:
+at 100 TB these are embarrassingly parallel scan-transform jobs with zero
+shuffle (per-document outputs).
+
+Tokenization contract (shared with the DuckDB oracles): words =
+regexp-split of trimmed text on whitespace runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# language marker words checked in this order; ties resolve to the earlier
+# entry (deterministic CASE chain on both engines)
+LANG_MARKERS = (("en", "the"), ("es", "la"), ("de", "der"), ("fr", "le"), ("zh", "的"))
+
+# BPE-ish lexer: letter runs | single digits | single non-alnum symbols
+TOKEN_PATTERN = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Quality-scoring features: char/word counts, avg word length,
+    punctuation ratio, stopword ratio, and a composite quality score."""
+    w = words_col(F.col("text"))
+    n_words = F.size(w).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
+    n_punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("bigint")
+    avg_word_len = F.round(
+        F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")) / n_words, 4
+    )
+    stop_ratio = F.round(n_stop.cast("double") / n_words, 4)
+    punct_ratio = F.round(n_punct.cast("double") / n_chars, 4)
+    # simple quality heuristic: long enough, low punct, some stopwords
+    quality = F.round(
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * (1.0 - punct_ratio) * (0.5 + stop_ratio),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_word_len.alias("avg_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        quality.alias("quality"),
+    ).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: count marker-word hits per language,
+    argmax with deterministic tie-break (marker order)."""
+    w = words_col(F.col("text"))
+    def count_word(marker: str) -> Column:
+        # factory keeps a proper closure: a 2-arg lambda would be treated
+        # by pyspark as the (element, index) form
+        return F.size(F.filter(w, lambda x: x == F.lit(marker))).cast("bigint")
+
+    counts = {lang: count_word(marker) for lang, marker in LANG_MARKERS}
+    # explicit CASE chain, identical on both engines; earlier langs win ties
+    c = counts
+    pred = (
+        F.when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["zh"]), "en")
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]) & (c["es"] >= c["zh"]), "es")
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["zh"]), "de")
+        .when(c["fr"] >= c["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        *[counts[lang].alias(f"n_{lang}") for lang, _ in LANG_MARKERS],
+        pred.alias("pred_lang"),
+        "lang",
+    ).orderBy("doc_id")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Tokenizer-style token counting with a BPE-ish regex lexer."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(TOKEN_PATTERN)).cast("bigint").alias("n_tokens"),
+        F.size(words_col(F.col("text"))).cast("bigint").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
+    """Document fingerprinting: hash every word n-gram (rolling across the
+    doc), keep the min hash as the fingerprint (winnowing-style) plus the
+    distinct-shingle count. Hashes are md5 hex strings so the total order
+    is engine-independent."""
+    w = words_col(F.col("text"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, ngram))))
+    return docs.select(
+        "doc_id",
+        F.array_min(shingles).alias("fingerprint"),
+        F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
+    ).orderBy("doc_id")

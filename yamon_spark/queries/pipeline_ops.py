@@ -1,0 +1,346 @@
+"""Declared queries for the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal) — SURVEY §2 'beyond the
+reference' inventory. Oracles replicate the exact same deterministic
+hash/fold contracts (md5-hex ordering, double left-folds) in DuckDB SQL;
+some oracle strings are generated programmatically (simhash bit
+arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yamon_spark.queries import register, table
+
+# shared DuckDB SQL fragments -------------------------------------------
+
+_WORDS = r"regexp_split_to_array(trim(text), '\s+')"
+
+
+def _shingle_cte(ngram: int) -> str:
+    n1 = ngram - 1
+    return f"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len({_WORDS}) - {n1}, 1) + 1),
+        i -> array_to_string(({_WORDS})[i:i+{n1}], ' ')))) AS shingle
+      FROM documents
+    )
+    """
+
+
+_JACCARD_TAIL = """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b) t
+    WHERE jaccard >= {thr} ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents GROUP BY sha256(text) ORDER BY doc_id
+    """,
+    doc="Exact dedup via content-digest groupBy; survivor = min doc_id.",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_jaccard",
+    "WITH " + _shingle_cte(3) + _JACCARD_TAIL.format(thr=0.5),
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted shingle index.",
+)
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
+
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + _shingle_cte(3)
+    + """
+    , seeds AS (SELECT unnest(range(0, 16)) AS seed)
+    , sigs AS (
+      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS sig
+      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    )
+    , bands AS (
+      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+             md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+      FROM sigs GROUP BY doc_id, seed // 4
+    )
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b) t
+    WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b
+    """
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MINHASH_ORACLE,
+    doc=(
+        "MinHash(16 seeds)+LSH(4 bands of 4) candidates verified by exact "
+        "Jaccard — md5-hex signature order is engine-independent, so the "
+        "oracle reproduces candidates bit-for-bit."
+    ),
+)
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), ngram=3, num_hashes=16, band_size=4, threshold=0.5
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    bit_exprs = []
+    for j in range(bits):
+        nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} // {2 ** (3 - j % 4)}) % 2)"
+        bit_exprs.append(f"sum({bit} * 2 - 1) AS b{j}")
+    fp_terms = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (bits - 1 - j)} ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH wrds AS (
+      SELECT doc_id, unnest(list_distinct({_WORDS})) AS word FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(word) AS h FROM wrds
+    ), votes AS (
+      SELECT doc_id, {", ".join(bit_exprs)} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(16),
+    doc="16-bit SimHash fingerprints from word unigrams (majority vote per bit).",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import simhash
+
+    return simhash(table(spark, sf_dir, "documents"), bits=16)
+
+
+_COS_EXPRS = """
+      list_reduce(list_transform(range(1, len(e.embedding) + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+      list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS na,
+      list_reduce(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS nb
+"""
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="Brute-force exact cosine top-10 neighbors of vec_id=0.",
+)
+def sim_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 AND e.label = q.q_label
+    )
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc="IVF-style ANN: probe only the query's coarse cell, exact rerank inside.",
+)
+def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "sim_near_dup_pairs",
+    """
+    WITH s AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+      list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
+      list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s) t
+    WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-dup pairs with coarse-cell (label) blocking.",
+)
+def sim_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+_STOP_SQL = "(x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')"
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+    r AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(w) AS BIGINT) AS n_words,
+        round(list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+              / len(w), 4) AS avg_word_len,
+        round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+              / length(text), 4) AS punct_ratio,
+        round(CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w), 4) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_words, avg_word_len, punct_ratio, stop_ratio,
+           round(least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                 * (1.0 - punct_ratio) * (0.5 + stop_ratio), 4) AS quality
+    FROM r ORDER BY doc_id
+    """,
+    doc="Quality-scoring features: lengths, punct/stopword ratios, composite score.",
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import text_stats
+
+    return text_stats(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(w, x -> x = 'the')) AS BIGINT) AS n_en,
+        CAST(len(list_filter(w, x -> x = 'la')) AS BIGINT) AS n_es,
+        CAST(len(list_filter(w, x -> x = 'der')) AS BIGINT) AS n_de,
+        CAST(len(list_filter(w, x -> x = 'le')) AS BIGINT) AS n_fr,
+        CAST(len(list_filter(w, x -> x = '的')) AS BIGINT) AS n_zh
+      FROM t
+    )
+    SELECT doc_id, n_en, n_es, n_de, n_fr, n_zh,
+      CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+           WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
+           WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
+           WHEN n_fr >= n_zh THEN 'fr'
+           ELSE 'zh' END AS pred_lang,
+      lang
+    FROM c ORDER BY doc_id
+    """,
+    doc="Marker-word language-ID heuristic with deterministic tie-break.",
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import lang_id
+
+    return lang_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count",
+    rf"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_tokens,
+      CAST(len({_WORDS}) AS BIGINT) AS n_words
+    FROM documents ORDER BY doc_id
+    """,
+    doc="BPE-ish regex token counting (letter runs / digits / symbols).",
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import token_count
+
+    return token_count(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(w) - 3, 1) + 1),
+               i -> md5(array_to_string(w[i:i+3], ' '))) AS sh
+      FROM t
+    )
+    SELECT doc_id, list_min(sh) AS fingerprint,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_shingles
+    FROM s ORDER BY doc_id
+    """,
+    doc="Rolling-hash document fingerprint (min md5 of word 4-grams).",
+)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import doc_fingerprint
+
+    return doc_fingerprint(table(spark, sf_dir, "documents"), ngram=4)
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      sha256(text) AS sha,
+      CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+      CAST(octet_length(encode(text)) % 30 AS BIGINT) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "Multimodal plumbing: binary payload -> Arrow mapInPandas decode "
+        "stage (deterministic stub codec) -> typed metadata."
+    ),
+)
+def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import multimodal_meta
+
+    return multimodal_meta(table(spark, sf_dir, "documents"))

@@ -1,0 +1,106 @@
+"""UDF / UDAF / UDTF surface (Q70-Q72) — the script extension point.
+
+The reference lets arbitrary user scripts emit typed rows
+(script.go:120-240, SDK res/deno/yamon.ts:1-36). The Spark-native
+equivalent of "user code in the pipeline" is the Arrow-vectorized pandas
+UDF family — batched columnar transfer, ~10-100x over row-at-a-time
+Python UDFs, and the ONLY sanctioned way to put Python in a hot path:
+
+- Q70 scalar pandas_udf: the journald priority/level mapping (T3,
+  reference journal/client.go:84-99) as a vectorized lookup.
+- Q71 applyInPandas (grouped map, UDTF-style): per-series z-score
+  normalization.
+- Q72 grouped-agg pandas_udf (UDAF): max-min spread per group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+from yamon_spark.queries import register, table
+
+# reverse of the reference's priority->level map (journal/client.go:84-99):
+# level name -> syslog-ish priority number
+_SEVERITY = {"critical": 2, "error": 3, "warning": 4, "info": 6, "debug": 7}
+
+_LEVEL_EXPR = (
+    "CASE WHEN value < 10 THEN 'debug' WHEN value < 50 THEN 'info' "
+    "WHEN value < 100 THEN 'warning' WHEN value < 200 THEN 'error' "
+    "ELSE 'critical' END"
+)
+
+
+@F.pandas_udf(LongType())
+def severity_udf(level: pd.Series) -> pd.Series:
+    return level.map(_SEVERITY).astype("int64")
+
+
+@register(
+    "q70_scalar_pandas_udf",
+    f"""
+    SELECT event_id, {_LEVEL_EXPR} AS level,
+           CASE {_LEVEL_EXPR}
+             WHEN 'critical' THEN 2 WHEN 'error' THEN 3 WHEN 'warning' THEN 4
+             WHEN 'info' THEN 6 WHEN 'debug' THEN 7 END AS severity
+    FROM events ORDER BY event_id
+    """,
+    doc="Vectorized severity(level) lookup vs CASE WHEN oracle (T3 map).",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn("level", F.expr(_LEVEL_EXPR))
+    return ev.select("event_id", "level", severity_udf("level").alias("severity")).orderBy("event_id")
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    std = pdf["value"].std(ddof=1)  # sample stddev, matches stddev_samp
+    mean = pdf["value"].mean()
+    if pd.isna(std) or std == 0.0:
+        z = pd.Series(0.0, index=pdf.index)
+    else:
+        z = (pdf["value"] - mean) / std
+    return pd.DataFrame({"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z})
+
+
+@register(
+    "q71_grouped_map_zscore",
+    """
+    SELECT event_id, user_id,
+           round(CASE WHEN stddev_samp(value) OVER (PARTITION BY user_id) IS NULL
+                        OR stddev_samp(value) OVER (PARTITION BY user_id) = 0
+                      THEN 0.0
+                      ELSE (value - avg(value) OVER (PARTITION BY user_id))
+                           / stddev_samp(value) OVER (PARTITION BY user_id) END, 4) AS z
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="applyInPandas per-series z-score (grouped-map / UDTF shape).",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = ev.groupBy("user_id").applyInPandas(_zscore_group, "event_id bigint, user_id bigint, z double")
+    return out.select("event_id", "user_id", F.round("z", 4).alias("z")).orderBy("user_id", "event_id")
+
+
+@F.pandas_udf(DoubleType())
+def value_range_udf(value: pd.Series) -> float:
+    return float(value.max() - value.min())
+
+
+@register(
+    "q72_grouped_agg_udaf",
+    """
+    SELECT event_type, round(max(value) - min(value), 4) AS vrange
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Grouped-agg pandas UDF (UDAF) checked against built-ins.",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(value_range_udf("value"), 4).alias("vrange"))
+        .orderBy("event_type")
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` but every knob here is
+chosen for the 1000-executor / 100 TB case and merely *also* works locally:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting,
+  broadcast demotion/promotion based on observed sizes),
+- session timezone pinned to UTC so event-time semantics are
+  deployment-independent (the reference stores DateTime64 wall-UTC,
+  reference res/schema.sql:3),
+- Arrow enabled for the pandas-UDF surface (the reference's script
+  extension point, reference script.go:120-240, maps to vectorized UDFs),
+- zstd parquet output matching the reference's CODEC(ZSTD) columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "yamon-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``shuffle_partitions`` defaults to $SPARK_GRAFT_CPUS (local) — on a real
+    cluster you'd leave AQE's coalescing to right-size this from
+    ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # dims (region/nation/supplier) are tiny: let Catalyst broadcast
+        # them; 64MB is safe with 128GiB local, and typical for big clusters
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
