@@ -51,8 +51,12 @@ def _shingles(ngram: int) -> F.Column:
 
 
 def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
-    """(doc_id, shingle) inverted index + per-doc distinct-shingle counts."""
-    return docs.select("doc_id", F.explode(_shingles(ngram)).alias("shingle"))
+    """(doc_id, n_sh, shingle) inverted index. n_sh (the doc's distinct-
+    shingle count) rides along with every row so downstream Jaccard math
+    needs NO extra sizes-aggregation join — explode is whole-stage
+    codegen'd, and the only shuffle left is the one on `shingle`."""
+    arr = _shingles(ngram)
+    return docs.select("doc_id", F.size(arr).cast("bigint").alias("n_sh"), F.explode(arr).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -69,43 +73,44 @@ def ngram_jaccard_pairs(
     if max_doc_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "shingle").select(
-            "doc_id", "shingle"
+            "doc_id", "n_sh", "shingle"
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 
 
 def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) -> DataFrame:
-    """(doc_id, seed, sig): MinHash signature rows. sig = lexicographic min
-    of md5(seed || ':' || shingle) over the doc's distinct shingles —
-    md5-hex strings give an engine-independent uniform total order."""
+    """One row per doc with sig_0..sig_{k-1} MinHash columns.
+
+    sig_i = lexicographic min of md5(i || ':' || shingle) over the doc's
+    distinct shingles — md5-hex strings give an engine-independent
+    uniform total order. All k hashes are computed in ONE codegen'd
+    projection over the exploded shingle table and folded in ONE
+    partial-agg groupBy (shuffles |shingles| rows once, not k times)."""
     sh = shingle_table(docs, ngram)
-    seeds = sh.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
+    hashes = [
+        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    ]
     return (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("sig"))
+        sh.select("doc_id", "n_sh", *hashes)
+        .groupBy("doc_id", "n_sh")
+        .agg(*[F.min(f"h{i}").alias(f"sig_{i}") for i in range(num_hashes)])
     )
 
 
@@ -120,18 +125,28 @@ def minhash_lsh_pairs(
 
     bands = num_hashes / band_size; candidate pairs share at least one
     band key (md5 of the band's concatenated signature values in seed
-    order); survivors have exact shingle-Jaccard >= threshold.
+    order); survivors have exact shingle-Jaccard >= threshold. The band
+    bucket-join is the 100 TB path: candidates are generated per bucket,
+    never across the full corpus.
     """
     sigs = minhash_signatures(docs, ngram, num_hashes)
-    band = (F.col("seed") / band_size).cast("int").alias("band")
-    # concat sigs within a band in seed order -> stable band key
-    band_keys = (
-        sigs.select("doc_id", band, "seed", "sig")
-        .groupBy("doc_id", "band")
-        .agg(F.md5(F.concat_ws("|", F.array_join(F.array_sort(F.collect_list(F.struct("seed", "sig"))).getField("sig"), "|"))).alias("band_key"))
-    )
-    a = band_keys.alias("a")
-    b = band_keys.alias("b")
+    n_bands = num_hashes // band_size
+    band_key_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)])).alias(
+            f"bk_{b}"
+        )
+        for b in range(n_bands)
+    ]
+    keyed = sigs.select("doc_id", *band_key_cols)
+    # unpivot to (doc_id, band, band_key) rows for the bucket self-join
+    band_rows = keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"bk_{b}").alias("band_key")) for b in range(n_bands)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
     cand = (
         a.join(
             b,
@@ -144,20 +159,17 @@ def minhash_lsh_pairs(
     )
     # exact-Jaccard verification restricted to candidates
     sh = shingle_table(docs, ngram)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
     inter = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "na", "nb")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

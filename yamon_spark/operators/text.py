@@ -101,9 +101,15 @@ def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
     is engine-independent."""
     w = words_col(F.col("text"))
     idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(w, i, ngram))))
-    return docs.select(
-        "doc_id",
-        F.array_min(shingles).alias("fingerprint"),
-        F.size(F.array_distinct(shingles)).cast("bigint").alias("n_shingles"),
-    ).orderBy("doc_id")
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
+    # explode + hash in a codegen'd projection + one partial-agg groupBy
+    # beats evaluating md5 inside an interpreted array lambda per doc
+    exploded = docs.select("doc_id", F.explode(shingles).alias("sh")).withColumn("h", F.md5("sh"))
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fingerprint"),
+            F.countDistinct("h").cast("bigint").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )
