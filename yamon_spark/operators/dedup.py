@@ -43,20 +43,68 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(ngram: int) -> F.Column:
-    """Distinct word n-gram shingles of the `text` column."""
-    w = words_col(F.col("text"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram))))
-
-
 def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, n_sh, shingle) inverted index. n_sh (the doc's distinct-
     shingle count) rides along with every row so downstream Jaccard math
-    needs NO extra sizes-aggregation join — explode is whole-stage
-    codegen'd, and the only shuffle left is the one on `shingle`."""
-    arr = _shingles(ngram)
-    return docs.select("doc_id", F.size(arr).cast("bigint").alias("n_sh"), F.explode(arr).alias("shingle"))
+    needs NO extra sizes-aggregation join.
+
+    Plan shape matters here (measured on the sf0.1 bench):
+    - the words split and the shingle array are MATERIALIZED in separate
+      projections before any higher-order lambda touches them. Spark
+      evaluates higher-order functions interpreted (CodegenFallback) and
+      re-evaluates inlined child expressions per array element — an
+      inlined split re-tokenizes the doc O(words) times (O(words²) total
+      work, single-threaded per row batch). Column references make each
+      step O(words).
+    - the doc text is repartitioned across the cluster BEFORE the
+      explode: shuffling 1x of raw text to balance ~50x of downstream
+      shingle compute is the right trade at every scale, and without it
+      a small file count serializes the whole operator on a few tasks.
+    """
+    spark = docs.sparkSession
+    base = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    words = base.select("doc_id", words_col(F.col("text")).alias("w"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
+    arr = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram))))
+    with_arr = words.select("doc_id", arr.alias("arr"))
+    return with_arr.select(
+        "doc_id", F.size("arr").cast("bigint").alias("n_sh"), F.explode("arr").alias("shingle")
+    )
+
+
+def _pair_counts(sh: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
+    """(doc_a, doc_b, na, nb, n_inter) for every doc pair sharing >=1
+    shingle, via posting-list pair expansion: group the inverted index by
+    shingle into a sorted doc list, then explode the 2-combinations.
+
+    This replaces the shingle self-join formulation: a self-join shuffles
+    the full index TWICE and sort-merges quadratically inside each equal-
+    shingle group; posting lists shuffle the index ONCE, generate exactly
+    the same pairs in a codegen'd explode, and make the stop-shingle cap
+    a free size filter. Shingles in one doc only contribute nothing and
+    die in the size>=2 filter instead of rejoining everything.
+    """
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    if max_doc_freq is not None:
+        # stop-shingle cap: the knob that bounds hot-shingle blowup at 100 TB
+        posting = posting.where(F.size("docs") <= max_doc_freq)
+    # two-level explode: (anchor position, anchor) x partners after it —
+    # distributes one hot shingle's quadratic pair set across rows
+    lvl1 = posting.select("docs", F.posexplode("docs").alias("i", "a"))
+    pairs = lvl1.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.n_sh").alias("na"),
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
+    )
+    return (
+        pairs.select("doc_a", "na", F.col("b.doc_id").alias("doc_b"), F.col("b.n_sh").alias("nb"))
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -65,28 +113,10 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jacc >= threshold).
 
     ``max_doc_freq``: optionally drop shingles occurring in more than this
-    many docs before the self-join (stop-shingle cap — the knob that keeps
-    the inverted-index join bounded at 100 TB; leave None for exact
-    semantics against the oracle).
+    many docs (stop-shingle cap — keeps the pair expansion bounded at
+    100 TB; leave None for exact semantics against the oracle).
     """
-    sh = shingle_table(docs, ngram)
-    if max_doc_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(F.broadcast(freq.where(F.col("df") <= max_doc_freq)), "shingle").select(
-            "doc_id", "n_sh", "shingle"
-        )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_sh").alias("na"),
-            F.col("b.n_sh").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    inter = _pair_counts(shingle_table(docs, ngram), max_doc_freq)
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
@@ -157,16 +187,18 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates
+    # exact-Jaccard verification restricted to candidates: narrow the
+    # inverted index to candidate docs (broadcast semi-join — the
+    # candidate set is tiny relative to the corpus), expand pair counts
+    # inside that slice only, keep LSH-candidate pairs
     sh = shingle_table(docs, ngram)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"), "shingle")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b", "na", "nb")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
     )
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    inter = _pair_counts(sh_c).join(F.broadcast(cand), ["doc_a", "doc_b"])
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
@@ -183,7 +215,10 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     Arithmetic-only hex decoding keeps the oracle byte-identical.
     """
     w = F.array_distinct(words_col(F.col("text")))
-    exploded = docs.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
+    base = docs.select("doc_id", "text").repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
     hexmap = "0123456789abcdef"
     bit_sums = []
     for j in range(bits):

@@ -32,7 +32,10 @@ def words_col(text: Column) -> Column:
 def text_stats(docs: DataFrame) -> DataFrame:
     """Quality-scoring features: char/word counts, avg word length,
     punctuation ratio, stopword ratio, and a composite quality score."""
-    w = words_col(F.col("text"))
+    # split once into a materialized column; the HOFs below run
+    # interpreted and would otherwise each re-split the text
+    base = docs.select("doc_id", "text", words_col(F.col("text")).alias("w"))
+    w = F.col("w")
     n_words = F.size(w).cast("bigint")
     n_chars = F.length("text").cast("bigint")
     n_stop = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("bigint")
@@ -47,7 +50,7 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * (1.0 - punct_ratio) * (0.5 + stop_ratio),
         4,
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
@@ -61,7 +64,9 @@ def text_stats(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """N-gram-heuristic language ID: count marker-word hits per language,
     argmax with deterministic tie-break (marker order)."""
-    w = words_col(F.col("text"))
+    base = docs.select("doc_id", "lang", words_col(F.col("text")).alias("w"))
+    w = F.col("w")
+
     def count_word(marker: str) -> Column:
         # factory keeps a proper closure: a 2-arg lambda would be treated
         # by pyspark as the (element, index) form
@@ -77,7 +82,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(c["fr"] >= c["zh"], "fr")
         .otherwise("zh")
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         *[counts[lang].alias(f"n_{lang}") for lang, _ in LANG_MARKERS],
         pred.alias("pred_lang"),
@@ -99,12 +104,16 @@ def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
     doc), keep the min hash as the fingerprint (winnowing-style) plus the
     distinct-shingle count. Hashes are md5 hex strings so the total order
     is engine-independent."""
-    w = words_col(F.col("text"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
-    # explode + hash in a codegen'd projection + one partial-agg groupBy
-    # beats evaluating md5 inside an interpreted array lambda per doc
-    exploded = docs.select("doc_id", F.explode(shingles).alias("sh")).withColumn("h", F.md5("sh"))
+    # materialize the words array before the lambda touches it: inlining
+    # the split into the (interpreted) transform re-tokenizes the doc per
+    # element — O(words²); a column reference keeps it O(words). Then
+    # explode + md5 in a codegen'd projection + one partial-agg groupBy.
+    spark = docs.sparkSession
+    base = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    words = base.select("doc_id", words_col(F.col("text")).alias("w"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram)))
+    exploded = words.select("doc_id", F.explode(shingles).alias("sh")).withColumn("h", F.md5("sh"))
     return (
         exploded.groupBy("doc_id")
         .agg(
