@@ -1,0 +1,76 @@
+"""Pipeline self-metrics (SURVEY §2.6; reference clickhouse/
+internal_metrics.go:8-23 — prometheus counters
+``yamon_ingested_{metrics,logs,events}{result=written|dropped}``).
+
+Spark-native shape: a ``StreamingQueryListener`` accumulates per-query
+input/written row counts from the engine's own progress events — no
+instrumentation inside the data path. ``snapshot_metrics`` renders the
+counters as metric rows (name ``yamon.ingested.<table>``, tag
+``result``) so the pipeline can observe itself through its own metrics
+stream, exactly as the reference agent scrapes its own /metrics
+endpoint (agent/http.go:28).
+
+Delivery nuance: the reference counts ``dropped`` for batches ClickHouse
+rejected (at-most-once); our sinks are at-least-once via checkpoint
+replay, so ``dropped`` stays 0 by construction and failed epochs show up
+as retries instead.
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+class IngestCounters(StreamingQueryListener):
+    """Accumulates rows-processed per streaming query name."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self.rows_in: dict[str, int] = defaultdict(int)
+        self.batches: dict[str, int] = defaultdict(int)
+
+    # StreamingQueryListener interface -----------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        name = p.name or p.id
+        with self._lock:
+            self.rows_in[str(name)] += int(p.numInputRows)
+            self.batches[str(name)] += 1
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    # rendering -----------------------------------------------------------
+    def snapshot_metrics(self, spark: SparkSession) -> DataFrame:
+        """Current counters as metric rows (gauge snapshot of counters)."""
+        with self._lock:
+            rows = [
+                (name, float(n), float(self.batches.get(name, 0)))
+                for name, n in sorted(self.rows_in.items())
+            ]
+        df = spark.createDataFrame(rows, "query string, rows_in double, batches double")
+        return df.select(
+            F.current_timestamp().alias("when"),
+            F.lit("counter").alias("type"),
+            F.lit("").alias("host"),
+            F.concat(F.lit("yamon.ingested."), F.col("query")).alias("name"),
+            F.col("rows_in").alias("value"),
+            F.create_map(F.lit("result"), F.lit("written")).alias("tags"),
+        )
+
+
+def attach(spark: SparkSession) -> IngestCounters:
+    listener = IngestCounters()
+    spark.streams.addListener(listener)
+    return listener
