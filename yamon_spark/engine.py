@@ -1,0 +1,149 @@
+"""User-facing query layer — what a yamon user queries ClickHouse with,
+re-expressed as a thin facade over Spark SQL/DataFrames (SURVEY §7.1.3).
+
+The reference ships DDL and lets users write ClickHouse SQL against
+``metrics``/``logs``/``events`` and the two LTS rollups (README.md:11-12).
+``Engine`` binds those tables (as written by the streaming pipeline) into
+a SparkSession and provides the ClickHouse-isms that don't map 1:1 to
+ANSI SQL:
+
+- ``time_bucket``       toStartOfInterval(when, INTERVAL n unit)
+- ``rate``/``delta``    counter-series derivative (the query the
+                        ``counter`` metric type exists for)
+- ``tag_filter``        tags['k'] = 'v' with bloom/stats-indexable
+                        rewrite when the tag index columns are present
+- ``series``            time-range + name/host/tag scan with partition
+                        pruning on the date column
+
+Everything returns DataFrames; compose freely with spark.sql.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yamon_spark.plans.layout import tag_predicate
+from yamon_spark.streaming.pipeline import canon_tags
+
+TABLES = ("metrics", "logs", "events", "metrics_gauge_lts", "metrics_counter_lts")
+
+
+def time_bucket(col: Column | str, seconds: int) -> Column:
+    """ClickHouse ``toStartOfInterval(when, INTERVAL n SECOND)``:
+    floor the epoch to the bucket. Pure arithmetic — codegen'd, and for
+    day-multiples it still aligns with date partitions (UTC session)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.timestamp_seconds(F.floor(F.unix_timestamp(c) / seconds) * seconds)
+
+
+class Engine:
+    """Bind pipeline-written tables and answer queries over them."""
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir
+
+    # --- table access -----------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        path = os.path.join(self.data_dir, name)
+        return self.spark.read.parquet(path)
+
+    def register_views(self) -> None:
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        for t in TABLES:
+            path = os.path.join(self.data_dir, t)
+            if os.path.isdir(path):
+                try:
+                    self.table(t).createOrReplaceTempView(t)
+                except AnalysisException:
+                    # a sink that has committed no rows yet has no
+                    # readable schema (only _SUCCESS) — skip until data lands
+                    continue
+
+    def sql(self, query: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(query)
+
+    # --- ClickHouse-ism helpers --------------------------------------------
+
+    @staticmethod
+    def tag_filter(df: DataFrame, key: str, value: str | None = None) -> DataFrame:
+        """``tags[key] [= value]``. When the table carries the flattened
+        ``tag_keys``/``tag_values`` index columns (written by the
+        pipeline, D7) the predicate leads with array membership so
+        parquet blooms + row-group stats can skip; otherwise a plain
+        map probe."""
+        if "tag_keys" in df.columns:
+            return df.where(tag_predicate(key, value))
+        probe = F.element_at("tags", key)
+        return df.where(probe.isNotNull() if value is None else (probe == value))
+
+    def series(
+        self,
+        name: str | None = None,
+        host: str | None = None,
+        start: str | None = None,
+        end: str | None = None,
+        table: str = "metrics",
+    ) -> DataFrame:
+        """Time-range scan in the layout's fast path: equality on the
+        leading sort keys (name, host) -> row-group skipping; the date
+        bound derived from the time range -> partition pruning."""
+        df = self.table(table)
+        if name is not None:
+            df = df.where(F.col("name") == name)
+        if host is not None:
+            df = df.where(F.col("host") == host)
+        if start is not None:
+            df = df.where((F.col("when") >= start) & (F.col("date") >= F.to_date(F.lit(start))))
+        if end is not None:
+            df = df.where((F.col("when") < end) & (F.col("date") <= F.to_date(F.lit(end))))
+        return df
+
+    # --- counter analytics --------------------------------------------------
+
+    @staticmethod
+    def delta(metrics: DataFrame) -> DataFrame:
+        """Per-series counter increase between consecutive samples.
+        Monotonic-counter resets (value drops) clamp to the new value,
+        the standard counter-rate convention. One shuffle (series key)."""
+        w = Window.partitionBy("name", "host", canon_tags(F.col("tags")).alias("tg")).orderBy("when")
+        prev = F.lag("value").over(w)
+        d = F.when(prev.isNull(), None).when(F.col("value") >= prev, F.col("value") - prev).otherwise(
+            F.col("value")
+        )
+        return metrics.withColumn("delta", d)
+
+    @staticmethod
+    def rate(metrics: DataFrame) -> DataFrame:
+        """Per-series per-second rate: delta / seconds-elapsed."""
+        key = ["name", "host"]
+        w = Window.partitionBy(*key, canon_tags(F.col("tags")).alias("tg")).orderBy("when")
+        prev_v = F.lag("value").over(w)
+        prev_t = F.lag("when").over(w)
+        secs = F.unix_timestamp("when") - F.unix_timestamp(prev_t)
+        d = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(F.col("value"))
+        return metrics.withColumn(
+            "rate", F.when(prev_v.isNull() | (secs <= 0), None).otherwise(d / secs)
+        )
+
+    def rollup(self, mtype: str = "gauge", bucket_seconds: int = 60) -> DataFrame:
+        """Re-aggregate detail metrics at an arbitrary bucket size (the
+        ad-hoc version of the 1-min LTS rollups)."""
+        agg = F.avg("value") if mtype == "gauge" else F.sum("value")
+        df = self.table("metrics").where(F.col("type") == mtype)
+        return (
+            df.groupBy(
+                time_bucket("when", bucket_seconds).alias("when"),
+                "host",
+                "name",
+                canon_tags(F.col("tags")).alias("tag_entries"),
+            )
+            .agg(agg.alias("value"))
+            .select("when", "host", "name", "value", F.map_from_entries("tag_entries").alias("tags"))
+        )
