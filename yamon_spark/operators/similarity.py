@@ -108,3 +108,64 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> 
         .applyInPandas(block_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH ANN — the bucketed scale path
+# ---------------------------------------------------------------------------
+
+
+def lsh_hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: coefficient (j,i) derives
+    from md5(j:i) — no RNG state, so the Spark plan and the SQL oracle
+    share the exact same planes as literals."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:8], 16) % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """SimHash-style bucket id: bit j = sign(emb . plane_j)."""
+    code = F.lit(0)
+    for j, h in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in h])
+        dot = _fold_sum(F.zip_with(emb, arr, lambda x, y: x.cast("double") * y))
+        code = code + F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
+    return code
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed ANN: hash every vector to a 2^n_planes bucket with
+    random hyperplanes, probe only the query's bucket, exact cosine
+    rerank inside it.
+
+    The 100 TB shape: bucket assignment is a scan-only projection (write
+    time, stored/partitioned by bucket); a query probes 1/2^n_planes of
+    the corpus with zero shuffle. Unlike IVF it needs no training pass.
+    """
+    planes = lsh_hyperplanes(n_planes, dim)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    q = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    rest = bucketed.where(F.col("vec_id") != query_vec_id)
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        rest.crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("q_bucket"))
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -202,6 +202,44 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    from yamon_spark.operators.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(n_planes, dim)
+    plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
+    bucket_terms = " + ".join(
+        f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
+             THEN {2 ** j} ELSE 0 END)"""
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings),
+    q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM b e CROSS JOIN q WHERE e.vec_id <> 0 AND e.bucket = q.q_bucket
+    )
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@register(
+    "sim_lsh_topk",
+    _lsh_oracle(),
+    doc=(
+        "Random-hyperplane LSH ANN: deterministic md5-derived hyperplanes "
+        "(shared as literals with the oracle) bucket every vector; the "
+        "probe reranks only the query's bucket."
+    ),
+)
+def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
 @register(
     "sim_near_dup_pairs",
     """
@@ -344,3 +382,49 @@ def multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.multimodal import multimodal_meta
 
     return multimodal_meta(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_frames",
+    """
+    WITH t AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, unnest(range(0, greatest(n // 64, 1), 2)) AS frame_idx FROM t)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(least(64, n - frame_idx * 64) AS BIGINT) AS n_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "Frame-sampling plumbing: binary payload -> mapInPandas UDTF-style "
+        "expansion, every 2nd 64-byte frame; oracle checks ids + byte counts."
+    ),
+)
+def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.multimodal import attach_binary, sample_frames
+
+    frames = sample_frames(attach_binary(table(spark, sf_dir, "documents")), every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.octet_length("frame").cast("bigint").alias("n_bytes")
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_features",
+    None,  # stub-encoder output has no SQL twin: rows-only driver check
+    doc=(
+        "Feature-extraction plumbing: payload -> fixed-dim vector via "
+        "Arrow-batched mapInPandas (the GPU-encoder slot at scale); "
+        "vector scalarized to columns for deterministic hashing."
+    ),
+)
+def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.multimodal import attach_binary, extract_features
+
+    feats = extract_features(attach_binary(table(spark, sf_dir, "documents")), dim=8)
+    return feats.select(
+        "doc_id",
+        *[F.round(F.element_at("feature", i + 1).cast("double"), 4).alias(f"f{i}") for i in range(8)],
+    ).orderBy("doc_id")
