@@ -27,8 +27,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-    # JIT/codegen warm-up on the smallest table
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # steady-state warm-up: run every query once at the smallest SF so
+    # whole-stage-codegen JIT + Arrow/python-worker startup are excluded
+    # from the timed sf run (the first queries otherwise absorb all of it)
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in sorted(qs):
+            try:
+                qs[name].build(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:  # noqa: BLE001 - warm-up must never fail the bench
+                pass
 
     timings: dict[str, float] = {}
     for name in sorted(qs):
