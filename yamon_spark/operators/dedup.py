@@ -187,17 +187,17 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification restricted to candidates: narrow the
-    # inverted index to candidate docs (broadcast semi-join — the
-    # candidate set is tiny relative to the corpus), expand pair counts
-    # inside that slice only, keep LSH-candidate pairs
-    sh = shingle_table(docs, ngram)
+    # exact-Jaccard verification restricted to candidates: filter the RAW
+    # docs to the candidate set (broadcast — candidates are tiny relative
+    # to the corpus) BEFORE shingling, so the corpus is tokenized once
+    # (for signatures), not twice; then expand pair counts inside that
+    # slice only and keep LSH-candidate pairs
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sh_c = shingle_table(docs.join(F.broadcast(cand_docs), "doc_id"), ngram)
     inter = _pair_counts(sh_c).join(F.broadcast(cand), ["doc_a", "doc_b"])
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
