@@ -70,6 +70,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     """Import all query modules (side-effect: registration) and return registry."""
     from yamon_spark.queries import (  # noqa: F401
         aggregation,
+        analytics_ext,
         functions_scalar,
         joins,
         pipeline_ops,

@@ -1,0 +1,287 @@
+"""Extended analytics surface: pivot, percentiles, heavy hitters, rate,
+gap-fill, distribution windows, histogram, subqueries, log search.
+
+These widen SURVEY §2.5 with the query shapes a monitoring store answers
+daily — ClickHouse idioms re-expressed Spark-first:
+
+- q34 is the full ``rate()`` (per-second) completion of Q31's delta —
+  the reason the counter metric type exists (reference
+  common/metric.go:9-14, rollup MV res/schema.sql:71-82).
+- q35 mirrors ClickHouse ``ORDER BY ... WITH FILL STEP`` (dashboards
+  need dense time axes; missing buckets become zeros). Spark-first:
+  per-key ``sequence()`` + explode generates the dense grid
+  distributed by key — no driver-side loop, no cross join.
+- text_search is the log-search shape the logs table's ORDER BY
+  (service,host,ts) + bloom indexes exist for (res/schema.sql:93-98).
+
+Scale notes: every query here is a single shuffle (one groupBy or one
+window) except q35 (grid join — broadcast-able bounds side) and the
+subqueries (scalar agg broadcast). Pivot compiles to a single hash agg
+with conditional counters — same plan as the FILTER oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from yamon_spark.queries import register, table
+
+
+@register(
+    "q27_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Pivot order counts by status; single hash agg, no extra shuffle.",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("cnt_f"),
+            F.col("O").alias("cnt_o"),
+            F.col("P").alias("cnt_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q28_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == "
+    "SQL percentile_cont == DuckDB quantile_cont).",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cols = [
+        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(a)
+        for q, a in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
+    ]
+    return li.groupBy("l_returnflag").agg(*cols).orderBy("l_returnflag")
+
+
+@register(
+    "q29_heavy_hitters",
+    """
+    SELECT p_brand, count(*) AS cnt FROM part
+    GROUP BY p_brand ORDER BY cnt DESC, p_brand LIMIT 10
+    """,
+    doc="Heavy hitters: top-10 most frequent brands (partial agg + "
+    "TakeOrderedAndProject — no global sort materialized).",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "p_brand")
+        .limit(10)
+    )
+
+
+@register(
+    "q34_counter_rate",
+    """
+    SELECT user_id, event_id,
+           round((value - lag(value)  OVER w)
+                 / (nullif(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) / 1000000.0),
+                 4) AS rate
+    FROM events WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="Full per-second rate() over counters: delta(value)/delta(seconds) "
+    "per series — Q31's numerator completed (common/metric.go:9-14).",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.nullif(us - F.lag(us).over(w), F.lit(0)) / F.lit(1000000.0)
+    return (
+        ev.select("user_id", "event_id", F.round(dv / dt, 4).alias("rate"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q35_gap_fill",
+    """
+    WITH b AS (
+      SELECT user_id, date_trunc('hour', ts) AS w, count(*) AS cnt,
+             sum(value) AS sv
+      FROM events WHERE event_type = 'purchase' AND user_id < 8
+      GROUP BY 1, 2),
+    r AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM b GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS w
+          FROM r)
+    SELECT g.user_id, g.w, coalesce(b.cnt, 0) AS cnt,
+           round(coalesce(b.sv, 0), 4) AS sv
+    FROM g LEFT JOIN b ON g.user_id = b.user_id AND g.w = b.w
+    ORDER BY g.user_id, g.w
+    """,
+    doc="Dense time axis (ClickHouse WITH FILL): per-key sequence() grid "
+    "left-joined to hourly rollup; grid generation is distributed by key.",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "purchase") & (F.col("user_id") < 8))
+    )
+    b = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+    )
+    grid = (
+        b.groupBy("user_id")
+        .agg(F.min("w").alias("lo"), F.max("w").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("w"),
+        )
+    )
+    return (
+        grid.join(b, ["user_id", "w"], "left")
+        .select(
+            "user_id",
+            "w",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            F.round(F.coalesce("sv", F.lit(0.0)), 4).alias("sv"),
+        )
+        .orderBy("user_id", "w")
+    )
+
+
+@register(
+    "q36_dist_windows",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 4) AS prank,
+           round(cume_dist()    OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    doc="Distribution window functions: ntile / percent_rank / cume_dist.",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 4).alias("prank"),
+            F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "q37_histogram",
+    """
+    SELECT cast(least(floor(value / 50.0), 9) AS bigint) AS bucket,
+           count(*) AS cnt, round(sum(value), 4) AS sv
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    doc="Fixed-width histogram of event values (value range 0..~490 -> "
+    "10 buckets, clamped); single partial-agg shuffle.",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 4).alias("sv"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "q45_scalar_subquery",
+    """
+    SELECT o_orderstatus, count(*) AS cnt FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Scalar subquery: global-avg threshold (subquery result broadcast "
+    "to the filter — no re-shuffle of the fact side).",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_q45_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS cnt FROM _q45_orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _q45_orders)
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """
+    )
+
+
+@register(
+    "q46_in_subquery",
+    """
+    SELECT c_custkey, c_nationkey FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name LIKE '%1_')
+    ORDER BY c_custkey
+    """,
+    doc="IN-subquery (planned as broadcast left-semi join against the "
+    "filtered dim).",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").where(F.col("n_name").like("%1_"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_semi")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "text_search",
+    """
+    SELECT lang, count(*) AS cnt,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM documents WHERE text LIKE '%data%' AND text LIKE '%spark%'
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="Log-search shape (logs table ORDER BY + bloom indexes, "
+    "res/schema.sql:93-98): conjunctive substring search + facet counts. "
+    "contains() stays in whole-stage codegen; at scale the same predicate "
+    "is served by parquet bloom filters on tokenized columns.",
+)
+def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("text").contains("data") & F.col("text").contains("spark"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
