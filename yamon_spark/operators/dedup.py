@@ -60,16 +60,23 @@ def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
       explode: shuffling 1x of raw text to balance ~50x of downstream
       shingle compute is the right trade at every scale, and without it
       a small file count serializes the whole operator on a few tasks.
+    - the shingle array is consumed by ONE Generate (explode) only; n_sh
+      is recovered afterwards as a window count over the doc partition
+      (already hash-partitioned by doc_id, so the window adds a sort but
+      NO exchange). Referencing the array twice (size + explode in one
+      projection) made Catalyst evaluate the interpreted
+      array_distinct∘transform twice per row — measured 4.5x slower.
     """
     spark = docs.sparkSession
     base = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = base.select("doc_id", words_col(F.col("text")).alias("w"))
     idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
     arr = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram))))
-    with_arr = words.select("doc_id", arr.alias("arr"))
-    return with_arr.select(
-        "doc_id", F.size("arr").cast("bigint").alias("n_sh"), F.explode("arr").alias("shingle")
-    )
+    sh = words.select("doc_id", F.explode(arr).alias("shingle"))
+    from pyspark.sql import Window
+
+    n_sh = F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("bigint")
+    return sh.select("doc_id", n_sh.alias("n_sh"), "shingle")
 
 
 def _pair_counts(sh: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
@@ -156,8 +163,15 @@ def minhash_lsh_pairs(
     bands = num_hashes / band_size; candidate pairs share at least one
     band key (md5 of the band's concatenated signature values in seed
     order); survivors have exact shingle-Jaccard >= threshold. The band
-    bucket-join is the 100 TB path: candidates are generated per bucket,
-    never across the full corpus.
+    bucket grouping is the 100 TB path: candidates are generated per
+    bucket, never across the full corpus.
+
+    Candidates come from a posting-list expansion (groupBy band key →
+    sorted doc list → 2-combination explode), NOT a self-join: a
+    self-join of the derived band_rows plan made Spark compute the whole
+    signature pipeline twice (no exchange reuse across the join sides —
+    measured ~2x the stage time), and shuffled the band table twice.
+    The groupBy computes signatures once and shuffles once.
     """
     sigs = minhash_signatures(docs, ngram, num_hashes)
     n_bands = num_hashes // band_size
@@ -168,23 +182,24 @@ def minhash_lsh_pairs(
         for b in range(n_bands)
     ]
     keyed = sigs.select("doc_id", *band_key_cols)
-    # unpivot to (doc_id, band, band_key) rows for the bucket self-join
+    # unpivot to (doc_id, band, band_key) rows for the bucket grouping
     band_rows = keyed.select(
         "doc_id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"bk_{b}").alias("band_key")) for b in range(n_bands)])
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.band_key")
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    buckets = (
+        band_rows.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    # two-level explode of each bucket's 2-combinations (docs sorted, so
+    # doc_a < doc_b by construction); distinct collapses pairs that agree
+    # on multiple bands
+    lvl1 = buckets.select("docs", F.posexplode("docs").alias("i", "doc_a"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        lvl1.select("doc_a", F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"))
         .distinct()
     )
     # exact-Jaccard verification restricted to candidates: filter the RAW

@@ -71,6 +71,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
     from yamon_spark.queries import (  # noqa: F401
         aggregation,
         analytics_ext,
+        analytics_ext2,
         functions_scalar,
         joins,
         pipeline_ops,

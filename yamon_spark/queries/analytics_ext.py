@@ -71,11 +71,15 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    cols = [
-        F.round(F.expr(f"percentile(l_extendedprice, {q})"), 4).alias(a)
-        for q, a in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
-    ]
-    return li.groupBy("l_returnflag").agg(*cols).orderBy("l_returnflag")
+    # one array-form percentile call: a single sort buffer per group
+    # serves all four quantiles (4 separate percentile() aggs each keep
+    # and merge their own value buffer — measured ~4x slower at sf0.1)
+    ps = F.expr("percentile(l_extendedprice, array(0.25D, 0.50D, 0.90D, 0.99D))")
+    agg = li.groupBy("l_returnflag").agg(ps.alias("ps"))
+    return agg.select(
+        "l_returnflag",
+        *[F.round(F.element_at("ps", i + 1), 4).alias(a) for i, a in enumerate(["p25", "p50", "p90", "p99"])],
+    ).orderBy("l_returnflag")
 
 
 @register(
