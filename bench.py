@@ -46,6 +46,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    ingest = ingest_bench(spark)
     print(
         json.dumps(
             {
@@ -54,9 +55,79 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest": ingest,
             }
         )
     )
+
+
+def ingest_bench(spark, n_lines: int = 20000, per_line: int = 100) -> dict:
+    """Wire-ingest throughput: parse submit-batch JSON -> typed metrics ->
+    detail sink + gauge/counter 1-minute rollups (the reference's server
+    path: forward_server.go decode -> ClickhouseWriter insert + both LTS
+    MVs). Input text is pre-materialized on disk so generation isn't
+    timed; each sink re-reads the landing text, matching the streaming
+    pipeline's independent queries. BASELINE.md's implied agent-side
+    steady state is ~800-1,000 metrics/s/host; this measures the
+    server-side equivalent in rows/s (50 synthetic hosts).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from yamon_spark.sources.wire import parse_batch
+    from yamon_spark.streaming.pipeline import counter_rollup, gauge_rollup
+
+    tmp = tempfile.mkdtemp(prefix="yamon_ingest_bench_")
+    try:
+        ts = F.date_format(
+            F.timestamp_seconds(F.lit(1714550400) + (F.col("id") % 3600)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+        )
+        metric = lambda i: F.struct(  # noqa: E731
+            ts.alias("t"),
+            F.when(i % 2 == 0, "gauge").otherwise("counter").alias("m"),
+            F.concat(F.lit("host-"), (F.col("id") % 50).cast("string")).alias("h"),
+            F.concat(F.lit("metric."), (i % 20).cast("string")).alias("n"),
+            (i.cast("double") * 1.5 + (F.col("id") % 100).cast("double")).alias("v"),
+            F.create_map(
+                F.lit("env"), F.lit("prod"), F.lit("dc"), F.concat(F.lit("dc"), (i % 3).cast("string"))
+            ).alias("g"),
+        )
+        lines = spark.range(n_lines).select(
+            F.to_json(F.struct(F.transform(F.sequence(F.lit(1), F.lit(per_line)), metric).alias("m"))).alias(
+                "value"
+            )
+        )
+        lines.write.mode("overwrite").text(tmp)
+
+        # steady-state warm-up on a tiny slice (same policy as the query
+        # bench: codegen/JIT excluded from the timed run)
+        warm = spark.read.text(tmp).limit(200)
+        for mk in (lambda m: m, gauge_rollup, counter_rollup):
+            mk(parse_batch(warm)["metrics"]).write.format("noop").mode("overwrite").save()
+
+        t0 = time.perf_counter()
+        for sink in range(3):
+            metrics = parse_batch(spark.read.text(tmp))["metrics"]
+            if sink == 0:
+                out = metrics  # detail path
+            elif sink == 1:
+                out = gauge_rollup(metrics)
+            else:
+                out = counter_rollup(metrics)
+            out.write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        rows = n_lines * per_line
+        return {
+            "metrics_rows": rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": round(rows / wall),
+            "baseline_agent_rows_per_sec_per_host": 1000,
+            "hosts": 50,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -126,11 +126,19 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    return ev.select(
+    # parse the JSON twice, not three times: k_int casts the already-
+    # extracted k_str column (materialized projection) instead of
+    # re-running get_json_object on the raw string
+    base = ev.select(
         "event_id",
         F.get_json_object("props", "$.k").alias("k_str"),
-        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
         F.element_at(F.from_json("props", MapType(StringType(), StringType())), "k").alias("k_map"),
+    )
+    return base.select(
+        "event_id",
+        "k_str",
+        F.col("k_str").cast("bigint").alias("k_int"),
+        "k_map",
     ).orderBy("event_id")
 
 
