@@ -108,3 +108,70 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     _write_events(src, [{"event_id": 2, "ts": "2024-05-01T10:01:00", "event_type": "b", "value": 2.0}])
     run_once()
     assert sorted(seen) == [1, 2]
+
+
+def test_streaming_interval_join_matches_batch(spark, tmp_path):
+    """Live stream-stream interval join (q65's shape): each error joins
+    the same user's clicks from the preceding 30 minutes. Watermarks on
+    both sides bound the join state; the time-range condition lets the
+    engine expire click state once the error-side watermark passes."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("user_id", LongType()),
+        ]
+    )
+    clicks_dir, errors_dir = tmp_path / "clicks", tmp_path / "errors"
+    _write_events(
+        clicks_dir,
+        [
+            {"event_id": 10, "ts": "2024-05-01T10:00:00", "user_id": 1},
+            {"event_id": 11, "ts": "2024-05-01T10:20:00", "user_id": 1},
+            {"event_id": 12, "ts": "2024-05-01T10:00:00", "user_id": 2},
+        ],
+    )
+    _write_events(
+        errors_dir,
+        [
+            {"event_id": 20, "ts": "2024-05-01T10:25:00", "user_id": 1},  # joins 10 and 11
+            {"event_id": 21, "ts": "2024-05-01T11:00:00", "user_id": 2},  # click too old
+        ],
+    )
+
+    def joined(clicks, errors):
+        c, e = clicks.alias("c"), errors.alias("e")
+        cond = (
+            (F.col("e.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("e.ts") - F.expr("INTERVAL 30 MINUTE"))
+            & (F.col("c.ts") < F.col("e.ts"))
+        )
+        return e.join(c, cond, "inner").select(
+            F.col("e.event_id").alias("error_id"), F.col("c.event_id").alias("click_id")
+        )
+
+    stream = joined(
+        spark.readStream.schema(schema).json(str(clicks_dir)).withWatermark("ts", "1 hour"),
+        spark.readStream.schema(schema).json(str(errors_dir)).withWatermark("ts", "1 hour"),
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("interval_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = {
+        (r.error_id, r.click_id)
+        for r in joined(
+            spark.read.schema(schema).json(str(clicks_dir)),
+            spark.read.schema(schema).json(str(errors_dir)),
+        ).collect()
+    }
+    streamed = {
+        (r.error_id, r.click_id) for r in spark.sql("select * from interval_join_out").collect()
+    }
+    assert streamed == batch == {(20, 10), (20, 11)}

