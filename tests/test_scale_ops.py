@@ -1,0 +1,68 @@
+"""Scale maintenance operators: salted skew join and small-file
+compaction (SURVEY §2.4 / §4 — the pieces that only matter at cluster
+scale, verified for semantics here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.skew import salted_join
+from yamon_spark.plans.compaction import compact_table, partition_stats
+
+
+def _tables(spark):
+    # hot key: 90% of probe rows share host-0
+    probe = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, "host-0").otherwise(F.concat(F.lit("host-"), (F.col("id") % 7).cast("string"))).alias("host"),
+        F.col("id").alias("v"),
+    )
+    build = spark.createDataFrame(
+        [(f"host-{i}", f"dc-{i % 3}") for i in range(5)], ["host", "dc"]
+    )
+    return probe, build
+
+
+def test_salted_join_inner_matches_plain(spark):
+    probe, build = _tables(spark)
+    plain = sorted((r.host, r.v, r.dc) for r in probe.join(build, ["host"], "inner").collect())
+    salted = sorted((r.host, r.v, r.dc) for r in salted_join(probe, build, ["host"], "inner", salt=8).collect())
+    assert salted == plain and len(plain) > 0
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    probe, build = _tables(spark)
+    plain = sorted((r.host, r.v, r.dc) for r in probe.join(build, ["host"], "left").collect())
+    salted = sorted((r.host, r.v, r.dc) for r in salted_join(probe, build, ["host"], "left", salt=8).collect())
+    assert salted == plain
+    # unmatched probe rows (host-5/6 not in build) survived exactly once
+    assert any(dc is None for _, _, dc in salted)
+
+
+def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
+    table_dir = tmp_path / "metrics"
+    df = spark.range(2000).select(
+        F.when(F.col("id") % 2 == 0, "2024-05-01").otherwise("2024-05-02").alias("date"),
+        F.concat(F.lit("m."), (F.col("id") % 5).cast("string")).alias("name"),
+        F.col("id").cast("double").alias("value"),
+    )
+    # simulate micro-batch fragmentation: many tiny files per partition
+    df.repartition(25).write.partitionBy("date").mode("overwrite").parquet(str(table_dir))
+    before = partition_stats(str(table_dir))
+    assert all(n > 5 for n, _ in before.values())
+
+    done = compact_table(spark, str(table_dir), target_file_bytes=1 << 30, sort_keys=["name"])
+    after = partition_stats(str(table_dir))
+    assert set(done) == set(before)
+    assert all(n == 1 for n, _ in after.values())
+
+    back = spark.read.parquet(str(table_dir))
+    assert back.count() == 2000
+    assert back.agg(F.sum("value")).first()[0] == sum(range(2000))
+
+
+def test_compact_table_skips_already_compact(spark, tmp_path):
+    table_dir = tmp_path / "logs"
+    spark.range(10).select(F.lit("2024-05-01").alias("date"), F.col("id")).coalesce(1).write.partitionBy(
+        "date"
+    ).mode("overwrite").parquet(str(table_dir))
+    assert compact_table(spark, str(table_dir)) == {}

@@ -1,0 +1,74 @@
+"""Small-file compaction for date-partitioned parquet detail tables
+(SURVEY §2.4 storage maintenance; the OPTIMIZE/merge analogue of
+MergeTree background merges, clickhouse storage the reference relies on
+via res/schema.sql partitioning).
+
+Streaming micro-batches write one file per trigger per partition; a
+5-second trigger produces ~17k files/day/partition — death by file
+listing at 100 TB. Compaction rewrites each date partition to
+``ceil(bytes / target_file_bytes)`` files, restoring the table's sort
+order (ORDER BY keys) inside each file so min/max pruning and tag bloom
+filters stay effective.
+
+The rewrite is atomic per partition: write to a sibling tmp dir, then
+directory-swap. Readers see either the old or the new file set, never a
+mix; a crash leaves the original intact (tmp dirs are ignored by the
+``date=`` glob and cleaned on the next run).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+_TMP_SUFFIX = ".compact-tmp"
+
+
+def partition_stats(table_path: str) -> dict[str, tuple[int, int]]:
+    """{partition_dir_name: (n_files, total_bytes)} for date= partitions."""
+    out: dict[str, tuple[int, int]] = {}
+    root = Path(table_path)
+    if not root.is_dir():
+        return out
+    for part in sorted(root.iterdir()):
+        if not part.is_dir() or not part.name.startswith("date="):
+            # stray tmp dir from a crashed run: remove
+            if part.is_dir() and part.name.endswith(_TMP_SUFFIX):
+                shutil.rmtree(part, ignore_errors=True)
+            continue
+        files = [f for f in part.rglob("*.parquet") if f.is_file()]
+        out[part.name] = (len(files), sum(f.stat().st_size for f in files))
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_keys: list[str] | None = None,
+    min_files: int = 2,
+) -> dict[str, int]:
+    """Compact every date partition with more than ``min_files`` files
+    down to ``ceil(bytes/target)`` files. Returns {partition: n_files_after}.
+    """
+    done: dict[str, int] = {}
+    for part_name, (n_files, total_bytes) in partition_stats(table_path).items():
+        n_target = max(1, math.ceil(total_bytes / target_file_bytes))
+        if n_files <= max(min_files, n_target):
+            continue
+        part_dir = Path(table_path) / part_name
+        tmp_dir = Path(table_path) / (part_name + _TMP_SUFFIX)
+        df = spark.read.parquet(str(part_dir)).repartition(n_target)
+        if sort_keys:
+            df = df.sortWithinPartitions(*sort_keys)
+        df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp_dir))
+        # atomic-ish swap: old dir out of the way, tmp in, old dropped
+        old_dir = Path(table_path) / (part_name + ".compact-old")
+        part_dir.rename(old_dir)
+        tmp_dir.rename(part_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        done[part_name] = n_target
+    return done
