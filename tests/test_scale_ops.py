@@ -66,3 +66,29 @@ def test_compact_table_skips_already_compact(spark, tmp_path):
         "date"
     ).mode("overwrite").parquet(str(table_dir))
     assert compact_table(spark, str(table_dir)) == {}
+
+
+def test_engine_maintain_drops_and_compacts(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import functions as FF
+
+    from yamon_spark.engine import Engine
+
+    data_dir = tmp_path / "data"
+    df = spark.range(600).select(
+        FF.when(FF.col("id") % 2 == 0, "2024-01-01").otherwise("2024-05-01").alias("date"),
+        FF.lit("m.x").alias("name"),
+        FF.lit("h1").alias("host"),
+        FF.timestamp_seconds(FF.lit(1714550400) + FF.col("id")).alias("when"),
+        FF.col("id").cast("double").alias("value"),
+    )
+    df.repartition(10).write.partitionBy("date").mode("overwrite").parquet(str(data_dir / "metrics"))
+
+    eng = Engine(spark, str(data_dir))
+    out = eng.maintain(today=dt.date(2024, 5, 10), target_file_bytes=1 << 30)
+    # 2024-01-01 is past the 30-day metrics TTL; 2024-05-01 is kept and compacted
+    assert out["dropped"]["metrics"] == ["date=2024-01-01"]
+    assert out["compacted"]["metrics"] == {"date=2024-05-01": 1}
+    back = spark.read.parquet(str(data_dir / "metrics"))
+    assert back.count() == 300 and back.select("date").distinct().count() == 1

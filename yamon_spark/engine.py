@@ -132,6 +132,36 @@ class Engine:
             "rate", F.when(prev_v.isNull() | (secs <= 0), None).otherwise(d / secs)
         )
 
+    # --- storage maintenance ----------------------------------------------
+
+    def maintain(
+        self,
+        ttl_days: dict[str, int] | None = None,
+        target_file_bytes: int = 128 << 20,
+        today=None,
+    ) -> dict[str, dict]:
+        """One scheduled-maintenance pass over every pipeline table:
+        TTL partition drops (MergeTree ttl_only_drop_parts analogue),
+        then small-file compaction with each table's sort order restored
+        so min/max pruning and tag blooms stay effective."""
+        import os as _os
+
+        from yamon_spark.plans.compaction import compact_table
+        from yamon_spark.plans.retention import apply_retention
+        from yamon_spark.streaming.pipeline import SORT_KEYS
+
+        dropped = apply_retention(self.data_dir, ttl_days=ttl_days, today=today)
+        compacted: dict[str, dict] = {}
+        for t in TABLES:
+            path = _os.path.join(self.data_dir, t)
+            if not _os.path.isdir(path):
+                continue
+            keys = [*SORT_KEYS.get(t, ("name", "host")), "when"]
+            compacted[t] = compact_table(
+                self.spark, path, target_file_bytes=target_file_bytes, sort_keys=keys
+            )
+        return {"dropped": dropped, "compacted": compacted}
+
     def rollup(self, mtype: str = "gauge", bucket_seconds: int = 60) -> DataFrame:
         """Re-aggregate detail metrics at an arbitrary bucket size (the
         ad-hoc version of the 1-min LTS rollups)."""

@@ -253,12 +253,19 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     )
     exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
     hexmap = "0123456789abcdef"
+    # decode each hex nibble ONCE into its own column; the 4 bit
+    # expressions per nibble then share it (16 substring+instr calls per
+    # word -> 4)
+    n_nib = (bits + 3) // 4
+    nibs = [
+        (F.instr(F.lit(hexmap), F.substring("h", k + 1, 1)) - 1).alias(f"nib{k}") for k in range(n_nib)
+    ]
+    decoded = exploded.select("doc_id", *nibs)
     bit_sums = []
     for j in range(bits):
-        nibble = F.instr(F.lit(hexmap), F.substring("h", j // 4 + 1, 1)) - 1
-        bit = F.floor(nibble / (2 ** (3 - j % 4))) % 2
+        bit = F.floor(F.col(f"nib{j // 4}") / (2 ** (3 - j % 4))) % 2
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
-    votes = exploded.groupBy("doc_id").agg(*bit_sums)
+    votes = decoded.groupBy("doc_id").agg(*bit_sums)
     fp = None
     for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)

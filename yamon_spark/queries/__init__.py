@@ -75,6 +75,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         functions_scalar,
         joins,
         pipeline_ops,
+        product_analytics,
         sketches,
         scans,
         streaming_batch,
