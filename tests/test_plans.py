@@ -1,0 +1,60 @@
+"""Physical-plan invariants (SURVEY §4): the plans we'd want at 100 TB,
+asserted at dev SF so regressions surface in CI, not on the cluster.
+
+- No row-at-a-time Python UDFs anywhere (BatchEvalPython): Python in
+  the record path must be Arrow-batched (ArrowEvalPython / mapInArrow /
+  FlatMapGroupsInArrow are fine).
+- No CartesianProduct; BroadcastNestedLoopJoin only where the build
+  side is deliberately tiny (q16's region self-pairs, sim_cosine's
+  single query vector).
+- Selective scans push their predicates into the parquet reader and
+  prune columns (PushedFilters / ReadSchema).
+"""
+
+from __future__ import annotations
+
+import re
+
+from yamon_spark.queries import all_queries
+
+# deliberate small-build-side nested-loop joins
+BNLJ_OK = {"q16_cross_join_pairs", "sim_cosine_topk"}
+
+
+def _plan(spark, sf_dir, name):
+    return all_queries()[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_row_python_no_cartesian(spark, sf_dir):
+    bad: dict[str, list[str]] = {}
+    for name in sorted(all_queries()):
+        plan = _plan(spark, sf_dir, name)
+        flags = []
+        if "BatchEvalPython" in plan:
+            flags.append("row-at-a-time python UDF")
+        if "CartesianProduct" in plan:
+            flags.append("cartesian product")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            flags.append("unexpected nested-loop join")
+        if flags:
+            bad[name] = flags
+    assert not bad, f"plan red flags: {bad}"
+
+
+def test_predicates_reach_parquet_scan(spark, sf_dir):
+    for name, expected in [
+        ("q01_filter_project", "EqualTo(event_type"),
+        ("q02_pushdown_predicates", "IsNotNull(l_shipdate"),
+        ("text_search", "StringContains(text,data"),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        pushed = re.findall(r"PushedFilters: \[([^\n]*)", plan)
+        assert any(expected in p for p in pushed), f"{name}: no pushed filter {expected}"
+
+
+def test_columns_pruned_at_scan(spark, sf_dir):
+    # q02 projects 2 columns from 3 predicates: the scan must not read
+    # the rest of lineitem (e.g. l_extendedprice, l_comment-class cols)
+    plan = _plan(spark, sf_dir, "q02_pushdown_predicates")
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    assert schemas and all("l_extendedprice" not in s for s in schemas)
