@@ -325,3 +325,51 @@ def text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "q69_time_range_window",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                                  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW), 4)
+             AS avg_10m
+    FROM events ORDER BY user_id, event_id
+    """,
+    doc="Time-based window frame: per-series trailing 10-minute average "
+    "(RANGE frame over event time, not row count) — the moving-average "
+    "shape dashboards actually want on irregular series.",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return (
+        ev.select("user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("avg_10m"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
+    "q73_unpivot",
+    """
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val FROM part)
+    ORDER BY p_partkey, metric
+    """,
+    doc="UNPIVOT (wide -> long, the melt every metrics exporter "
+    "performs): native unpivot operator, no join or union re-scan.",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select("p_partkey", F.col("p_size").cast("double").alias("size"),
+                 F.col("p_retailprice").cast("double").alias("retailprice"))
+        .unpivot(["p_partkey"], ["size", "retailprice"], "metric", "val")
+        .orderBy("p_partkey", "metric")
+    )
