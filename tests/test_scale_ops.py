@@ -92,3 +92,34 @@ def test_engine_maintain_drops_and_compacts(spark, tmp_path):
     assert out["compacted"]["metrics"] == {"date=2024-05-01": 1}
     back = spark.read.parquet(str(data_dir / "metrics"))
     assert back.count() == 300 and back.select("date").distinct().count() == 1
+
+
+def test_uniq_rollup_partials_merge_exact(spark):
+    """Sketch partials from two separate micro-batches merge to the same
+    distinct-host count a single pass would give (uniqState/uniqMerge)."""
+    from pyspark.sql import functions as FF
+
+    from yamon_spark.streaming.pipeline import merge_uniq, uniq_rollup
+
+    def batch(host_lo, host_hi):
+        return spark.range(host_lo, host_hi).select(
+            FF.timestamp_seconds(FF.lit(1714550400) + (FF.col("id") % 120)).alias("when"),
+            FF.lit("gauge").alias("type"),
+            FF.concat(FF.lit("host-"), (FF.col("id") % 40).cast("string")).alias("host"),
+            FF.lit("cpu.user").alias("name"),
+            FF.col("id").cast("double").alias("value"),
+        )
+
+    # overlapping host sets across two "micro-batches"
+    partials = uniq_rollup(batch(0, 500), watermark=None).unionByName(
+        uniq_rollup(batch(250, 800), watermark=None)
+    )
+    merged = merge_uniq(partials).collect()
+    assert len(merged) == 1
+    row = merged[0]
+    assert row.name == "cpu.user" and row.n_rows == 1050
+    assert row.uniq_hosts == 40  # HLL exact at this cardinality
+
+    # re-bucketing merge: per-window partials collapse into one bucket
+    by_bucket = merge_uniq(partials, bucket=FF.date_trunc("hour", "when")).collect()
+    assert len(by_bucket) == 1 and by_bucket[0].uniq_hosts == 40

@@ -74,6 +74,38 @@ def counter_rollup(metrics: DataFrame, watermark: str | None = WATERMARK) -> Dat
     return _rollup(metrics, "counter", F.sum("value"), watermark)
 
 
+def uniq_rollup(metrics: DataFrame, watermark: str | None = WATERMARK) -> DataFrame:
+    """uniqState MV: per 1-minute window per metric name, an HLL sketch
+    of distinct hosts (binary Datasketches partial). Partials from
+    different micro-batches / windows MERGE at read time via
+    ``merge_uniq`` — ClickHouse's uniqState→uniqMerge cascade, the only
+    way distinct counts survive pre-aggregation. Works in block mode
+    (per-batch partials append, no streaming state) exactly like the
+    avg/sum rollups."""
+    src = metrics
+    if watermark and src.isStreaming:
+        src = src.withWatermark("when", watermark)
+    return (
+        src.groupBy(F.window("when", "1 minute").alias("w"), "name")
+        .agg(F.hll_sketch_agg("host").alias("hosts_sketch"), F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("w.start").alias("when"), "name", "hosts_sketch", "n_rows")
+    )
+
+
+def merge_uniq(rollup: DataFrame, bucket: Column | None = None) -> DataFrame:
+    """Read-time uniqMerge: union sketch partials (across micro-batches
+    and across windows when re-bucketing) and estimate distinct hosts —
+    never re-reads detail rows."""
+    keys = [bucket.alias("when")] if bucket is not None else []
+    return (
+        rollup.groupBy(*keys, "name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("hosts_sketch")).alias("uniq_hosts"),
+            F.sum("n_rows").alias("n_rows"),
+        )
+    )
+
+
 def _rollup(metrics: DataFrame, mtype: str, agg: Column, watermark: str | None) -> DataFrame:
     src = metrics.where(F.col("type") == mtype)
     if watermark and src.isStreaming:
