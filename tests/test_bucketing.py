@@ -1,0 +1,73 @@
+"""Bucketed co-located joins (SURVEY §4): pre-bucketing both sides of a
+recurring join key removes the shuffle entirely — the physical plan has
+NO Exchange on the bucketed key. This is the 100 TB play for the
+pipeline's standing joins (metrics ⋈ host-dimension, events ⋈ user
+cohorts): pay one bucketed write, then every subsequent join is
+shuffle-free and stays node-local."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def warehouse_tables(spark):
+    # warehouse.dir is a static conf — tables land in the session default
+    # (./spark-warehouse, gitignored) and are dropped on teardown
+    n_buckets = 8
+    facts = spark.range(10000).select(
+        (F.col("id") % 500).alias("user_id"), F.col("id").cast("double").alias("value")
+    )
+    dims = spark.range(500).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("cohort-"), (F.col("id") % 5).cast("string")).alias("cohort")
+    )
+    facts.write.bucketBy(n_buckets, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
+        "b_facts"
+    )
+    dims.write.bucketBy(n_buckets, "user_id").sortBy("user_id").mode("overwrite").saveAsTable("b_dims")
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_facts")
+    spark.sql("DROP TABLE IF EXISTS b_dims")
+
+
+def test_bucketed_join_has_no_shuffle(spark, warehouse_tables):
+    # broadcast would hide the point: force the sort-merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("b_facts")
+            .join(spark.table("b_dims"), "user_id")
+            .groupBy("cohort")
+            .agg(F.sum("value").alias("sv"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        join_part = plan[plan.find("SortMergeJoin") :]
+        # no Exchange below the join: both sides read pre-bucketed
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(user_id" not in join_part
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_join_matches_plain(spark, warehouse_tables):
+    bucketed = sorted(
+        (r.cohort, r.sv)
+        for r in spark.table("b_facts")
+        .join(spark.table("b_dims"), "user_id")
+        .groupBy("cohort")
+        .agg(F.sum("value").alias("sv"))
+        .collect()
+    )
+    facts = spark.range(10000).select(
+        (F.col("id") % 500).alias("user_id"), F.col("id").cast("double").alias("value")
+    )
+    dims = spark.range(500).select(
+        F.col("id").alias("user_id"), F.concat(F.lit("cohort-"), (F.col("id") % 5).cast("string")).alias("cohort")
+    )
+    plain = sorted(
+        (r.cohort, r.sv)
+        for r in facts.join(dims, "user_id").groupBy("cohort").agg(F.sum("value").alias("sv")).collect()
+    )
+    assert bucketed == plain
