@@ -72,6 +72,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         aggregation,
         analytics_ext,
         analytics_ext2,
+        analytics_ext3,
         functions_scalar,
         joins,
         pipeline_ops,

@@ -1,0 +1,92 @@
+"""Third extension batch: lateral explode, bitmap exact-distinct, and
+array zip — rounding out the SQL surface with the remaining
+ClickHouse-isms (ARRAY JOIN, groupBitmap) and array HOFs.
+
+- q74 is ClickHouse ``ARRAY JOIN`` / Hive ``LATERAL VIEW``: unnest an
+  array column with its ordinality, through the SQL front-end.
+- q75 is ``groupBitmap`` (exact distinct counts via roaring-bitmap-style
+  aggregation): Spark's bitmap_construct_agg partials are mergeable the
+  same way HLL sketches are (q66) but EXACT — the right tool when ids
+  are dense ints and exactness matters. Grouped by bitmap bucket so ids
+  beyond one bucket's 32k-bit range still count correctly at any scale.
+- q76 exercises zip_with + aggregate (element-wise combine then fold) —
+  the JVM-side form of every vector kernel in the similarity operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yamon_spark.queries import register, table
+
+
+@register(
+    "q74_lateral_explode",
+    """
+    SELECT vec_id, pos, round(CAST(x AS DOUBLE), 4) AS x FROM (
+      SELECT vec_id, 0 AS pos, embedding[1] AS x FROM embeddings
+      UNION ALL SELECT vec_id, 1, embedding[2] FROM embeddings
+      UNION ALL SELECT vec_id, 2, embedding[3] FROM embeddings)
+    ORDER BY vec_id, pos
+    """,
+    doc="LATERAL VIEW posexplode (ClickHouse ARRAY JOIN): unnest with "
+    "ordinality via the SQL front-end, first 3 positions per vector.",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "embeddings").createOrReplaceTempView("_q74_emb")
+    return spark.sql(
+        """
+        SELECT vec_id, pos, round(CAST(x AS DOUBLE), 4) AS x
+        FROM _q74_emb LATERAL VIEW posexplode(embedding) t AS pos, x
+        WHERE pos < 3
+        ORDER BY vec_id, pos
+        """
+    )
+
+
+@register(
+    "q75_bitmap_distinct",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS uniq_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="groupBitmap semantics: EXACT distinct counts from mergeable "
+    "bitmap partials (bitmap_construct_agg per bucket, counts summed "
+    "across buckets) — matches COUNT(DISTINCT) exactly, unlike HLL.",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_bucket = ev.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bucket")
+    ).agg(F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").alias("n"))
+    return (
+        per_bucket.groupBy("event_type")
+        .agg(F.sum("n").alias("uniq_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q76_zip_with",
+    """
+    SELECT vec_id,
+           round(list_reduce(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[len(embedding) + 1 - i] AS DOUBLE)),
+                 (a, b) -> a + b), 4) AS rdot
+    FROM embeddings ORDER BY vec_id
+    """,
+    doc="zip_with + aggregate: element-wise product of a vector with its "
+    "reverse, folded to a scalar — the array-HOF vector-kernel shape.",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    prods = F.zip_with(
+        "embedding",
+        F.reverse("embedding"),
+        lambda a, b: a.cast("double") * b.cast("double"),
+    )
+    base = e.select("vec_id", prods.alias("p"))
+    rdot = F.round(F.aggregate("p", F.lit(0.0), lambda acc, x: acc + x), 4)
+    return base.select("vec_id", rdot.alias("rdot")).orderBy("vec_id")
