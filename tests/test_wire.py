@@ -136,3 +136,26 @@ def test_parse_prom_text(spark):
     assert r.tags == {"method": "get", "code": "200"}
     assert r.when == dt.datetime(2024, 5, 1, 10, 20)  # explicit ms timestamp
     assert rows["temp"].type == "gauge" and rows["temp"].tags == {}
+
+
+def test_malformed_lines_reject_and_dont_poison(spark):
+    """Garbage landing lines: valid batches still parse, undecodable
+    lines surface in the dead-letter set (reference drop-and-count
+    semantics), and valid-but-empty JSON is accepted as an empty batch."""
+    from yamon_spark.sources.wire import parse_batch, parse_rejects
+
+    lines = spark.createDataFrame(
+        [
+            ('{"m":[{"t":"2024-05-01T10:00:00Z","m":"gauge","h":"h1","n":"cpu","v":1.5}]}',),
+            ("not json at all",),
+            ('{"m": [',),
+            ("{}",),
+            ("",),
+        ],
+        ["value"],
+    )
+    metrics = parse_batch(lines)["metrics"]
+    assert metrics.count() == 1
+    assert metrics.first().name == "cpu"
+    rejects = parse_rejects(lines)
+    assert rejects.count() == 3  # garbage, truncated, empty body — not {}

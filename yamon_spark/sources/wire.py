@@ -305,3 +305,20 @@ def parse_prom_text(lines: DataFrame, col: str = "value") -> DataFrame:
             tags.alias("tags"),
         )
     )
+
+
+def parse_rejects(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Landing lines that fail to decode as JSON at all.
+
+    The reference drops undecodable request bodies at-most-once and
+    counts them (clickhouse_writer.go:124-150, internal_metrics.go:8-23
+    — the ``result="dropped"`` label). Spark 4's PERMISSIVE from_json
+    returns a null-field struct (not NULL) for malformed input, so
+    decode failure is detected with ``try_parse_json`` instead; the
+    surviving rows are the dead-letter set, and their ``count()`` feeds
+    the self-metrics listener. Valid-but-empty JSON (``{}``) is NOT a
+    reject — Go's json.Unmarshal accepts it as an empty batch, and so do
+    the parsers here (explode of a null array emits nothing).
+    """
+    c = F.col(col)
+    return lines.where(c.isNotNull() & F.try_parse_json(c).isNull())
