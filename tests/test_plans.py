@@ -58,3 +58,11 @@ def test_columns_pruned_at_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q02_pushdown_predicates")
     schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
     assert schemas and all("l_extendedprice" not in s for s in schemas)
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    # nation/region dims are far under the broadcast threshold: the join
+    # must be a BroadcastHashJoin, not a shuffled sort-merge
+    plan = _plan(spark, sf_dir, "q10_inner_join_dims")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
