@@ -90,3 +90,55 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = e.select("vec_id", prods.alias("p"))
     rdot = F.round(F.aggregate("p", F.lit(0.0), lambda acc, x: acc + x), 4)
     return base.select("vec_id", rdot.alias("rdot")).orderBy("vec_id")
+
+
+@register(
+    "q77_cube_grouping",
+    """
+    SELECT grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+           o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    doc="CUBE with grouping metadata: all four aggregation levels in one "
+    "pass, grouping() bits distinguishing real NULLs from rollup rows.",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    # grouping() is only legal inside the cube's agg list
+    gid = (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")).alias("gid")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(gid, F.count(F.lit(1)).alias("cnt"))
+        .select("gid", "o_orderstatus", "o_orderpriority", "cnt")
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@register(
+    "q78_median_stats",
+    """
+    SELECT event_type,
+           round(median(value), 4) AS med,
+           round(stddev_samp(value), 4) AS sd,
+           round(var_samp(value), 4) AS vr
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Robust statistics per group: interpolated median (exact), "
+    "sample stddev/variance.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.median("value"), 4).alias("med"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.var_samp("value"), 4).alias("vr"),
+        )
+        .orderBy("event_type")
+    )
