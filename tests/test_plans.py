@@ -66,3 +66,21 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q10_inner_join_dims")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partition_pruning_on_date_partitioned_tables(spark, tmp_path):
+    # pipeline detail tables are date-partitioned; a date predicate must
+    # prune at the partition level (PartitionFilters), not post-scan
+    from pyspark.sql import functions as F
+
+    path = tmp_path / "metrics"
+    spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "2024-05-01").otherwise("2024-05-02").alias("date"),
+        F.col("id").alias("v"),
+    ).write.partitionBy("date").mode("overwrite").parquet(str(path))
+
+    df = spark.read.parquet(str(path)).where(F.col("date") == "2024-05-01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "2024-05-01" in m.group(1)
+    assert df.count() == 50
