@@ -123,3 +123,29 @@ def test_uniq_rollup_partials_merge_exact(spark):
     # re-bucketing merge: per-window partials collapse into one bucket
     by_bucket = merge_uniq(partials, bucket=FF.date_trunc("hour", "when")).collect()
     assert len(by_bucket) == 1 and by_bucket[0].uniq_hosts == 40
+
+
+def test_ivf_build_and_search(spark, tmp_path, sf_dir):
+    """Persisted IVF index: probing every cell reproduces the exact
+    top-k; a 2-cell probe reads only its partitions (pruned at the
+    directory level) and still finds most true neighbors."""
+    from yamon_spark.operators.similarity import cosine_topk, ivf_build, ivf_search
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb, idx, n_cells=8)
+
+    qv = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, 0, 10).collect()]
+
+    # full probe == exact (query vector itself excluded from exact set)
+    full = [v for v in (r.vec_id for r in ivf_search(spark, idx, qv, k=11, n_probe=8).collect()) if v != 0][:10]
+    assert full == exact
+
+    # partial probe: partition-pruned read, decent recall
+    probe = ivf_search(spark, idx, qv, k=11, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan[plan.find("PartitionFilters") :][:200]
+    got = [v for v in (r.vec_id for r in probe.collect()) if v != 0][:10]
+    assert len(set(got) & set(exact)) >= 3

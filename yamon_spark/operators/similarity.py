@@ -169,3 +169,62 @@ def lsh_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    index_path: str,
+    n_cells: int = 16,
+    sample_fraction: float = 1.0,
+    seed: int = 7,
+) -> None:
+    """Build a persisted IVF index: KMeans coarse quantizer fit on a
+    sample, every vector assigned to its nearest centroid, index written
+    partitioned BY cell.
+
+    The 100 TB shape: training touches a sample (KMeans on n_cells*1000
+    rows is plenty), assignment is one map-only pass (centroids
+    broadcast inside the ML transform), and the partitionBy(cell) layout
+    makes every probe a partition-pruned read of ~1/n_cells of the
+    corpus — the same directory-pruning the date layout gives scans.
+    Centroids are stored alongside as parquet for probe routing.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.select(
+        "vec_id", "embedding", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    train = vecs.sample(fraction=sample_fraction, seed=seed) if sample_fraction < 1.0 else vecs
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", predictionCol="cell").fit(train)
+    assigned = model.transform(vecs).select("vec_id", "embedding", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path)
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    cents.write.mode("overwrite").parquet(index_path.rstrip("/") + "_centroids")
+
+
+def ivf_search(
+    spark, index_path: str, query: list[float], k: int = 10, n_probe: int = 1
+) -> DataFrame:
+    """Probe the persisted IVF index: route the query to its n_probe
+    nearest centroids, read ONLY those cell partitions (pruned at the
+    directory level — verify with PartitionFilters in the plan), exact
+    cosine rerank inside the probed cells."""
+    q = F.lit(query).cast("array<double>")
+    cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    dist = _fold_sum(F.zip_with("centroid", q, lambda c, x: (c - x) * (c - x)))
+    probes = [
+        r.cell
+        for r in cents.select("cell", dist.alias("d")).orderBy("d", "cell").limit(n_probe).collect()
+    ]
+    idx = spark.read.parquet(index_path).where(F.col("cell").isin(probes))
+    sim = F.round(cosine_sim(F.col("embedding"), q), 4)
+    return (
+        idx.select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
