@@ -157,3 +157,31 @@ def test_retention_partition_drop(spark, tmp_path):
     assert dropped["metrics"] == ["date=2024-01-01"]
     left = spark.read.parquet(str(out / "metrics"))
     assert [r.value for r in left.collect()] == [2.0]
+
+
+def test_pipeline_uniq_mv_partials_merge(spark, tmp_path, cfg):
+    """uniq_mv sink: two micro-batch runs append independent sketch
+    partials; merge_uniq over the stored table gives the exact distinct
+    host count across both batches."""
+    cfg.uniq_mv = True
+
+    def m(ts, host, name):
+        return {"t": ts, "m": "gauge", "h": host, "n": name, "v": 1.0, "g": {}}
+
+    # hostname stamping (T1) would overwrite h — use distinct names too
+    _write_landing(
+        tmp_path / "landing",
+        [_batch(metrics=[m("2024-05-01T10:00:05Z", "a", "cpu"), m("2024-05-01T10:00:15Z", "b", "cpu")])],
+    )
+    P.run_pipeline_once(spark, cfg)
+    _write_landing(
+        tmp_path / "landing",
+        [_batch(metrics=[m("2024-05-01T10:00:25Z", "c", "cpu"), m("2024-05-01T10:00:35Z", "a", "mem")])],
+    )
+    P.run_pipeline_once(spark, cfg)
+
+    stored = spark.read.parquet(str(tmp_path / "out" / "metrics_uniq_lts"))
+    assert stored.count() >= 2  # at least one partial per run
+    merged = {r.name: r.uniq_hosts for r in P.merge_uniq(stored).collect()}
+    # T1 overwrites host with the agent hostname, so distinct hosts = 1 per name
+    assert merged == {"cpu": 1, "mem": 1}

@@ -173,6 +173,11 @@ class PipelineConfig:
     #   window — the semantic upgrade when downstream wants closed
     #   windows; needs a watermark and keeps bounded state.
     rollup_mode: str = "block"
+    # optional uniqState MV: HLL sketch partials of distinct hosts per
+    # (window, name) appended per micro-batch to metrics_uniq_lts;
+    # merge at read time with merge_uniq. Off by default (new sink =
+    # new checkpoint; existing deployments opt in).
+    uniq_mv: bool = False
 
 
 def _detail_writer(df: DataFrame, table: str, cfg: PipelineConfig) -> StreamingQuery:
@@ -262,8 +267,33 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig) -> list[StreamingQu
             else:
                 queries.append(_rollup_writer_exact(gauge_rollup(df, cfg.watermark), "metrics_gauge_lts", cfg))
                 queries.append(_rollup_writer_exact(counter_rollup(df, cfg.watermark), "metrics_counter_lts", cfg))
+            if cfg.uniq_mv:
+                queries.append(_uniq_writer_block(df, "metrics_uniq_lts", cfg))
         queries.append(_detail_writer(df, table, cfg))
     return queries
+
+
+def _uniq_writer_block(metrics: DataFrame, table: str, cfg: PipelineConfig) -> StreamingQuery:
+    """Per-block uniqState MV: each micro-batch appends its own HLL
+    sketch partials (same stateless cascade as the avg/sum block
+    rollups); merge_uniq combines partials at read time."""
+    path = os.path.join(cfg.out_dir, table)
+
+    def write_epoch(batch: DataFrame, _epoch: int) -> None:
+        (
+            uniq_rollup(batch, watermark=None)
+            .withColumn("date", F.to_date("when"))
+            .write.mode("append")
+            .partitionBy("date")
+            .parquet(path)
+        )
+
+    return (
+        metrics.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, table))
+        .trigger(**cfg.trigger)
+        .start()
+    )
 
 
 def run_pipeline_once(spark: SparkSession, cfg: PipelineConfig) -> None:
