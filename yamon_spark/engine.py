@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from yamon_spark.plans.layout import tag_predicate
 from yamon_spark.streaming.pipeline import canon_tags
 
-TABLES = ("metrics", "logs", "events", "metrics_gauge_lts", "metrics_counter_lts")
+TABLES = ("metrics", "logs", "events", "metrics_gauge_lts", "metrics_counter_lts", "metrics_uniq_lts")
 
 
 def time_bucket(col: Column | str, seconds: int) -> Column:

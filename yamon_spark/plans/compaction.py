@@ -62,8 +62,11 @@ def compact_table(
         part_dir = Path(table_path) / part_name
         tmp_dir = Path(table_path) / (part_name + _TMP_SUFFIX)
         df = spark.read.parquet(str(part_dir)).repartition(n_target)
-        if sort_keys:
-            df = df.sortWithinPartitions(*sort_keys)
+        # tables differ in dimension columns (e.g. the uniq MV has no
+        # host); sort by whichever of the requested keys exist
+        keys = [k for k in (sort_keys or []) if k in df.columns]
+        if keys:
+            df = df.sortWithinPartitions(*keys)
         df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp_dir))
         # atomic-ish swap: old dir out of the way, tmp in, old dropped
         old_dir = Path(table_path) / (part_name + ".compact-old")

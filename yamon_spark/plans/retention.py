@@ -21,6 +21,7 @@ DEFAULT_TTLS = {
     "events": 30,
     "metrics_gauge_lts": 365,
     "metrics_counter_lts": 365,
+    "metrics_uniq_lts": 365,
 }
 
 _PART_RE = re.compile(r"^date=(\d{4}-\d{2}-\d{2})$")
