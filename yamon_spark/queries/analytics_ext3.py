@@ -142,3 +142,34 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q79_fuzzy_match",
+    """
+    WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+    SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY pa, pb
+    """,
+    doc="Fuzzy near-dup pairs by edit distance with first-token blocking "
+    "— the O(n²) pair space never materializes beyond each block "
+    "(same blocking discipline as the embedding near-dup operator); "
+    "levenshtein is identical insert/delete/substitute cost-1 in both "
+    "engines.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk"))
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .select(F.col("a.p_partkey").alias("pa"), F.col("b.p_partkey").alias("pb"), dist.alias("dist"))
+        .where(F.col("dist") <= 3)
+        .orderBy("pa", "pb")
+    )
