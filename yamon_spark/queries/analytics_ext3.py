@@ -147,29 +147,44 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q79_fuzzy_match",
     """
-    WITH p AS (SELECT p_partkey, p_name, split_part(p_name, ' ', 1) AS blk FROM part)
+    WITH p AS (SELECT p_partkey, p_name,
+                      split_part(p_name, ' ', 1) || '|' || split_part(p_name, ' ', 2) AS blk
+               FROM part WHERE p_partkey % 7 = 0)
     SELECT a.p_partkey AS pa, b.p_partkey AS pb,
            levenshtein(a.p_name, b.p_name) AS dist
-    FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+    FROM p a JOIN p b
+      ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     ORDER BY pa, pb
     """,
-    doc="Fuzzy near-dup pairs by edit distance with first-token blocking "
-    "— the O(n²) pair space never materializes beyond each block "
-    "(same blocking discipline as the embedding near-dup operator); "
-    "levenshtein is identical insert/delete/substitute cost-1 in both "
-    "engines.",
+    doc="Fuzzy near-dup pairs by edit distance with two-token blocking — "
+    "the O(n²) pair space never materializes beyond each block (same "
+    "blocking discipline as the embedding near-dup operator). Length "
+    "difference > threshold implies distance > threshold, so the cheap "
+    "length prefilter runs inside the join; Spark evaluates the "
+    "threshold-limited levenshtein (banded DP, early exit). Declared "
+    "over a deterministic 1-in-7 slice: this corpus's names form "
+    "near-identical families (every block candidate matches), so the "
+    "full pair listing is O(big) by construction, not by plan.",
 )
 def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = F.split("p_name", " ")
     p = (
         table(spark, sf_dir, "part")
-        .select("p_partkey", "p_name", F.split("p_name", " ").getItem(0).alias("blk"))
+        .where(F.col("p_partkey") % 7 == 0)
+        .select("p_partkey", "p_name", F.concat_ws("|", w.getItem(0), w.getItem(1)).alias("blk"))
     )
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
+    cond = (
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3)
+    )
     return (
-        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        a.join(b, cond)
         .select(F.col("a.p_partkey").alias("pa"), F.col("b.p_partkey").alias("pb"), dist.alias("dist"))
-        .where(F.col("dist") <= 3)
+        .where((F.col("dist") >= 0) & (F.col("dist") <= 3))
         .orderBy("pa", "pb")
     )
