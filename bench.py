@@ -43,22 +43,28 @@ def main() -> None:
         t0 = time.perf_counter()
         df = qs[name].build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 3)
     ingest = ingest_bench(spark)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest": ingest,
-            }
-        )
-    )
+    result = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest": ingest,
+    }
+    # Full result lands in bench_out.json; the stdout contract line must fit
+    # a 2000-char tail capture (round 1's line was front-truncated and
+    # unparseable), so it is compact-encoded with qNN_* keys shortened to
+    # qNN (bijective: every registered qNN prefix is unique) and the ingest
+    # block reduced to its headline rate.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    short = {(n.split("_", 1)[0] if n[0] == "q" and n[1:2].isdigit() else n): t for n, t in timings.items()}
+    line = dict(result, queries=short, ingest={"rows_per_sec": ingest["rows_per_sec"], "hosts": ingest["hosts"]})
+    print(json.dumps(line, separators=(",", ":")))
 
 
 def ingest_bench(spark, n_lines: int = 20000, per_line: int = 100) -> dict:

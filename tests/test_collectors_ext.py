@@ -79,6 +79,34 @@ def test_parse_nvidia_smi(spark):
     assert by["gpu.nvidia.1.utilization"].value == 12.0
 
 
+def test_parse_rocm_smi(spark):
+    doc = (
+        '{"card0": {"GUID": "34756", "Card series": "Radeon PRO W6800",'
+        ' "Temperature (Sensor edge) (C)": "41.0",'
+        ' "VRAM Total Used Memory (B)": "2048274432",'
+        ' "VRAM Total Memory (B)": "34342961152",'
+        ' "GPU use (%)": "12",'
+        ' "Current Socket Graphics Package Power (W)": "37.0"},'
+        ' "card1": {"GUID": "9931", "Card series": "Radeon PRO W6800",'
+        ' "Temperature (Sensor edge) (C)": "N/A",'
+        ' "VRAM Total Used Memory (B)": "4096",'
+        ' "VRAM Total Memory (B)": "34342961152",'
+        ' "GPU use (%)": "0"}}'
+    )
+    rows = X.parse_rocm_smi(_lines(spark, doc)).collect()
+    by = {r.name: r for r in rows}
+    assert by["gpu.amd.card0.temperature"].value == 41.0
+    assert by["gpu.amd.card0.memory.used"].value == 2048274432.0
+    assert by["gpu.amd.card0.utilization"].value == 12.0
+    assert by["gpu.amd.card0.powerdraw"].value == 37.0
+    assert by["gpu.amd.card0.powerdraw"].tags == {"guid": "34756", "device": "Radeon PRO W6800"}
+    # per-field skip: N/A temperature and the absent power key land nothing
+    assert "gpu.amd.card1.temperature" not in by
+    assert "gpu.amd.card1.powerdraw" not in by
+    assert by["gpu.amd.card1.memory.used"].value == 4096.0
+    assert all(r.type == "gauge" for r in rows)
+
+
 _KSTAT_HDR = "13 1 0x01 92 24704 8577919736 73922490464\nname                            type data\n"
 
 

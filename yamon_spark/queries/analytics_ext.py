@@ -107,7 +107,7 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id,
            round((value - lag(value)  OVER w)
                  / (nullif(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) / 1000000.0),
-                 4) AS rate
+                 4) + 0.0 AS rate
     FROM events WHERE event_type = 'click'
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ORDER BY user_id, event_id
@@ -122,7 +122,10 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.col("value") - F.lag("value").over(w)
     dt = F.nullif(us - F.lag(us).over(w), F.lit(0)) / F.lit(1000000.0)
     return (
-        ev.select("user_id", "event_id", F.round(dv / dt, 4).alias("rate"))
+        # "+ 0.0" collapses IEEE signed zero (-0.0 + 0.0 = +0.0) on both
+        # sides: an unchanged counter yields -0.0 in Spark vs +0.0 in some
+        # engines, which breaks byte-level value hashing despite equality.
+        ev.select("user_id", "event_id", (F.round(dv / dt, 4) + F.lit(0.0)).alias("rate"))
         .orderBy("user_id", "event_id")
     )
 

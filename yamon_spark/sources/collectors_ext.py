@@ -113,8 +113,8 @@ def parse_apt(upgradable: DataFrame, installed: DataFrame, col: str = "value") -
 
 
 # ---------------------------------------------------------------------------
-# S15 gpu (NVIDIA): nvidia-smi CSV -> 5 gauges per GPU
-# (collector/gpu.go:30-112); AMD's rocm-smi JSON follows the sensors shape
+# S15 gpu: nvidia-smi CSV (collector/gpu.go:30-112) and rocm-smi JSON
+# (collector/gpu.go:114-198) -> 5 gauges per GPU
 # ---------------------------------------------------------------------------
 
 _NVIDIA_FIELDS = (
@@ -151,6 +151,52 @@ def parse_nvidia_smi(lines: DataFrame, col: str = "value") -> DataFrame:
             "gauge",
             F.col("kv.v"),
             F.create_map(F.lit("device"), F.col("device")),
+        )
+    )
+
+
+# rocm-smi --json emits one object keyed by card id; every field value is a
+# string (gpu.go's rocmSmiJson struct, :19-28)
+_ROCM_SCHEMA = MapType(StringType(), MapType(StringType(), StringType()))
+
+_ROCM_FIELDS = (
+    ("temperature", "Temperature (Sensor edge) (C)"),
+    ("memory.used", "VRAM Total Used Memory (B)"),
+    ("memory.total", "VRAM Total Memory (B)"),
+    ("utilization", "GPU use (%)"),
+    ("powerdraw", "Current Socket Graphics Package Power (W)"),
+)
+
+
+def parse_rocm_smi(lines: DataFrame, col: str = "value") -> DataFrame:
+    """One ``rocm-smi --showid --showtemp --showuse --showpower
+    --showproductname --showmeminfo vram --json`` document per row ->
+    gauges ``gpu.amd.<cardId>.<field>`` tagged {guid, device}
+    (collector/gpu.go:114-198). Unparseable fields are skipped per-field,
+    like the NVIDIA path; missing tags land as empty strings (Go's zero
+    value for an absent JSON key)."""
+    cards = lines.select(F.explode(F.from_json(F.col(col), _ROCM_SCHEMA)).alias("card", "f"))
+    out = cards.select(
+        "card",
+        F.coalesce(F.col("f")["GUID"], F.lit("")).alias("guid"),
+        F.coalesce(F.col("f")["Card series"], F.lit("")).alias("device"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(name).alias("n"), F.col("f")[key].try_cast("double").alias("v"))
+                    for name, key in _ROCM_FIELDS
+                ]
+            )
+        ).alias("kv"),
+    ).where(F.col("kv.v").isNotNull())
+    return out.select(
+        *_metric(
+            F.concat(F.lit("gpu.amd."), F.col("card"), F.lit("."), F.col("kv.n")),
+            "gauge",
+            F.col("kv.v"),
+            F.create_map(
+                F.lit("guid"), F.col("guid"), F.lit("device"), F.col("device")
+            ),
         )
     )
 
