@@ -52,6 +52,49 @@ def test_extract_features(spark, media):
     assert rows == again
 
 
-def test_real_codec_gates(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|PIL|pyav|model"):
+def test_real_codec_gates_without_pillow(spark, media):
+    """Sans Pillow the real path must fail loudly, naming the dependency."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; gate does not fire")
+    with pytest.raises(Exception, match="Pillow|decode_stub"):
         M.resize_media(media, decode_stub=False).collect()
+
+
+@pytest.fixture(scope="module")
+def png_media(spark):
+    """Real PNG payloads (auto-skips when Pillow is absent)."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    rows = []
+    for doc_id, (w, h) in ((1, (8, 6)), (2, (16, 16))):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (doc_id * 10, 0, 0)).save(buf, format="PNG")
+        rows.append((doc_id, buf.getvalue()))
+    return spark.createDataFrame(rows, "doc_id bigint, payload binary")
+
+
+def test_real_decode_media(spark, png_media):
+    rows = {r.doc_id: r for r in M.decode_media(png_media, decode_stub=False).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].n_frames) == (8, 6, 1)
+    assert (rows[2].width, rows[2].height) == (16, 16)
+
+
+def test_real_resize_roundtrip(spark, png_media):
+    from PIL import Image
+    import io
+
+    rows = M.resize_media(png_media, 4, 4, decode_stub=False).collect()
+    for r in rows:
+        with Image.open(io.BytesIO(bytes(r.payload))) as img:
+            assert img.size == (4, 4)
+
+
+def test_real_frames_and_features(spark, png_media):
+    frames = M.sample_frames(png_media, every_n=1, decode_stub=False).collect()
+    assert sorted(r.doc_id for r in frames) == [1, 2]  # single-frame PNGs
+    feats = {r.doc_id: r.feature for r in M.extract_features(png_media, dim=4, decode_stub=False).collect()}
+    assert all(len(v) == 4 for v in feats.values())
+    assert all(0.0 <= x <= 1.0 for v in feats.values() for x in v)

@@ -68,6 +68,31 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_rollup_single_exchange(spark):
+    """The streaming rollup's plan must shuffle exactly once — the
+    groupBy on (window, host, name, tags). A second exchange would mean
+    an accidental repartition riding along, which at 100 TB doubles the
+    pipeline's only shuffle."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.streaming.pipeline import counter_rollup, gauge_rollup
+
+    metrics = spark.range(1000).select(
+        F.timestamp_seconds(F.lit(1714550400) + (F.col("id") % 600)).alias("when"),
+        F.when(F.col("id") % 2 == 0, "gauge").otherwise("counter").alias("type"),
+        F.concat(F.lit("h"), (F.col("id") % 5).cast("string")).alias("host"),
+        F.lit("cpu").alias("name"),
+        F.col("id").cast("double").alias("value"),
+        F.create_map(F.lit("dc"), F.lit("eu")).alias("tags"),
+    )
+    for mk in (gauge_rollup, counter_rollup):
+        plan = mk(metrics, watermark=None)._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange ")
+        assert n_exchanges == 1, f"{mk.__name__}: expected 1 shuffle, plan has {n_exchanges}"
+        # and the one shuffle is preceded by a map-side partial aggregate
+        assert "partial_" in plan
+
+
 def test_partition_pruning_on_date_partitioned_tables(spark, tmp_path):
     # pipeline detail tables are date-partitioned; a date predicate must
     # prune at the partition level (PartitionFilters), not post-scan

@@ -94,6 +94,49 @@ def test_engine_maintain_drops_and_compacts(spark, tmp_path):
     assert back.count() == 300 and back.select("date").distinct().count() == 1
 
 
+def _docs(spark):
+    """Tiny corpus with guaranteed near-dups for LSH candidate tests."""
+    rows = []
+    for i in range(30):
+        base = f"the quick brown fox {i % 5} jumps over the lazy dog number {i % 5} again and again"
+        rows.append((i, base))
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_lsh_shuffle_fallback_matches_broadcast(spark):
+    """Above the candidate-size threshold the verification joins drop the
+    broadcast hint; results must be identical either way."""
+    from yamon_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark)
+    via_broadcast = [
+        (r.doc_a, r.doc_b, r.jaccard) for r in minhash_lsh_pairs(docs, threshold=0.3).collect()
+    ]
+    via_shuffle = [
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.3, max_broadcast_candidates=0).collect()
+    ]
+    assert via_shuffle == via_broadcast and len(via_broadcast) > 0
+
+
+def test_dedup_repartition_width_conf(spark):
+    """Pre-explode spread width comes from conf, not defaultParallelism:
+    pinned when yamon.dedup.repartitionWidth is set, AQE/shuffle.partitions
+    sized otherwise."""
+    from yamon_spark.operators.dedup import shingle_table
+
+    docs = _docs(spark)
+    spark.conf.set("yamon.dedup.repartitionWidth", "7")
+    try:
+        assert shingle_table(docs).rdd.getNumPartitions() == 7
+    finally:
+        spark.conf.unset("yamon.dedup.repartitionWidth")
+    # unset: no fixed-width exchange pinned to the driver's core count;
+    # plan carries a keyed repartition that AQE is free to resize
+    plan = shingle_table(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "doc_id" in plan
+
+
 def test_uniq_rollup_partials_merge_exact(spark):
     """Sketch partials from two separate micro-batches merge to the same
     distinct-host count a single pass would give (uniqState/uniqMerge)."""

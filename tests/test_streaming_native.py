@@ -110,6 +110,91 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert sorted(seen) == [1, 2]
 
 
+def test_streaming_watermark_parity_with_q63_emulation(spark, tmp_path):
+    """FIXTURES.md contract behind q63: the batch emulation's watermark
+    rule (wm for batch k = max ts of batches < k, minus 10 min; rows
+    older than wm at arrival are dropped) must equal what the LIVE
+    engine does. Each replay step is its own availableNow run over a
+    shared checkpoint — the reference's insert-block/cursor shape (B4),
+    and the mode where Spark applies the late filter against the
+    commit-log watermark (within one multi-micro-batch run the filter
+    keeps the run-start watermark; verified empirically on 4.1). Diff
+    on the shared slice: windows the append-mode run has closed.
+
+    Late rows are placed outside the watermark's own minute, where
+    Spark's actual drop rule (window END <= wm) and the emulation's
+    (ts < wm) coincide; inside that one-minute sliver the emulation is
+    stricter by design (FIXTURES.md documents the divergence)."""
+    src = tmp_path / "replay"
+    batches = [
+        # b0: on-time rows; advances watermark to 10:02:30 - 10 min
+        [
+            {"event_id": 1, "ts": "2024-05-01T10:00:10", "event_type": "a", "value": 1.0},
+            {"event_id": 2, "ts": "2024-05-01T10:01:20", "event_type": "a", "value": 2.0},
+            {"event_id": 3, "ts": "2024-05-01T10:02:30", "event_type": "b", "value": 3.0},
+        ],
+        # b1: 09:50 is beyond the watermark (09:52:30) -> DROPPED;
+        # 09:55 is late but within the watermark -> kept
+        [
+            {"event_id": 4, "ts": "2024-05-01T09:50:00", "event_type": "a", "value": 100.0},
+            {"event_id": 5, "ts": "2024-05-01T09:55:00", "event_type": "a", "value": 5.0},
+            {"event_id": 6, "ts": "2024-05-01T10:03:00", "event_type": "b", "value": 6.0},
+        ],
+        # b2: advances the watermark to 10:10:00, closing every earlier window
+        [
+            {"event_id": 7, "ts": "2024-05-01T10:20:00", "event_type": "a", "value": 7.0},
+        ],
+    ]
+
+    live_rows: list = []
+
+    def replay_step() -> None:
+        q = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .json(str(src))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 minute").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+            .select(F.col("win.start").alias("w"), "event_type", "n", "sum_value")
+            .writeStream.foreachBatch(lambda b, _e: live_rows.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for rows in batches:
+        _write_events(src, rows)
+        replay_step()
+    live = {(r.w, r.event_type): (r.n, r.sum_value) for r in live_rows}
+
+    # q63-style emulation over the same batches, in plain python: per-batch
+    # watermark = max ts of PRIOR batches - 10 min; survivors aggregate
+    wm, emu = None, {}
+    max_seen = None
+    for rows in batches:
+        for r in rows:
+            ts = dt.datetime.fromisoformat(r["ts"])
+            if wm is None or ts >= wm:
+                w = ts.replace(second=0)
+                key = (w, r["event_type"])
+                n, s = emu.get(key, (0, 0.0))
+                emu[key] = (n + 1, s + r["value"])
+        batch_max = max(dt.datetime.fromisoformat(r["ts"]) for r in rows)
+        max_seen = batch_max if max_seen is None or batch_max > max_seen else max_seen
+        wm = max_seen - dt.timedelta(minutes=10)
+
+    # shared slice: windows the live append-mode run has closed
+    closed = {k: v for k, v in emu.items() if k[0] + dt.timedelta(minutes=1) <= wm}
+    assert live == closed
+    # the beyond-watermark row (event_id 4) was dropped by BOTH paths
+    assert (dt.datetime(2024, 5, 1, 9, 50), "a") not in live
+    assert all(v[1] < 100.0 for v in live.values())
+    # and the within-watermark late row (event_id 5) was kept by both
+    assert live[(dt.datetime(2024, 5, 1, 9, 55), "a")] == (1, 5.0)
+
+
 def test_streaming_interval_join_matches_batch(spark, tmp_path):
     """Live stream-stream interval join (q65's shape): each error joins
     the same user's clicks from the preceding 30 minutes. Watermarks on

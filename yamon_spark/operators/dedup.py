@@ -32,6 +32,22 @@ from pyspark.sql import functions as F
 from yamon_spark.operators.text import words_col
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Hash-repartition on ``cols`` before a fan-out stage, so a small
+    input file count never serializes the downstream explode compute.
+
+    Width: ``yamon.dedup.repartitionWidth`` conf when set (cluster
+    operators pinning a known-good width), otherwise no explicit width —
+    spark.sql.shuffle.partitions sizes it and AQE re-coalesces at
+    runtime. A hard-coded defaultParallelism would be wrong on a real
+    cluster (driver cores != cluster width)."""
+    spark = df.sparkSession
+    width = spark.conf.get("yamon.dedup.repartitionWidth", None)
+    if width:
+        return df.repartition(int(width), *cols)
+    return df.repartition(*cols)
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact dedup by content digest; survivor = min(doc_id) per digest."""
     return (
@@ -67,8 +83,7 @@ def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
       projection) made Catalyst evaluate the interpreted
       array_distinct∘transform twice per row — measured 4.5x slower.
     """
-    spark = docs.sparkSession
-    base = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
     words = base.select("doc_id", words_col(F.col("text")).alias("w"))
     idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
     arr = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram))))
@@ -175,6 +190,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     band_size: int = 4,
     threshold: float = 0.5,
+    max_broadcast_candidates: int = 2_000_000,
 ) -> DataFrame:
     """MinHash+LSH candidate generation with exact-Jaccard verification.
 
@@ -221,17 +237,29 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # exact-Jaccard verification restricted to candidates: filter the RAW
-    # docs to the candidate set (broadcast — candidates are tiny relative
-    # to the corpus) BEFORE shingling, so the corpus is tokenized once
-    # (for signatures), not twice; then expand pair counts inside that
-    # slice only and keep LSH-candidate pairs
+    # docs to the candidate set BEFORE shingling, so the corpus is
+    # tokenized once (for signatures), not twice; then expand pair counts
+    # inside that slice only and keep LSH-candidate pairs.
+    #
+    # Broadcasting the candidate set is correct only while candidates are
+    # far smaller than the corpus (sane banding keeps them so); with
+    # degenerate banding or near-identical corpora the candidate set can
+    # approach O(corpus), where a broadcast OOMs every executor. The set
+    # is materialized once (persist + count — one scalar job, and the
+    # persisted pairs feed both verification joins, so the signature
+    # pipeline never re-runs) and the joins fall back to shuffle hash
+    # joins above ``max_broadcast_candidates`` pairs. The cache stays
+    # pinned for the returned plan's lifetime; Spark evicts it LRU.
+    cand = cand.persist()
+    small = cand.count() <= max_broadcast_candidates
+    hint = F.broadcast if small else (lambda df: df)
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = shingle_table(docs.join(F.broadcast(cand_docs), "doc_id"), ngram)
-    inter = _pair_counts(sh_c).join(F.broadcast(cand), ["doc_a", "doc_b"])
+    sh_c = shingle_table(docs.join(hint(cand_docs), "doc_id"), ngram)
+    inter = _pair_counts(sh_c).join(hint(cand), ["doc_a", "doc_b"])
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
@@ -248,9 +276,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     Arithmetic-only hex decoding keeps the oracle byte-identical.
     """
     w = F.array_distinct(words_col(F.col("text")))
-    base = docs.select("doc_id", "text").repartition(
-        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
     exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
     hexmap = "0123456789abcdef"
     # decode each hex nibble ONCE into its own column; the 4 bit

@@ -3,12 +3,16 @@
 Design for 100 TB multimodal corpora: media lives in `binary` columns (or
 pointers to object storage) beside typed metadata; decode / resize /
 frame-sample run as Arrow-batched `mapInPandas` stages so bytes flow
-Python-side once per batch, never per row. The actual codec calls are
-STUBBED here (no image/audio libs in this container): `decode_stub=True`
-substitutes a deterministic fake decoder so the Spark-side plumbing —
-schema, batch iteration, partitioning — is real and tested;
-`decode_stub=False` raises NotImplementedError where PIL/ffmpeg would be
-invoked.
+Python-side once per batch, never per row.
+
+Codec paths: `decode_stub=True` (default) substitutes a deterministic
+fake decoder so the Spark-side plumbing — schema, batch iteration,
+partitioning — is real and testable in any environment.
+`decode_stub=False` uses Pillow (imported lazily on the executor, so
+only worker environments need it); when Pillow is absent it raises
+NotImplementedError with the dependency named. Video frame iteration
+beyond Pillow's multi-frame formats (GIF/TIFF) would need pyav and
+stays stubbed.
 """
 
 from __future__ import annotations
@@ -19,6 +23,19 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pil_image():
+    """Lazy executor-side Pillow import for the real codec paths."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError as e:  # pragma: no cover - exercised only sans PIL
+        raise NotImplementedError(
+            "real media decoding requires Pillow on the executors; "
+            "install it or run with decode_stub=True"
+        ) from e
 
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sha string, width bigint, height bigint, n_frames bigint"
@@ -48,14 +65,18 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import io
 
+        Image = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError(
-                    "real media decoding requires PIL/pyav; run with decode_stub=True"
-                )
             payloads = pdf["payload"]
-            dims = [_fake_decode(bytes(p)) for p in payloads]
+            if decode_stub:
+                dims = [_fake_decode(bytes(p)) for p in payloads]
+            else:
+                dims = []
+                for p in payloads:
+                    with Image.open(io.BytesIO(bytes(p))) as img:
+                        dims.append((img.width, img.height, getattr(img, "n_frames", 1)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -82,18 +103,26 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224, dec
     """mapInPandas resize stage: payload -> resized payload + dims.
 
     Stub codec: deterministic byte-subsampling to a size proportional to
-    the target area (stands in for PIL's Image.resize; same Spark-side
-    contract: binary in, binary out, no shuffle, Arrow-batched)."""
+    the target area. Real codec: Pillow decode -> Image.resize ->
+    re-encoded PNG bytes. Same Spark-side contract either way: binary
+    in, binary out, no shuffle, Arrow-batched."""
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real resize requires PIL; run with decode_stub=True")
             outs = []
             for p in pdf["payload"]:
                 b = bytes(p)
-                step = max(1, len(b) * 100 // max(1, target_w * target_h // 64))
-                outs.append(b[:: max(1, step // 100)])
+                if decode_stub:
+                    step = max(1, len(b) * 100 // max(1, target_w * target_h // 64))
+                    outs.append(b[:: max(1, step // 100)])
+                else:
+                    with Image.open(io.BytesIO(b)) as img:
+                        buf = io.BytesIO()
+                        img.resize((target_w, target_h)).save(buf, format="PNG")
+                        outs.append(buf.getvalue())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -112,21 +141,33 @@ FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, frame binary"
 def sample_frames(media: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:
     """mapInPandas frame-sampling stage: one output row per sampled frame
     (a UDTF-shaped expansion — batches can grow). Stub codec treats each
-    64-byte block as one 'frame' and keeps every n-th (stands in for
-    pyav keyframe iteration)."""
+    64-byte block as one 'frame' and keeps every n-th. Real codec:
+    Pillow multi-frame iteration (GIF/TIFF seek), each kept frame
+    re-encoded as PNG; general video containers would need pyav."""
 
     def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if decode_stub else _pil_image()
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real frame sampling requires pyav; run with decode_stub=True")
             ids, idxs, frames = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(p)
-                n_frames = max(1, len(b) // 64)
-                for i in range(0, n_frames, every_n):
-                    ids.append(doc_id)
-                    idxs.append(i)
-                    frames.append(b[i * 64 : (i + 1) * 64])
+                if decode_stub:
+                    n_frames = max(1, len(b) // 64)
+                    for i in range(0, n_frames, every_n):
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        frames.append(b[i * 64 : (i + 1) * 64])
+                else:
+                    with Image.open(io.BytesIO(b)) as img:
+                        for i in range(0, getattr(img, "n_frames", 1), every_n):
+                            img.seek(i)
+                            buf = io.BytesIO()
+                            img.convert("RGB").save(buf, format="PNG")
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            frames.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
@@ -139,20 +180,31 @@ def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -
     """mapInPandas feature-extraction stage: payload -> fixed-dim float
     vector (stands in for a vision/audio encoder forward pass; on a real
     cluster this is where the GPU batch inference goes — Arrow batches
-    map 1:1 onto model input batches). Stub: per-chunk byte means,
-    deterministic."""
+    map 1:1 onto model input batches). Stub: per-chunk byte means over
+    the raw payload. Real: Pillow decode -> grayscale pixel array, then
+    the same per-chunk means — a deterministic stand-in encoder whose
+    forward pass a model runtime would replace."""
     import numpy as np
 
     def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = None if decode_stub else _pil_image()
+
+        def chunk_means(arr: "np.ndarray") -> "np.ndarray":
+            pad = (-len(arr)) % dim
+            arr = np.pad(arr, (0, pad)).reshape(dim, -1)
+            return (arr.mean(axis=1) / 255.0).astype(np.float32)
+
         for pdf in batches:
-            if not decode_stub:
-                raise NotImplementedError("real feature extraction requires a model runtime")
             feats = []
             for p in pdf["payload"]:
-                arr = np.frombuffer(bytes(p), dtype=np.uint8)
-                pad = (-len(arr)) % dim
-                arr = np.pad(arr, (0, pad)).reshape(dim, -1)
-                feats.append((arr.mean(axis=1) / 255.0).astype(np.float32))
+                if decode_stub:
+                    arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                else:
+                    with Image.open(io.BytesIO(bytes(p))) as img:
+                        arr = np.asarray(img.convert("L"), dtype=np.uint8).ravel()
+                feats.append(chunk_means(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media.mapInPandas(feature_batches, FEATURES_SCHEMA)

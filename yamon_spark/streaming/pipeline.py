@@ -178,6 +178,11 @@ class PipelineConfig:
     # merge at read time with merge_uniq. Off by default (new sink =
     # new checkpoint; existing deployments opt in).
     uniq_mv: bool = False
+    # optional ClickHouse detail sink (clickhouse_writer.go): when set,
+    # each detail table ALSO streams into ClickHouse over JDBC with its
+    # own checkpoint — the parquet store stays the query-side LTS, the
+    # JDBC sink closes the reference's declared server contract.
+    clickhouse: "object | None" = None  # ClickHouseSinkConfig
 
 
 def _detail_writer(df: DataFrame, table: str, cfg: PipelineConfig) -> StreamingQuery:
@@ -270,6 +275,12 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig) -> list[StreamingQu
             if cfg.uniq_mv:
                 queries.append(_uniq_writer_block(df, "metrics_uniq_lts", cfg))
         queries.append(_detail_writer(df, table, cfg))
+        if cfg.clickhouse is not None:
+            from yamon_spark.streaming.clickhouse import clickhouse_sink
+
+            queries.append(
+                clickhouse_sink(df, table, cfg.clickhouse, cfg.checkpoint_dir, cfg.trigger)
+            )
     return queries
 
 
