@@ -1,0 +1,175 @@
+"""Corpus-curation operators: semantics on crafted micro-corpora plus the
+physical-plan invariants that make them 100 TB-safe (shuffle-free gates,
+broadcast benchmark/vocab sides, bounded CC iteration).
+
+Oracle parity for all of these runs in test_oracle.py via the registry;
+here we pin behaviors an oracle diff can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.curation import (
+    contamination_check,
+    dedup_canonical,
+    dedup_clusters,
+    domain_mix,
+    pack_sequences,
+    quality_filter,
+    repetition_stats,
+    sample_hash,
+    stratified_sample,
+    vocab_coverage,
+)
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def test_quality_filter_rules_and_first_reason(spark):
+    docs = _docs(
+        spark,
+        [
+            ("the quick brown fox jumps over a lazy dog and runs far away", "en", "s"),
+            ("tiny", "en", "s"),  # too_short fires before no_stopwords
+            ("zz " * 12 + "zz", "en", "s"),  # 13 words, no stopwords
+        ],
+    )
+    out = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert out[0]["keep"] == 1 and out[0]["reason"] == "ok"
+    assert out[1]["keep"] == 0 and out[1]["reason"] == "too_short"
+    assert out[2]["keep"] == 0 and out[2]["reason"] == "no_stopwords"
+
+
+def test_quality_and_repetition_are_shuffle_free(spark):
+    docs = _docs(spark, [("a b c a b c a b", "en", "s")])
+    for op in (quality_filter, repetition_stats):
+        plan = op(docs)._jdf.queryExecution().executedPlan().toString()
+        # orderBy is the only exchange-producing step and only for output
+        # determinism; the feature computation itself must not shuffle
+        assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_repetition_flags_boilerplate(spark):
+    docs = _docs(
+        spark,
+        [
+            ("spam spam spam spam spam spam spam spam spam", "en", "s"),  # 1 distinct 3-gram
+            ("one two three four five six seven eight nine", "en", "s"),  # all distinct
+        ],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[0]["repetitive"] == 1 and out[0]["n_distinct"] == 1
+    assert out[1]["repetitive"] == 0 and out[1]["rep_ratio"] == 0.0
+
+
+def test_contamination_flags_benchmark_copies_and_broadcasts(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text, "en", "s", len(bench_text)),  # benchmark member (id % 50 == 0)
+            (1, bench_text, "en", "s", len(bench_text)),  # full copy -> contaminated
+            (2, "one two three four five six seven eight", "en", "s", 38),
+        ],
+        DOC_SCHEMA,
+    )
+    res = contamination_check(docs, ngram=5, bench_mod=50, threshold=0.5)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark shingles are the broadcast side
+    out = {r["doc_id"]: r for r in res.collect()}
+    assert 0 not in out  # benchmark members are not scored
+    assert out[1]["contaminated"] == 1 and out[1]["contam_ratio"] == 1.0
+    assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zz").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit("x y z").alias("text"),
+        F.lit(5).alias("n_chars"),
+    )
+    a = stratified_sample(docs).collect()
+    b = stratified_sample(docs).collect()
+    assert a == b  # no RNG: re-runs emit the identical sample
+    by_lang = {"en": 0, "zz": 0}
+    for r in a:
+        by_lang[r["lang"]] += 1
+    # en keeps ~80%, default stratum ~10% of 1000 docs each
+    assert 700 < by_lang["en"] < 900 and 50 < by_lang["zz"] < 160
+
+
+def test_sample_hash_is_pure_int64(spark):
+    df = spark.range(5).select(sample_hash(F.col("id")).alias("h"))
+    assert [r["h"] for r in df.collect()] == [(i * 2654435761 + 104729) % 1000 for i in range(5)]
+
+
+def test_pack_sequences_bins_and_fill(spark):
+    # 3 docs of ~512 tokens (2047 chars -> 512), 1 doc spilling to bin 1
+    txt = "x" * 2047
+    docs = _docs(spark, [(txt, "en", "s")] * 5)
+    out = pack_sequences(docs, ctx_len=2048).collect()
+    bins = {r["bin"]: r for r in out}
+    # 512-token docs: 4 fit exactly in [0, 2048), the 5th starts at 2048
+    assert bins[0]["n_docs"] == 4 and bins[0]["total_tokens"] == 2048
+    assert bins[0]["fill_ratio"] == 1.0
+    assert bins[1]["n_docs"] == 1
+
+
+def test_domain_mix_rebalances_to_uniform(spark):
+    docs = _docs(
+        spark,
+        [("w " * 400, "en", "big")] * 9 + [("w " * 400, "en", "small")],
+    )
+    out = {r["source"]: r for r in domain_mix(docs).collect()}
+    assert out["small"]["sample_prob"] == 1.0  # under-represented: keep all
+    assert out["big"]["sample_prob"] < 0.6  # over-represented: downsample
+    assert abs(out["big"]["natural_share"] - 0.9) < 0.01
+
+
+def test_dedup_canonical_keeps_longest_then_min_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (10, "same text", "en", "s", 9),
+            (3, "same text", "en", "s", 9),  # tie on digest+len -> min id wins
+            (7, "other", "en", "s", 5),
+        ],
+        DOC_SCHEMA,
+    )
+    out = dedup_canonical(docs).collect()
+    ids = {r["doc_id"]: r["n_copies"] for r in out}
+    assert ids == {3: 2, 7: 1}
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    # chain a~b~c (a!~c directly) must still land in one cluster
+    docs = _docs(
+        spark,
+        [
+            ("one two three four five six", "en", "s"),  # 0
+            ("one two three four five seven", "en", "s"),  # 1: shares 3 of 5 3-grams w/ 0
+            ("zzz two three four five seven", "en", "s"),  # 2: near 1, far from 0
+            ("totally different words here now", "en", "s"),  # 3: isolated (no pairs)
+        ],
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, ngram=3, threshold=0.4).collect()}
+    assert out[0] == out[1] == out[2] == 0
+    assert 3 not in out  # no edges -> not in the pair graph
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    docs = _docs(spark, [("a a a b c", "en", "s"), ("d e", "en", "s")])
+    res = vocab_coverage(docs, top_k=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out = {r["doc_id"]: r for r in res.collect()}
+    # vocab = {a (3), b (1)} with lexicographic tiebreak among count-1 words
+    assert out[0]["n_in_vocab"] == 4 and out[0]["vocab_cov"] == 0.8
+    assert out[1]["n_in_vocab"] == 0

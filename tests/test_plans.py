@@ -17,8 +17,9 @@ import re
 
 from yamon_spark.queries import all_queries
 
-# deliberate small-build-side nested-loop joins
-BNLJ_OK = {"q16_cross_join_pairs", "sim_cosine_topk"}
+# deliberate small-build-side nested-loop joins (single broadcast query
+# vector / tiny self-pair table)
+BNLJ_OK = {"q16_cross_join_pairs", "sim_cosine_topk", "ann_range_search"}
 
 
 def _plan(spark, sf_dir, name):

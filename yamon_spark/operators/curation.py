@@ -1,0 +1,298 @@
+"""Corpus-curation operators for large-scale training-data pipelines over
+`documents`: quality gating, intra-doc repetition, benchmark contamination,
+stratified sampling, sequence packing, domain mixing, canonical dedup,
+duplicate clustering, and vocabulary coverage.
+
+Scale shapes (the 100 TB contract):
+- quality_filter / repetition / stratified_sample / pack-token estimate are
+  shuffle-free scan-projections (whole-stage codegen, linear in splits).
+- contamination_check broadcasts the benchmark shingle set (benchmarks are
+  tiny vs the corpus) so the scoring pass is map-side only.
+- pack_sequences shuffles once per stratum key (window cumsum), then one
+  partial-agg groupBy on (stratum, bin).
+- domain_mix aggregates to |sources| rows before its window — the
+  single-partition window runs over dozens of rows, not the corpus.
+- dedup_canonical is one hash-partitioned window over the content digest.
+- dedup_clusters is iterative min-label propagation (the standard
+  distributed connected-components loop; O(log diameter) rounds, lineage
+  truncated per round).
+- vocab_coverage builds the top-k vocabulary with one partial-agg pass and
+  broadcasts it back (k rows), so coverage scoring is map-side.
+
+Determinism contract (FIXTURES.md): ratios that are single int/int IEEE
+divisions are emitted UNROUNDED (bit-identical on both engines, no
+round-tie risk); anything downstream of a cross-partition float sum
+rounds to 4 decimals. Flags are cast to int (engine-portable hashing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.text import STOPWORDS, words_col
+
+# deterministic multiplicative hash for sampling decisions — shared as
+# literals with the SQL oracle (pure int64 arithmetic, no engine RNG)
+HASH_MULT = 2654435761
+HASH_ADD = 104729
+HASH_MOD = 1000
+
+# permille keep-rates per language stratum (default applies to the rest)
+SAMPLE_RATES = {"en": 800, "es": 500, "de": 250, "fr": 125}
+SAMPLE_RATE_DEFAULT = 100
+
+
+def _shingles(w: Column, ngram: int) -> Column:
+    """Word n-gram shingles with the shared tail contract: indices run
+    1..max(len-n+1, 1), so docs shorter than n yield one short shingle."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 10,
+    max_words: int = 1000,
+    min_awl: float = 2.0,
+    max_awl: float = 12.0,
+    min_stop: float = 0.01,
+) -> DataFrame:
+    """Gopher/C4-style quality gate: word-count bounds, mean-word-length
+    band, minimum stopword ratio. Emits the features plus keep flag and
+    the FIRST failing rule (deterministic CASE chain, same on both
+    engines). Shuffle-free projection."""
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    w = F.col("w")
+    n_words = F.size(w).cast("bigint")
+    awl = F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
+    stop_ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    reason = (
+        F.when(n_words < min_words, "too_short")
+        .when(n_words > max_words, "too_long")
+        .when((awl < min_awl) | (awl > max_awl), "word_len")
+        .when(stop_ratio < min_stop, "no_stopwords")
+        .otherwise("ok")
+    )
+    return (
+        base.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            awl.alias("avg_word_len"),
+            stop_ratio.alias("stop_ratio"),
+            reason.alias("reason"),
+        )
+        .withColumn("keep", (F.col("reason") == "ok").cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def repetition_stats(docs: DataFrame, ngram: int = 3, max_rep: float = 0.1) -> DataFrame:
+    """Intra-document repetition: fraction of word n-gram occurrences that
+    are repeats (1 - distinct/total). High ratio = boilerplate/spam.
+    Pure array ops — no explode, no shuffle."""
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    sh = _shingles(F.col("w"), ngram)
+    total = F.size(sh).cast("bigint")
+    distinct = F.size(F.array_distinct(sh)).cast("bigint")
+    rep = F.lit(1.0) - distinct.cast("double") / total
+    return base.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        rep.alias("rep_ratio"),
+        (rep > max_rep).cast("int").alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+def contamination_check(
+    docs: DataFrame, ngram: int = 5, bench_mod: int = 50, threshold: float = 0.5
+) -> DataFrame:
+    """Benchmark-contamination scan: fraction of a doc's distinct word
+    n-grams that appear anywhere in the benchmark set (here: docs with
+    doc_id % bench_mod == 0 stand in for the eval suite). The benchmark
+    shingle set is broadcast — eval suites are tiny vs a 100 TB corpus —
+    so scoring is a map-side join over the corpus scan."""
+    words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    shingled = words.select("doc_id", F.explode(F.array_distinct(_shingles(F.col("w"), ngram))).alias("shingle"))
+    bench = (
+        shingled.where(F.col("doc_id") % bench_mod == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("bench_hit", F.lit(1))
+    )
+    scored = shingled.where(F.col("doc_id") % bench_mod != 0)
+    joined = scored.join(F.broadcast(bench), "shingle", "left")
+    n_sh = F.count("*").cast("bigint")
+    n_hit = F.count("bench_hit").cast("bigint")
+    return (
+        joined.groupBy("doc_id")
+        .agg(n_sh.alias("n_shingles"), n_hit.alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias("contam_ratio"),
+            (F.col("n_overlap").cast("double") / F.col("n_shingles") >= threshold)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sample_hash(doc_id: Column) -> Column:
+    return (doc_id * HASH_MULT + HASH_ADD) % HASH_MOD
+
+
+def stratified_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic stratified sampling: per-language permille keep-rates
+    applied via a multiplicative int64 hash of doc_id (reproducible across
+    engines and runs — no RNG, no seed drift between retries; the property
+    a 100 TB pipeline needs so re-runs emit identical samples).
+    Shuffle-free filter."""
+    rate = F.lit(SAMPLE_RATE_DEFAULT)
+    for lang, r in reversed(SAMPLE_RATES.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    h = sample_hash(F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", h.alias("h"), rate.alias("rate_permille"))
+        .where(F.col("h") < F.col("rate_permille"))
+        .orderBy("doc_id")
+    )
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int = 2048) -> DataFrame:
+    """Sequence packing for training: concatenate each language stream in
+    doc_id order and chunk at ctx_len token boundaries; a doc belongs to
+    the bin where it starts. Tokens are estimated chars/4+1 (the standard
+    BPE rule of thumb) so packing needs no tokenizer pass. One shuffle
+    (window on the stratum key), then a partial-agg groupBy."""
+    tokens = F.expr("n_chars DIV 4 + 1")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    binned = (
+        docs.select("doc_id", "lang", tokens.alias("tokens"))
+        .withColumn("start_tok", start)
+        .withColumn("bin", F.expr(f"start_tok DIV {ctx_len}"))
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn("fill_ratio", F.col("total_tokens").cast("double") / ctx_len)
+        .orderBy("lang", "bin")
+    )
+
+
+def domain_mix(docs: DataFrame) -> DataFrame:
+    """Domain-mixture rebalancing: per-source token mass, natural share,
+    uniform target share, and the sampling probability that rebalances the
+    mix to target (min(1, target/natural)). Aggregates to |sources| rows
+    FIRST; the share window then runs over dozens of rows, not the
+    corpus."""
+    tokens = F.expr("n_chars DIV 4 + 1")
+    per_src = docs.select("source", tokens.alias("tokens")).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.sum("tokens").cast("bigint").alias("tokens")
+    )
+    wall = Window.partitionBy()
+    total = F.sum("tokens").over(wall)
+    n_src = F.count("*").over(wall)
+    shared = per_src.select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("tokens").cast("double") / total).alias("natural_share"),
+        (F.lit(1.0) / n_src).alias("target_share"),
+    )
+    return shared.withColumn(
+        "sample_prob",
+        F.round(F.least(F.lit(1.0), F.col("target_share") / F.col("natural_share")), 4),
+    ).orderBy("source")
+
+
+def dedup_canonical(docs: DataFrame) -> DataFrame:
+    """Exact-dup clusters with canonical-survivor selection: group by
+    content digest, keep the longest doc (ties: lowest doc_id). Unlike
+    plain exact dedup this preserves a chosen representative's metadata.
+    One hash-partitioned window on the digest."""
+    w = Window.partitionBy("digest").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars", F.sha2("text", 256).alias("digest"))
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count("*").over(Window.partitionBy("digest")).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+def dedup_clusters(
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_iter: int = 15
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph (exact
+    n-gram Jaccard edges): iterative min-label propagation until fixpoint.
+    cluster_id = the smallest doc_id reachable through near-dup edges —
+    the grouping a dedup pipeline keeps one survivor per.
+
+    Scale shape: the standard distributed CC loop — O(log diameter)
+    rounds (near-dup clusters are shallow), each round one join + one
+    partial-agg groupBy, lineage truncated per round so plans stay flat.
+    """
+    from yamon_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, ngram=ngram, threshold=threshold).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        new_labels = (
+            labels.unionByName(neigh).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "new_cid")
+            .join(labels, "doc_id")
+            .where(F.col("new_cid") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.orderBy("doc_id")
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
+    """Vocabulary coverage: fraction of each doc's word occurrences that
+    fall in the corpus top-k vocabulary (count desc, word asc tiebreak —
+    a deterministic cut). Two passes: one partial-agg wordcount to build
+    the k-row vocab, broadcast back for map-side scoring."""
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(top_k)
+        .select("word")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    joined = words.join(F.broadcast(vocab), "word", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.count("in_vocab").cast("bigint").alias("n_in_vocab"),
+        )
+        .withColumn("vocab_cov", F.col("n_in_vocab").cast("double") / F.col("n_words"))
+        .orderBy("doc_id")
+    )

@@ -110,6 +110,55 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> 
     )
 
 
+def cosine_range(embeddings: DataFrame, query_vec_id: int = 0, threshold: float = 0.3) -> DataFrame:
+    """Range search: ALL vectors with cosine >= threshold of the query —
+    the recall-complete sibling of cosine_topk (dedup/retrieval pipelines
+    want every neighbor above a floor, not a fixed k). Same shape: one
+    scan, broadcast 1-row query, no shuffle; the filter runs inside the
+    codegen'd projection."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    rest = embeddings.where(F.col("vec_id") != query_vec_id)
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        rest.crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    )
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding (the IVF training signal / class
+    prototype): posexplode to (label, dim, value) rows, one partial-agg
+    groupBy. At 100 TB this is a map-side-combined agg over dim*labels
+    cells — no per-vector state crosses the shuffle. Rounded: the
+    cross-partition float sum is order-dependent."""
+    exploded = embeddings.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
+def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label L2-norm distribution (embedding-health check before
+    similarity runs): per-row norms are sequential folds (bit-exact both
+    engines); min/max pass those through, avg rounds."""
+    norm = F.sqrt(_fold_sum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double"))))
+    per_row = embeddings.select("label", norm.alias("nrm"))
+    return (
+        per_row.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH ANN — the bucketed scale path
 # ---------------------------------------------------------------------------

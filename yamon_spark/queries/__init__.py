@@ -84,6 +84,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         udf_surface,
         product_analytics,
         sketches,
+        curation_ops,
         analytics_ext,
         aggregation,
         analytics_ext2,

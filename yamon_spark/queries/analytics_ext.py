@@ -29,6 +29,35 @@ from yamon_spark.queries import register, table
 
 
 @register(
+    "q34_counter_rate",
+    """
+    SELECT user_id, event_id,
+           round((value - lag(value)  OVER w)
+                 / (nullif(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) / 1000000.0),
+                 4) + 0.0 AS rate
+    FROM events WHERE event_type = 'click'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+    """,
+    doc="Full per-second rate() over counters: delta(value)/delta(seconds) "
+    "per series — Q31's numerator completed (common/metric.go:9-14).",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.nullif(us - F.lag(us).over(w), F.lit(0)) / F.lit(1000000.0)
+    return (
+        # "+ 0.0" collapses IEEE signed zero (-0.0 + 0.0 = +0.0) on both
+        # sides: an unchanged counter yields -0.0 in Spark vs +0.0 in some
+        # engines, which breaks byte-level value hashing despite equality.
+        ev.select("user_id", "event_id", (F.round(dv / dt, 4) + F.lit(0.0)).alias("rate"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@register(
     "q27_pivot",
     """
     SELECT o_orderpriority,
@@ -98,35 +127,6 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), "p_brand")
         .limit(10)
-    )
-
-
-@register(
-    "q34_counter_rate",
-    """
-    SELECT user_id, event_id,
-           round((value - lag(value)  OVER w)
-                 / (nullif(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0) / 1000000.0),
-                 4) + 0.0 AS rate
-    FROM events WHERE event_type = 'click'
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ORDER BY user_id, event_id
-    """,
-    doc="Full per-second rate() over counters: delta(value)/delta(seconds) "
-    "per series — Q31's numerator completed (common/metric.go:9-14).",
-)
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").where(F.col("event_type") == "click")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    dv = F.col("value") - F.lag("value").over(w)
-    dt = F.nullif(us - F.lag(us).over(w), F.lit(0)) / F.lit(1000000.0)
-    return (
-        # "+ 0.0" collapses IEEE signed zero (-0.0 + 0.0 = +0.0) on both
-        # sides: an unchanged counter yields -0.0 in Spark vs +0.0 in some
-        # engines, which breaks byte-level value hashing despite equality.
-        ev.select("user_id", "event_id", (F.round(dv / dt, 4) + F.lit(0.0)).alias("rate"))
-        .orderBy("user_id", "event_id")
     )
 
 

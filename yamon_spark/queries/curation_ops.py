@@ -1,0 +1,326 @@
+"""Declared queries for the corpus-curation operators (quality gating,
+repetition, contamination, sampling, packing, mixing, canonical dedup,
+duplicate clustering, vocabulary coverage, embedding stats/range search)
+— the training-data-pipeline inventory beyond the reference's own surface
+(SURVEY §2 'beyond the reference').
+
+Determinism contract: ratios that are one int/int IEEE division are
+UNROUNDED (bit-identical across engines — no round-tie exposure);
+averages over cross-partition float sums round to 4; flags are ints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yamon_spark.queries import register, table
+from yamon_spark.queries.pipeline_ops import _COS_EXPRS, _STOP_SQL, _WORDS
+
+
+@register(
+    "text_quality_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+          / len(w) AS avg_word_len,
+        CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w) AS stop_ratio
+      FROM t
+    ),
+    r AS (
+      SELECT *, CASE WHEN n_words < 10 THEN 'too_short'
+                     WHEN n_words > 1000 THEN 'too_long'
+                     WHEN avg_word_len < 2.0 OR avg_word_len > 12.0 THEN 'word_len'
+                     WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                     ELSE 'ok' END AS reason
+      FROM f
+    )
+    SELECT doc_id, n_words, avg_word_len, stop_ratio, reason,
+           CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep
+    FROM r ORDER BY doc_id
+    """,
+    doc="Gopher/C4-style quality gate with first-failing-rule reason.",
+)
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_filter
+
+    return quality_filter(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' ')) AS sh
+      FROM t
+    )
+    SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) AS rep_ratio,
+           CAST(CASE WHEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh) > 0.1
+                THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM s ORDER BY doc_id
+    """,
+    doc="Intra-doc repeated word-3-gram ratio (boilerplate/spam signal).",
+)
+def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import repetition_stats
+
+    return repetition_stats(table(spark, sf_dir, "documents"), ngram=3, max_rep=0.1)
+
+
+@register(
+    "contamination_ngram",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 4, 1) + 1),
+        i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    scored AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    j AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(b.shingle) AS BIGINT) AS n_overlap
+      FROM scored s LEFT JOIN bench b ON s.shingle = b.shingle
+      GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_overlap,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS contam_ratio,
+           CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM j ORDER BY doc_id
+    """,
+    doc="Benchmark contamination: distinct 5-gram overlap vs the eval set.",
+)
+def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import contamination_check
+
+    return contamination_check(table(spark, sf_dir, "documents"), ngram=5, bench_mod=50, threshold=0.5)
+
+
+@register(
+    "sample_stratified",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, source,
+        (doc_id * 2654435761 + 104729) % 1000 AS h,
+        CASE WHEN lang = 'en' THEN 800 WHEN lang = 'es' THEN 500
+             WHEN lang = 'de' THEN 250 WHEN lang = 'fr' THEN 125
+             ELSE 100 END AS rate_permille
+      FROM documents
+    )
+    SELECT doc_id, lang, source, h, rate_permille
+    FROM r WHERE h < rate_permille ORDER BY doc_id
+    """,
+    doc="Deterministic hash-based stratified sampling (permille per lang).",
+)
+def stratified_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import stratified_sample
+
+    return stratified_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (SELECT doc_id, lang, n_chars // 4 + 1 AS tokens FROM documents),
+    b AS (
+      SELECT doc_id, lang, tokens,
+        CAST(coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+      FROM t
+    )
+    SELECT lang, bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS total_tokens,
+           CAST(CAST(sum(tokens) AS BIGINT) AS DOUBLE) / 2048 AS fill_ratio
+    FROM b GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    doc="Sequence packing: concat per-lang stream, chunk at 2048-token bins.",
+)
+def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import pack_sequences
+
+    return pack_sequences(table(spark, sf_dir, "documents"), ctx_len=2048)
+
+
+@register(
+    "domain_mix",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars // 4 + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source, n_docs, tokens,
+        CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS natural_share,
+        CAST(1.0 AS DOUBLE) / count(*) OVER () AS target_share
+      FROM s
+    )
+    SELECT source, n_docs, tokens, natural_share, target_share,
+           round(least(CAST(1.0 AS DOUBLE), target_share / natural_share), 4) AS sample_prob
+    FROM sh ORDER BY source
+    """,
+    doc="Domain-mix rebalancing: shares + per-source sampling probability.",
+)
+def domain_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import domain_mix
+
+    return domain_mix(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_canonical",
+    """
+    WITH d AS (SELECT doc_id, lang, source, n_chars, sha256(text) AS digest FROM documents),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY digest ORDER BY n_chars DESC, doc_id) AS rn,
+             CAST(count(*) OVER (PARTITION BY digest) AS BIGINT) AS n_copies
+      FROM d
+    )
+    SELECT doc_id, lang, source, n_chars, n_copies FROM w WHERE rn = 1 ORDER BY doc_id
+    """,
+    doc="Exact-dup clusters with canonical survivor (longest, then min id).",
+)
+def canonical_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import dedup_canonical
+
+    return dedup_canonical(table(spark, sf_dir, "documents"))
+
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len({_WORDS}) - 2, 1) + 1),
+        i -> array_to_string(({_WORDS})[i:i+2], ' ')))) AS shingle
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b) t
+      WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTER_ORACLE,
+    doc=(
+        "Connected components over near-dup Jaccard edges via iterative "
+        "min-label propagation; oracle = recursive transitive closure."
+    ),
+)
+def clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import dedup_clusters
+
+    return dedup_clusters(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
+
+
+@register(
+    "vocab_coverage",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+    v AS (SELECT word FROM (
+      SELECT word, count(*) AS cnt FROM w GROUP BY word ORDER BY cnt DESC, word LIMIT 100)),
+    j AS (
+      SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(count(v.word) AS BIGINT) AS n_in_vocab
+      FROM w LEFT JOIN v ON w.word = v.word GROUP BY w.doc_id
+    )
+    SELECT doc_id, n_words, n_in_vocab,
+           CAST(n_in_vocab AS DOUBLE) / n_words AS vocab_cov
+    FROM j ORDER BY doc_id
+    """,
+    doc="Per-doc coverage of the corpus top-100 vocabulary (broadcast).",
+)
+def vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import vocab_coverage
+
+    return vocab_coverage(table(spark, sf_dir, "documents"), top_k=100)
+
+
+@register(
+    "embed_centroids",
+    """
+    WITH e AS (
+      SELECT label, CAST(d - 1 AS INT) AS dim, CAST(embedding[d] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) t(d)
+    )
+    SELECT label, dim, round(avg(v), 4) AS centroid
+    FROM e GROUP BY label, dim ORDER BY label, dim
+    """,
+    doc="Per-label mean embedding (class prototype / IVF training signal).",
+)
+def centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_centroids
+
+    return embedding_centroids(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embed_norm_stats",
+    """
+    WITH n AS (
+      SELECT label, sqrt(list_reduce(list_transform(embedding,
+        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs, round(avg(nrm), 4) AS avg_norm,
+           round(min(nrm), 4) AS min_norm, round(max(nrm), 4) AS max_norm
+    FROM n GROUP BY label ORDER BY label
+    """,
+    doc="Per-label L2-norm distribution (embedding-health check).",
+)
+def norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_norm_stats
+
+    return embedding_norm_stats(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_range_search",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, cos_sim FROM (
+      SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s) t
+    WHERE cos_sim >= 0.3 ORDER BY cos_sim DESC, vec_id
+    """,
+    doc="Cosine range search: every neighbor above a similarity floor.",
+)
+def range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import cosine_range
+
+    return cosine_range(table(spark, sf_dir, "embeddings"), query_vec_id=0, threshold=0.3)
