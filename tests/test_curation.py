@@ -88,6 +88,22 @@ def test_contamination_flags_benchmark_copies_and_broadcasts(spark):
     assert out[2]["contaminated"] == 0 and out[2]["n_overlap"] == 0
 
 
+def test_contamination_falls_back_to_shuffle_join_when_bench_large(spark):
+    docs = _docs(spark, [(f"w{i} w{i + 1} w{i + 2} w{i + 3} w{i + 4} w{i + 5}", "en", "s") for i in range(8)])
+    # guard tripped -> no forced broadcast hint; with auto-broadcast off
+    # (as a too-big-to-broadcast side would be at scale) the join must
+    # still plan and evaluate as a shuffle join
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        res = contamination_check(docs, ngram=5, bench_mod=2, max_broadcast_shingles=1)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert res.count() == 4  # scored side (odd ids) still fully evaluated
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_stratified_sample_deterministic_and_rate_shaped(spark):
     docs = spark.range(2000).select(
         F.col("id").alias("doc_id"),

@@ -106,13 +106,19 @@ def repetition_stats(docs: DataFrame, ngram: int = 3, max_rep: float = 0.1) -> D
 
 
 def contamination_check(
-    docs: DataFrame, ngram: int = 5, bench_mod: int = 50, threshold: float = 0.5
+    docs: DataFrame,
+    ngram: int = 5,
+    bench_mod: int = 50,
+    threshold: float = 0.5,
+    max_broadcast_shingles: int = 5_000_000,
 ) -> DataFrame:
     """Benchmark-contamination scan: fraction of a doc's distinct word
     n-grams that appear anywhere in the benchmark set (here: docs with
     doc_id % bench_mod == 0 stand in for the eval suite). The benchmark
     shingle set is broadcast — eval suites are tiny vs a 100 TB corpus —
-    so scoring is a map-side join over the corpus scan."""
+    so scoring is a map-side join over the corpus scan; a benchmark that
+    outgrows ``max_broadcast_shingles`` falls back to a shuffle join
+    (same guard pattern as minhash_lsh_pairs)."""
     words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
     shingled = words.select("doc_id", F.explode(F.array_distinct(_shingles(F.col("w"), ngram))).alias("shingle"))
     bench = (
@@ -120,9 +126,11 @@ def contamination_check(
         .select("shingle")
         .distinct()
         .withColumn("bench_hit", F.lit(1))
+        .persist()
     )
+    hint = F.broadcast if bench.count() <= max_broadcast_shingles else (lambda df: df)
     scored = shingled.where(F.col("doc_id") % bench_mod != 0)
-    joined = scored.join(F.broadcast(bench), "shingle", "left")
+    joined = scored.join(hint(bench), "shingle", "left")
     n_sh = F.count("*").cast("bigint")
     n_hit = F.count("bench_hit").cast("bigint")
     return (
