@@ -83,10 +83,11 @@ def ingest_bench(spark, n_lines: int = 20000, per_line: int = 100) -> dict:
     detail sink + gauge/counter 1-minute rollups (the reference's server
     path: forward_server.go decode -> ClickhouseWriter insert + both LTS
     MVs). Input text is pre-materialized on disk so generation isn't
-    timed; each sink re-reads the landing text, matching the streaming
-    pipeline's independent queries. BASELINE.md's implied agent-side
-    steady state is ~800-1,000 metrics/s/host; this measures the
-    server-side equivalent in rows/s (50 synthetic hosts).
+    timed; the block is parsed ONCE and cached, then fanned out to all
+    three sinks — the streaming pipeline's fused insert-block cascade
+    (_fused_metrics_writer). BASELINE.md's implied agent-side steady
+    state is ~800-1,000 metrics/s/host; this measures the server-side
+    equivalent in rows/s (50 synthetic hosts).
     """
     import shutil
     import tempfile
@@ -125,15 +126,12 @@ def ingest_bench(spark, n_lines: int = 20000, per_line: int = 100) -> dict:
             mk(parse_batch(warm)["metrics"]).write.format("noop").mode("overwrite").save()
 
         t0 = time.perf_counter()
-        for sink in range(3):
-            metrics = parse_batch(spark.read.text(tmp))["metrics"]
-            if sink == 0:
-                out = metrics  # detail path
-            elif sink == 1:
-                out = gauge_rollup(metrics)
-            else:
-                out = counter_rollup(metrics)
-            out.write.format("noop").mode("overwrite").save()
+        metrics = parse_batch(spark.read.text(tmp))["metrics"].persist()
+        try:
+            for out in (metrics, gauge_rollup(metrics), counter_rollup(metrics)):
+                out.write.format("noop").mode("overwrite").save()
+        finally:
+            metrics.unpersist()
         wall = time.perf_counter() - t0
         rows = n_lines * per_line
         return {

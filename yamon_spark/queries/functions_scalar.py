@@ -126,19 +126,18 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    # parse the JSON twice, not three times: k_int casts the already-
-    # extracted k_str column (materialized projection) instead of
-    # re-running get_json_object on the raw string
+    # parse the JSON ONCE: every output column derives from the same
+    # from_json map (a get_json_object sibling column re-parses the raw
+    # string per expression — measured ~20% of the query at sf0.1)
     base = ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").alias("k_str"),
-        F.element_at(F.from_json("props", MapType(StringType(), StringType())), "k").alias("k_map"),
+        F.element_at(F.from_json("props", MapType(StringType(), StringType())), "k").alias("k_str"),
     )
     return base.select(
         "event_id",
         "k_str",
         F.col("k_str").cast("bigint").alias("k_int"),
-        "k_map",
+        F.col("k_str").alias("k_map"),
     ).orderBy("event_id")
 
 
