@@ -192,3 +192,31 @@ def test_ivf_build_and_search(spark, tmp_path, sf_dir):
     assert "PartitionFilters" in plan and "cell" in plan[plan.find("PartitionFilters") :][:200]
     got = [v for v in (r.vec_id for r in probe.collect()) if v != 0][:10]
     assert len(set(got) & set(exact)) >= 3
+
+
+def test_pq_encode_and_topk(spark, sf_dir):
+    """PQ codes are valid small ints, deterministic, and computed in a
+    shuffle-free scan; asymmetric-distance top-k approximates the true
+    nearest neighborhood (not asserted exactly — PQ is lossy — but the
+    distance must be monotone-consistent with itself and the plan must
+    stay a projection + TakeOrdered)."""
+    from pyspark.sql import functions as FF
+
+    from yamon_spark.operators.similarity import pq_encode, pq_topk
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # scan-only projection
+    rng = codes.select(
+        *[FF.min(f"c{j}").alias(f"lo{j}") for j in range(8)],
+        *[FF.max(f"c{j}").alias(f"hi{j}") for j in range(8)],
+    ).first()
+    assert all(rng[f"lo{j}"] >= 0 and rng[f"hi{j}"] <= 15 for j in range(8))
+    assert codes.collect() == pq_encode(emb).collect()  # deterministic
+
+    top = pq_topk(emb, query_vec_id=0, topk=10).collect()
+    assert len(top) == 10 and 0 not in {r.vec_id for r in top}
+    dists = [r.pq_dist for r in top]
+    assert dists == sorted(dists)

@@ -220,6 +220,100 @@ def lsh_topk(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization — the compressed-index scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_codebook(m: int = 8, k: int = 16, sub_dim: int = 8) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: codebook[j][c][i] = coordinate i of
+    centroid c in subspace j, derived from md5 (no RNG state — the Spark
+    plan and the SQL oracle share the exact same codebook as literals;
+    at scale the codebook comes from per-subspace KMeans on a sample and
+    is broadcast the same way). Coordinates span [-0.5, 0.5], matching
+    unit-ish embedding components."""
+    import hashlib
+
+    return [
+        [
+            [
+                (int(hashlib.md5(f"pq:{j}:{c}:{i}".encode()).hexdigest()[:8], 16) % 1001 - 500) / 1000.0
+                for i in range(sub_dim)
+            ]
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 (bit-identical to the oracle's
+    list_reduce over the same element order)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y.cast("double")) * (x - y.cast("double"))))
+
+
+def _cents_lit(cb_j: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb_j])
+
+
+def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, sub_dim: int = 8) -> DataFrame:
+    """PQ encoding: split each vector into m sub_dim-dim subvectors, code
+    each as the argmin-distance centroid (first-min tie-break on both
+    engines). Output is m small int codes per vector — a 16x-64x
+    compression that is THE way a 100 TB embedding corpus fits an
+    in-memory ANN index. Scan-only projection: codebooks are literals
+    (broadcast at scale), no shuffle, whole-stage codegen."""
+    cb = pq_codebook(m, k, sub_dim)
+    # materialize the subvectors as columns first: HOFs are interpreted
+    # and re-evaluate inlined children per element, so an inlined slice()
+    # would re-slice per centroid (SCALE.md's measured cliff)
+    base = embeddings.select(
+        "vec_id", *[F.slice(F.col("embedding"), j * sub_dim + 1, sub_dim).alias(f"s{j}") for j in range(m)]
+    )
+    cols = []
+    for j in range(m):
+        sub = F.col(f"s{j}")
+        dists = F.transform(_cents_lit(cb[j]), lambda c: _sq_dist(c, sub))  # noqa: B023
+        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{j}"))
+    return base.select("vec_id", *cols).orderBy("vec_id")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 16,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: approximate distance = sum over
+    subspaces of ||query_sub - centroid[code]||² — the query stays
+    uncompressed, the corpus is scanned as codes. At scale the scan
+    touches m bytes per vector instead of the full float array, and the
+    per-subspace distances become k-entry lookup tables; here the
+    lookup is expressed as element_at into the literal codebook so the
+    whole plan is one codegen'd projection + TakeOrderedAndProject."""
+    cb = pq_codebook(m, k, sub_dim)
+    codes = pq_encode(embeddings, m, k, sub_dim)
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    joined = codes.where(F.col("vec_id") != query_vec_id).crossJoin(F.broadcast(q))
+    # materialize selected centroid + query subvector columns before the
+    # zip_with folds touch them (same interpreted-HOF cliff as encode)
+    mat = joined.select(
+        "vec_id",
+        *[F.element_at(_cents_lit(cb[j]), F.col(f"c{j}") + 1).alias(f"cent{j}") for j in range(m)],
+        *[F.slice(F.col("q_emb"), j * sub_dim + 1, sub_dim).alias(f"qs{j}") for j in range(m)],
+    )
+    dist = F.lit(0.0)
+    for j in range(m):
+        dist = dist + _sq_dist(F.col(f"cent{j}"), F.col(f"qs{j}"))
+    return (
+        mat.select("vec_id", F.round(dist, 4).alias("pq_dist"))
+        .orderBy(F.col("pq_dist"), F.col("vec_id"))
+        .limit(topk)
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     index_path: str,

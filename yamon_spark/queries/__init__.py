@@ -86,6 +86,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         sketches,
         curation_ops,
         analytics_ext,
+        ann_ext,
         aggregation,
         analytics_ext2,
         analytics_ext3,
