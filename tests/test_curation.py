@@ -189,3 +189,26 @@ def test_vocab_coverage_broadcasts_vocab(spark):
     # vocab = {a (3), b (1)} with lexicographic tiebreak among count-1 words
     assert out[0]["n_in_vocab"] == 4 and out[0]["vocab_cov"] == 0.8
     assert out[1]["n_in_vocab"] == 0
+
+
+def test_pii_scrub_patterns_and_order(spark):
+    from yamon_spark.operators.curation import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.user+tag@sub.example.org end", "en", "s", 1),
+            (1, "server at 192.168.1.254 port", "en", "s", 1),
+            (2, "card 4111111111111111 and sid 900000001", "en", "s", 1),
+            (3, "call +1 (555) 867-5309 now", "en", "s", 1),
+            (4, "clean text with no pii at all", "en", "s", 1),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text_scrubbed"]
+    assert out[1]["n_ip"] == 1 and "<IP>" in out[1]["text_scrubbed"]
+    # contiguous digit runs become <ID>, NOT <PHONE> (order contract)
+    assert out[2]["n_id"] == 2 and out[2]["n_phone"] == 0
+    assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["text_scrubbed"]
+    assert out[4]["text_scrubbed"] == "clean text with no pii at all"
+    assert all(out[4][c] == 0 for c in ("n_email", "n_ip", "n_id", "n_phone"))

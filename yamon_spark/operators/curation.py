@@ -280,6 +280,39 @@ def dedup_clusters(
     return labels.orderBy("doc_id")
 
 
+# PII patterns scrubbed in order; each is a (token, regex) pair. Pure
+# JVM regexp_replace — no Python in the record path. Order matters:
+# emails before IDs/phones (their digits would half-match), contiguous
+# long digit runs (<ID>) before the separator-tolerant phone pattern
+# (which would otherwise eat any 9+-digit run).
+PII_PATTERNS = (
+    ("<EMAIL>", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("<IP>", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("<ID>", r"\b\d{9,}\b"),
+    ("<PHONE>", r"\+?\d[\d\s().-]{7,}\d"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails, IPs, phone-ish numbers, and long
+    digit runs with typed placeholder tokens, and count replacements per
+    category. Chained JVM regexp_replace — shuffle-free, codegen'd, and
+    order-sensitive (emails first so their digits don't half-match the
+    phone pattern). At 100 TB this rides the corpus scan like the
+    quality gate."""
+    scrubbed = F.col(text_col)
+    counts = []
+    for token, pat in PII_PATTERNS:
+        name = token.strip("<>").lower()
+        counts.append(
+            (F.size(F.split(scrubbed, pat, -1)) - 1).cast("bigint").alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return docs.select(
+        "doc_id", scrubbed.alias("text_scrubbed"), *counts
+    ).orderBy("doc_id")
+
+
 def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     """Vocabulary coverage: fraction of each doc's word occurrences that
     fall in the corpus top-k vocabulary (count desc, word asc tiebreak —

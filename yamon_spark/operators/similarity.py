@@ -69,10 +69,12 @@ def ivf_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataF
     )
 
 
-def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.95, block_col: str = "label"
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via coarse-cell blocking:
-    only pairs within the same cell (label) are compared, then exact
-    cosine filters at `threshold`.
+    only pairs within the same cell (`block_col`) are compared, then
+    exact cosine filters at `threshold`.
 
     Execution: applyInPandas per cell — each block becomes ONE BLAS
     matmul (normalize rows, S = M·Mᵀ, upper triangle), so the pair space
@@ -104,10 +106,25 @@ def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> 
         )
 
     return (
-        embeddings.groupBy("label")
+        embeddings.groupBy(block_col)
         .applyInPandas(block_pairs, "vec_a bigint, vec_b bigint, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+def embedding_near_dup_lsh(
+    embeddings: DataFrame, threshold: float = 0.35, n_planes: int = 4, dim: int = 64
+) -> DataFrame:
+    """Embedding near-dup pairs blocked by LSH bucket instead of a
+    precomputed cell — the no-metadata path: when no label/cluster
+    column exists, hyperplane buckets bound the quadratic term the same
+    way (1/2^n_planes of the pair space per bucket), with the same
+    one-BLAS-matmul-per-block kernel. Cross-bucket pairs are missed by
+    construction (that's the recall/cost dial: more planes = smaller
+    blocks = lower recall)."""
+    planes = lsh_hyperplanes(n_planes, dim)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    return embedding_near_dup_pairs(bucketed, threshold, block_col="bucket")
 
 
 def cosine_range(embeddings: DataFrame, query_vec_id: int = 0, threshold: float = 0.3) -> DataFrame:

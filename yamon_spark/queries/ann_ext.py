@@ -86,3 +86,95 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import pq_topk
 
     return pq_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, topk=10, m=_M, k=_K, sub_dim=_SUB)
+
+
+def _bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    from yamon_spark.operators.similarity import lsh_hyperplanes
+
+    plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
+    return " + ".join(
+        f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
+             THEN {2 ** j} ELSE 0 END)"""
+        for j, h in enumerate(lsh_hyperplanes(n_planes, dim))
+    )
+
+
+@register(
+    "sim_near_dup_lsh",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
+    s AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+      list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
+      list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM (
+      SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s) t
+    WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b
+    """,
+    doc=(
+        "Embedding near-dup pairs blocked by LSH bucket (no-metadata "
+        "blocking): hyperplane buckets bound the pair space, one BLAS "
+        "matmul per bucket."
+    ),
+)
+def near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_near_dup_lsh
+
+    return embedding_near_dup_lsh(table(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+# deterministic synthetic PII appended to each doc so the scrub has real
+# matches to find (the corpus itself is clean lowercase words)
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@example.com from 10.0.',"
+    " CAST(doc_id % 256 AS STRING), '.7 call +1 555 867 53', lpad(CAST(doc_id % 100 AS STRING), 2, '0'),"
+    " ' sid 9', lpad(CAST(doc_id AS STRING), 8, '0'))"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com from 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.7 call +1 555 867 53' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')"
+    " || ' sid 9' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+)
+
+
+def _pii_oracle() -> str:
+    from yamon_spark.operators.curation import PII_PATTERNS
+
+    stages = [f"s AS (SELECT doc_id, {_PII_SUFFIX_DUCK} AS t0 FROM documents)"]
+    sel = []
+    for n, (token, pat) in enumerate(PII_PATTERNS):
+        name = token.strip("<>").lower()
+        # DuckDB string literals: escape via doubled backslash not needed
+        # (no quotes in patterns); count on the pre-scrub text of stage n
+        stages.append(
+            f"p{n} AS (SELECT doc_id, CAST(len(regexp_split_to_array(t{n}, '{pat}')) - 1 AS BIGINT)"
+            f" AS n_{name}, regexp_replace(t{n}, '{pat}', '{token}', 'g') AS t{n + 1}"
+            f" FROM {'s' if n == 0 else f'p{n - 1}'})"
+        )
+        sel.append(f"n_{name}")
+    joins = " ".join(f"JOIN p{n} USING (doc_id)" for n in range(1, len(PII_PATTERNS)))
+    return (
+        "WITH " + ", ".join(stages) + f" SELECT p0.doc_id, t{len(PII_PATTERNS)} AS text_scrubbed, "
+        + ", ".join(sel) + f" FROM p0 {joins} ORDER BY p0.doc_id"
+    )
+
+
+@register(
+    "text_pii_scrub",
+    _pii_oracle(),
+    doc="PII redaction with typed placeholders + per-category counts.",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import pii_scrub
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
+    )
+    return pii_scrub(docs)
