@@ -280,6 +280,21 @@ def dedup_clusters(
     return labels.orderBy("doc_id")
 
 
+def rebalanced_sample(docs: DataFrame) -> DataFrame:
+    """End-to-end mixture rebalancing: compute per-source sampling
+    probabilities (domain_mix) and apply them with the deterministic
+    doc_id hash — the composed keep/drop pass a pipeline actually runs.
+    The |sources|-row probability table broadcasts back onto the corpus
+    scan, so the whole pass is one aggregate + one map-side join."""
+    probs = domain_mix(docs).select("source", "sample_prob")
+    return (
+        docs.join(F.broadcast(probs), "source")
+        .where(sample_hash(F.col("doc_id")) < F.col("sample_prob") * HASH_MOD)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
 # PII patterns scrubbed in order; each is a (token, regex) pair. Pure
 # JVM regexp_replace — no Python in the record path. Order matters:
 # emails before IDs/phones (their digits would half-match), contiguous

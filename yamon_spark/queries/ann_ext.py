@@ -178,3 +178,36 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.expr(_PII_SUFFIX_SPARK).alias("text")
     )
     return pii_scrub(docs)
+
+
+@register(
+    "sample_rebalanced",
+    """
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars // 4 + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source,
+        CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS natural_share,
+        CAST(1.0 AS DOUBLE) / count(*) OVER () AS target_share
+      FROM s
+    ),
+    p AS (
+      SELECT source, round(least(CAST(1.0 AS DOUBLE), target_share / natural_share), 4) AS sample_prob
+      FROM sh
+    ),
+    r AS (SELECT doc_id, lang, source, (doc_id * 2654435761 + 104729) % 1000 AS h FROM documents)
+    SELECT doc_id, lang, source FROM r JOIN p USING (source)
+    WHERE h < sample_prob * 1000 ORDER BY doc_id
+    """,
+    doc=(
+        "Composed mixture rebalancing: domain_mix probabilities applied "
+        "via the deterministic doc hash (agg -> broadcast join -> filter)."
+    ),
+)
+def rebalanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import rebalanced_sample
+
+    return rebalanced_sample(table(spark, sf_dir, "documents"))
