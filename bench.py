@@ -57,7 +57,12 @@ def main() -> None:
         timings[name] = min(timings[name], run_one(name))
 
     total = round(sum(timings.values()), 3)
+    # same transient-contention damping as the queries: measure ingest
+    # twice, keep the faster run (observed 3s -> 19s under host steal)
     ingest = ingest_bench(spark)
+    second = ingest_bench(spark)
+    if second["rows_per_sec"] > ingest["rows_per_sec"]:
+        ingest = second
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,
