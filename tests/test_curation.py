@@ -212,3 +212,31 @@ def test_pii_scrub_patterns_and_order(spark):
     assert out[3]["n_phone"] == 1 and "<PHONE>" in out[3]["text_scrubbed"]
     assert out[4]["text_scrubbed"] == "clean text with no pii at all"
     assert all(out[4][c] == 0 for c in ("n_email", "n_ip", "n_id", "n_phone"))
+
+
+def test_curate_corpus_end_to_end(spark):
+    from yamon_spark.operators.curation import curate_corpus
+
+    good = "the quick brown fox jumps over a lazy dog and runs far away today"
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa of the land"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en", "s1", len(good)),
+            (2, good, "en", "s1", len(good)),  # exact dup of 1 -> dropped
+            (3, "tiny", "en", "s1", 4),  # quality-gated
+            (50, bench, "en", "s2", len(bench)),  # benchmark member (50 % 50 == 0)
+            (51, bench + " x", "en", "s2", len(bench) + 2),  # contaminated copy
+            (52, "one two three of the four five six seven eight nine ten", "en", "s2", 55),
+        ],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    curated, report = curate_corpus(docs, contam_threshold=0.5)
+    rep = {r["stage"]: r["rows"] for r in report.collect()}
+    assert rep["input"] == 6
+    assert rep["quality_gate"] == 5  # doc 3 out
+    assert rep["exact_dedup"] == 4  # doc 2 out (doc 1 survives: min id)
+    assert rep["decontaminate"] == 3  # doc 51 out (full 5-gram overlap)
+    out = {r["doc_id"]: r for r in curated.collect()}
+    assert 2 not in out and 3 not in out and 51 not in out
+    assert 1 in out and out[1]["n_tokens"] == len(good) // 4 + 1
+    assert out[1]["text_scrubbed"] == good  # clean text passes through

@@ -328,6 +328,77 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def curate_corpus(
+    docs: DataFrame,
+    ngram: int = 3,
+    near_dup_threshold: float = 0.5,
+    contam_ngram: int = 5,
+    contam_bench_mod: int = 50,
+    contam_threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """The composed end-to-end curation pass a training pipeline runs:
+
+      quality gate -> exact dedup (canonical survivor) -> near-dup
+      cluster representatives -> benchmark decontamination -> PII scrub
+      -> mixture rebalancing
+
+    Returns ``(curated, report)``: curated docs carry scrubbed text and
+    an estimated token count; the report is a LAZY DataFrame of
+    rows-remaining per stage (one job when collected — per-stage
+    accounting without forcing per-stage actions on the main path).
+
+    Scale shape: every stage reduces to a semi/anti join on doc_id
+    against a filter-stage output, so the corpus text flows through
+    exactly once (the final scrub projection); near-dup clustering is
+    the only iterative stage (dedup_clusters); mixture probabilities
+    aggregate to |sources| rows and broadcast back.
+    """
+
+    def ids(df: DataFrame) -> DataFrame:
+        return df.select("doc_id")
+
+    kept_q = ids(quality_filter(docs).where(F.col("keep") == 1))
+    d1 = docs.join(kept_q, "doc_id", "semi")
+
+    d2 = docs.join(ids(dedup_canonical(d1)), "doc_id", "semi")
+
+    clusters = dedup_clusters(d2, ngram=ngram, threshold=near_dup_threshold)
+    losers = ids(clusters.where(F.col("cluster_id") != F.col("doc_id")))
+    d3 = d2.join(losers, "doc_id", "anti")
+
+    contaminated = ids(
+        contamination_check(
+            d3, ngram=contam_ngram, bench_mod=contam_bench_mod, threshold=contam_threshold
+        ).where(F.col("contaminated") == 1)
+    )
+    d4 = d3.join(contaminated, "doc_id", "anti")
+
+    d5 = d4.join(ids(rebalanced_sample(d4)), "doc_id", "semi")
+
+    scrubbed = pii_scrub(d5)
+    curated = (
+        d5.select("doc_id", "lang", "source", F.expr("n_chars DIV 4 + 1").alias("n_tokens"))
+        .join(scrubbed.select("doc_id", "text_scrubbed"), "doc_id")
+        .orderBy("doc_id")
+    )
+
+    def stage_count(name: str, order: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("rows")).select(
+            F.lit(order).alias("stage_no"), F.lit(name).alias("stage"), "rows"
+        )
+
+    report = (
+        stage_count("input", 0, docs)
+        .unionByName(stage_count("quality_gate", 1, d1))
+        .unionByName(stage_count("exact_dedup", 2, d2))
+        .unionByName(stage_count("near_dup_drop", 3, d3))
+        .unionByName(stage_count("decontaminate", 4, d4))
+        .unionByName(stage_count("rebalance", 5, d5))
+        .orderBy("stage_no")
+    )
+    return curated, report
+
+
 def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     """Vocabulary coverage: fraction of each doc's word occurrences that
     fall in the corpus top-k vocabulary (count desc, word asc tiebreak —
