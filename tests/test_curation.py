@@ -240,3 +240,28 @@ def test_curate_corpus_end_to_end(spark):
     assert 2 not in out and 3 not in out and 51 not in out
     assert 1 in out and out[1]["n_tokens"] == len(good) // 4 + 1
     assert out[1]["text_scrubbed"] == good  # clean text passes through
+
+
+def test_docs_to_shards_bounded_and_deterministic(spark, tmp_path):
+    from yamon_spark.operators.curation import docs_to_shards
+
+    txt = "x" * 399  # 100 tokens/doc
+    docs = spark.createDataFrame(
+        [(i, txt, "en" if i % 2 == 0 else "de", "s", len(txt)) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "shards")
+    manifest = docs_to_shards(docs, out, target_tokens=300, stratum="lang").collect()
+    # 10 docs x 100 tokens per lang, 300-token shards -> shards of 3 docs
+    # (bin of the doc's START offset), last shard holds the remainder
+    by = {(r["lang"], r["shard"]): r for r in manifest}
+    assert all(r["tokens"] <= 300 for r in manifest)
+    assert sum(r["n_docs"] for r in manifest) == 20
+    assert by[("en", 0)]["n_docs"] == 3 and by[("en", 3)]["n_docs"] == 1
+    # identical re-export (determinism): same manifest
+    again = docs_to_shards(docs, out, target_tokens=300, stratum="lang").collect()
+    assert manifest == again
+    # directory layout is the shard index: reading one shard prunes
+    import os
+
+    assert os.path.isdir(os.path.join(out, "lang=en", "shard=0"))

@@ -399,6 +399,43 @@ def curate_corpus(
     return curated, report
 
 
+def docs_to_shards(
+    docs: DataFrame, out_dir: str, target_tokens: int = 1_000_000, stratum: str = "lang"
+) -> DataFrame:
+    """Training-data export: write the corpus as token-bounded shards,
+    partitioned by (stratum, shard). Shard assignment is the same
+    concat-and-chunk cumsum as pack_sequences — deterministic in doc_id
+    order, so re-exports produce identical shards (resumable/idempotent
+    with overwrite). Each shard holds ~target_tokens (+ at most one
+    doc's overshoot). Returns the shard manifest (stratum, shard,
+    n_docs, tokens).
+
+    Scale shape: one window shuffle per stratum for the cumsum, then a
+    partitioned write whose directory layout IS the shard index —
+    readers pull shard N of stratum S as a directory-pruned scan, the
+    same pruning the date layout gives the metrics tables."""
+    tokens = F.expr("n_chars DIV 4 + 1")
+    w = Window.partitionBy(stratum).orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    binned = (
+        docs.withColumn("tokens", tokens)
+        .withColumn("start_tok", start)
+        .withColumn("shard", F.expr(f"start_tok DIV {target_tokens}"))
+        .drop("start_tok")
+    )
+    binned.write.mode("overwrite").partitionBy(stratum, "shard").parquet(out_dir)
+    spark = docs.sparkSession
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(stratum, "shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("tokens"),
+        )
+        .orderBy(stratum, "shard")
+    )
+
+
 def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
     """Vocabulary coverage: fraction of each doc's word occurrences that
     fall in the corpus top-k vocabulary (count desc, word asc tiebreak —

@@ -99,6 +99,27 @@ def token_count(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def winnow_fingerprints(docs: DataFrame, ngram: int = 4, window: int = 4) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprint sets: hash every word n-gram,
+    slide a w-hash window, keep each window's min hash, emit the
+    distinct selected hashes. Guarantees any shared run of
+    ngram+window-1 words between two docs shares a fingerprint —
+    the partial-overlap detector doc_fingerprint's single global min
+    can't provide. Per-doc array ops, shuffle-free; md5-hex ordering is
+    engine-independent so the oracle reproduces selections exactly."""
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram)))
+    hashed = base.select("doc_id", F.transform(shingles, F.md5).alias("h"))
+    widx = F.sequence(F.lit(1), F.greatest(F.size("h") - (window - 1), F.lit(1)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(F.col("h"), i, window)))
+    fps = F.array_distinct(mins)
+    return (
+        hashed.select("doc_id", F.explode(fps).alias("fingerprint"))
+        .orderBy("doc_id", "fingerprint")
+    )
+
+
 def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
     """Document fingerprinting: hash every word n-gram (rolling across the
     doc), keep the min hash as the fingerprint (winnowing-style) plus the

@@ -181,6 +181,33 @@ def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_winnow",
+    r"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    h AS (
+      SELECT doc_id, list_transform(range(1, greatest(len(w) - 3, 1) + 1),
+               i -> md5(array_to_string(w[i:i+3], ' '))) AS hl
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(hl) - 3, 1) + 1),
+               i -> list_min(hl[i:i+3]))) AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fingerprint FROM m ORDER BY doc_id, fingerprint
+    """,
+    doc=(
+        "Winnowing fingerprint sets (MOSS): per-window min of rolling "
+        "4-gram hashes — any shared 7-word run shares a fingerprint."
+    ),
+)
+def winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(table(spark, sf_dir, "documents"), ngram=4, window=4)
+
+
+@register(
     "sample_rebalanced",
     """
     WITH s AS (
