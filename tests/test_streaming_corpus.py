@@ -1,0 +1,75 @@
+"""Streaming corpus ingestion end-to-end: landed JSON docs -> quality
+gate + watermarked digest dedup + PII scrub -> partitioned parquet
+corpus with a rejects side-channel; checkpoint restart processes only
+new files (the same cursor semantics as the metrics pipeline)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from yamon_spark.streaming.corpus import start_corpus_pipeline
+
+GOOD = "the quick brown fox jumps over a lazy dog and runs far away today"
+
+
+def _land(landing, name, docs):
+    landing.mkdir(exist_ok=True)
+    (landing / name).write_text("\n".join(json.dumps(d) for d in docs) + "\n")
+
+
+def _run(spark, tmp_path):
+    q = start_corpus_pipeline(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+
+def test_corpus_pipeline_gates_dedups_scrubs(spark, tmp_path):
+    _land(
+        tmp_path / "landing",
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"},
+            {"doc_id": 2, "text": GOOD, "lang": "en", "source": "s", "ts": "2024-05-01T10:01:00Z"},  # dup
+            {"doc_id": 3, "text": "tiny", "lang": "en", "source": "s", "ts": "2024-05-01T10:02:00Z"},
+            {"doc_id": 4, "text": GOOD + " mail me a.b@example.com ok", "lang": "de", "source": "s",
+             "ts": "2024-05-01T10:03:00Z"},
+            "not json at all",
+        ],
+    )
+    _run(spark, tmp_path)
+
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    rows = {r["doc_id"]: r for r in corpus.collect()}
+    assert set(rows) == {1, 4}  # 2 deduped, 3 quality-gated, bad line dropped
+    assert rows[4]["n_email"] == 1 and "<EMAIL>" in rows[4]["text"]
+    assert rows[1]["text"] == GOOD
+    # partition layout: lang + date directories exist
+    assert (tmp_path / "out" / "corpus" / "lang=en" / "date=2024-05-01").is_dir()
+
+    rejects = spark.read.parquet(str(tmp_path / "out" / "rejects")).collect()
+    assert len(rejects) == 1 and rejects[0]["doc_id"] == 3 and rejects[0]["reason"] == "too_short"
+
+
+def test_corpus_pipeline_checkpoint_resume_and_cross_batch_dedup(spark, tmp_path):
+    base = {"lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"}
+    _land(tmp_path / "landing", "b1.jsonl", [dict(base, doc_id=1, text=GOOD)])
+    _run(spark, tmp_path)
+    # second landing: one duplicate of batch 1 (inside watermark -> dropped
+    # by state), one genuinely new doc
+    _land(tmp_path / "landing", "b2.jsonl", [
+        dict(base, doc_id=10, text=GOOD, ts="2024-05-01T10:05:00Z"),
+        dict(base, doc_id=11, text=GOOD + " but genuinely new words appended here", ts="2024-05-01T10:06:00Z"),
+    ])
+    _run(spark, tmp_path)
+
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    ids = sorted(r["doc_id"] for r in corpus.select("doc_id").collect())
+    assert ids == [1, 11]  # 10 dropped by cross-batch digest state
+    # no duplicate reprocessing of b1 on restart
+    assert corpus.where(F.col("doc_id") == 1).count() == 1

@@ -1,0 +1,113 @@
+"""Streaming corpus ingestion: documents land as JSON lines, flow through
+the curation gates, and append to a curated parquet corpus — the
+training-data twin of the metrics pipeline (SURVEY §2.7 curation suite,
+streaming form).
+
+Stages per micro-batch (fused, one parse — same insert-block shape as
+_fused_metrics_writer):
+  1. parse + schema-gate the landed JSON documents
+  2. quality gate (shuffle-free, same rules as text_quality_filter)
+  3. exact dedup: batch-local digest dedup + cross-batch
+     dropDuplicatesWithinWatermark on the content digest (bounded state:
+     digests inside the watermark horizon, not corpus history)
+  4. PII scrub (shuffle-free)
+  5. append to parquet partitioned by (lang, date), with a rejects
+     side-channel (quality failures with reasons) for pipeline triage.
+
+At 100 TB/day the stateful digest dedup is the only stateful operator;
+its state is bounded by the watermark horizon, and the downstream batch
+dedup_canonical/dedup_clusters passes own full-corpus dedup — streaming
+dedup here is the cheap first line that stops intra-day duplicate
+floods at the door.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+DOC_WIRE_SCHEMA = (
+    StructType()
+    .add("doc_id", "long")
+    .add("text", "string")
+    .add("lang", "string")
+    .add("source", "string")
+    .add("ts", "string")
+)
+
+
+def parse_doc_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """One JSON document per landed line -> typed rows; unparseable lines
+    drop via the null doc_id gate (dead-lettering mirrors
+    wire.parse_rejects)."""
+    parsed = lines.select(F.from_json(F.col(col), DOC_WIRE_SCHEMA).alias("d")).select("d.*")
+    return (
+        parsed.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn("when", F.coalesce(F.to_timestamp("ts"), F.current_timestamp()))
+        .drop("ts")
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+
+
+def stream_documents(spark: SparkSession, landing_dir: str) -> DataFrame:
+    return parse_doc_lines(spark.readStream.text(landing_dir))
+
+
+def start_corpus_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Wire and start the streaming corpus pipeline. Curated docs append
+    to <out_dir>/corpus partitioned by (lang, date); quality rejects to
+    <out_dir>/rejects with their failing rule."""
+    from yamon_spark.operators.curation import pii_scrub, quality_filter
+
+    docs = stream_documents(spark, landing_dir)
+    # cross-batch digest dedup: bounded state inside the watermark
+    docs = docs.withColumn("digest", F.sha2("text", 256))
+    deduped = docs.withWatermark("when", watermark).dropDuplicatesWithinWatermark(["digest"])
+
+    corpus_path = os.path.join(out_dir, "corpus")
+    rejects_path = os.path.join(out_dir, "rejects")
+
+    def write_epoch(batch: DataFrame, _epoch: int) -> None:
+        batch.persist()
+        try:
+            quality = quality_filter(batch).select("doc_id", "reason", "keep")
+            scored = batch.join(quality, "doc_id")
+            kept = scored.where(F.col("keep") == 1).drop("keep", "reason")
+            scrubbed = pii_scrub(kept).select("doc_id", "text_scrubbed", "n_email", "n_ip", "n_id", "n_phone")
+            (
+                kept.join(scrubbed, "doc_id")
+                .withColumn("date", F.to_date("when"))
+                .drop("text")  # scrubbed text IS the corpus text
+                .withColumnRenamed("text_scrubbed", "text")
+                .write.mode("append")
+                .partitionBy("lang", "date")
+                .parquet(corpus_path)
+            )
+            (
+                scored.where(F.col("keep") == 0)
+                .select("doc_id", "lang", "source", "reason", "when")
+                .withColumn("date", F.to_date("when"))
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(rejects_path)
+            )
+        finally:
+            batch.unpersist()
+
+    return (
+        deduped.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
