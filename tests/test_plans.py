@@ -19,7 +19,13 @@ from yamon_spark.queries import all_queries
 
 # deliberate small-build-side nested-loop joins (single broadcast query
 # vector / tiny self-pair table)
-BNLJ_OK = {"q16_cross_join_pairs", "sim_cosine_topk", "ann_range_search", "pq_topk"}
+BNLJ_OK = {
+    "q16_cross_join_pairs",
+    "sim_cosine_topk",
+    "ann_range_search",
+    "pq_topk",
+    "q80_runtime_filter",
+}
 
 
 def _plan(spark, sf_dir, name):

@@ -208,6 +208,43 @@ def winnow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q80_runtime_filter",
+    """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc=(
+        "Runtime-filter-accelerated semi join: a hash-bucket membership "
+        "set (Bloom analogue: false positives possible, false negatives "
+        "impossible) built from the selective customer subset pre-filters "
+        "the orders scan before the exact semi join, killing most "
+        "non-matching rows before any shuffle — the explicit, mergeable "
+        "form of the runtime filters AQE injects into shuffle joins. "
+        "Result stays exact; the oracle is the plain IN-subquery."
+    ),
+)
+def runtime_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rich = table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000).select("c_custkey")
+    orders = table(spark, sf_dir, "orders")
+    buckets = rich.agg(
+        F.collect_set(F.xxhash64("c_custkey") % 8192).alias("bkt")
+    )
+    pre = orders.join(F.broadcast(buckets)).where(
+        F.array_contains(F.col("bkt"), F.xxhash64("o_custkey") % 8192)
+    )
+    exact = pre.join(F.broadcast(rich), pre["o_custkey"] == rich["c_custkey"], "semi")
+    return (
+        exact.groupBy("o_orderstatus")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "sample_rebalanced",
     """
     WITH s AS (
