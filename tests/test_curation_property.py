@@ -1,0 +1,73 @@
+"""Property-based curation invariants (hypothesis):
+
+- Winnowing theorem: two documents sharing a contiguous run of at least
+  ngram + window - 1 words MUST share at least one fingerprint — the
+  guarantee that makes winnowing usable for partial-overlap detection.
+- PII no-leak: after pii_scrub, the scrubbed text contains no substring
+  matching any of the scrub patterns (scrubbing is idempotent-complete,
+  placeholders don't re-trigger patterns).
+
+Examples are batched into one DataFrame per hypothesis case set to keep
+Spark job counts low.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from yamon_spark.operators.curation import PII_PATTERNS, pii_scrub
+from yamon_spark.operators.text import winnow_fingerprints
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_words = st.lists(_word, min_size=1, max_size=30)
+
+NGRAM, WINDOW = 3, 3
+GUARANTEE = NGRAM + WINDOW - 1  # shared run length that must collide
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    prefix_a=_words,
+    prefix_b=_words,
+    shared=st.lists(_word, min_size=GUARANTEE, max_size=GUARANTEE + 4),
+    suffix_a=_words,
+    suffix_b=_words,
+)
+def test_winnowing_shared_run_guarantee(spark, prefix_a, prefix_b, shared, suffix_a, suffix_b):
+    doc_a = " ".join(prefix_a + shared + suffix_a)
+    doc_b = " ".join(prefix_b + shared + suffix_b)
+    docs = spark.createDataFrame(
+        [(0, doc_a, "en", "s", len(doc_a)), (1, doc_b, "en", "s", len(doc_b))], DOC_SCHEMA
+    )
+    fps = winnow_fingerprints(docs, ngram=NGRAM, window=WINDOW).collect()
+    a = {r["fingerprint"] for r in fps if r["doc_id"] == 0}
+    b = {r["fingerprint"] for r in fps if r["doc_id"] == 1}
+    assert a & b, f"no shared fingerprint despite {GUARANTEE}-word shared run"
+
+
+_pii_fragment = st.sampled_from(
+    [
+        "mail me at some.user+x@host-name.example.co ok",
+        "from 10.20.30.40 and 255.255.255.0 nets",
+        "ref 123456789012 and 987654321",
+        "call +1 (555) 123-4567 or 555 867 5309 now",
+        "plain words only here",
+        "",
+    ]
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(frags=st.lists(_pii_fragment, min_size=1, max_size=5))
+def test_pii_scrub_leaves_no_matches(spark, frags):
+    text = " and then ".join(frags)
+    docs = spark.createDataFrame([(0, text, "en", "s", len(text))], DOC_SCHEMA)
+    out = pii_scrub(docs).collect()[0]
+    scrubbed = out["text_scrubbed"]
+    for token, pat in PII_PATTERNS:
+        assert not re.search(pat, scrubbed), f"{token} pattern still matches: {scrubbed!r}"
