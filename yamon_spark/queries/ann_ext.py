@@ -245,6 +245,48 @@ def runtime_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_profile",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars // 4 + 1) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_chars // 4 + 1, 0.50), 4) AS p50_tokens,
+           round(quantile_cont(n_chars // 4 + 1, 0.90), 4) AS p90_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc=(
+        "One-stop corpus profile per language: volume, token mass, token "
+        "percentiles (single array-form sort buffer), source diversity."
+    ),
+)
+def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    tokens = F.expr("n_chars DIV 4 + 1")
+    ps = F.expr("percentile(n_chars DIV 4 + 1, array(0.50D, 0.90D))")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(tokens).cast("bigint").alias("total_tokens"),
+            ps.alias("ps"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round(F.element_at("ps", 1), 4).alias("p50_tokens"),
+            F.round(F.element_at("ps", 2), 4).alias("p90_tokens"),
+            "n_sources",
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "sample_rebalanced",
     """
     WITH s AS (
