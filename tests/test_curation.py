@@ -265,3 +265,18 @@ def test_docs_to_shards_bounded_and_deterministic(spark, tmp_path):
     import os
 
     assert os.path.isdir(os.path.join(out, "lang=en", "shard=0"))
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    # a 40-doc CHAIN (each doc near-dups only its neighbors): plain
+    # min-propagation needs ~40 rounds; pointer jumping must close it
+    # within the default cap and label the whole chain with doc 0
+    texts = []
+    words = [f"w{i}" for i in range(200)]
+    for i in range(40):
+        # doc i = words[3i : 3i+9]: shares 6 of 9 words with doc i+1
+        texts.append(" ".join(words[3 * i : 3 * i + 9]))
+    docs = _docs(spark, [(t, "en", "s") for t in texts])
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, ngram=3, threshold=0.15).collect()}
+    assert len(out) == 40
+    assert set(out.values()) == {0}

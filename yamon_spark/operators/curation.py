@@ -261,13 +261,25 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
+        # (1) neighbor-min: m(x) = min(label(x), labels of neighbors)
         neigh = edges.join(
             labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
         ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
-        new_labels = (
+        mins = (
             labels.unionByName(neigh).groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
-        ).localCheckpoint()
+        ).localCheckpoint()  # materialize once: the jump self-join reads it twice
+        # (2) pointer jump: label(x) <- min(m(x), m(m(x))). Plain
+        # neighbor-min alone converges in O(diameter) rounds — a
+        # 1000-doc duplicate CHAIN would silently time out the cap;
+        # path compression brings any graph to O(log n) rounds.
+        jump = mins.alias("l1").join(
+            mins.alias("l2"), F.col("l1.cluster_id") == F.col("l2.doc_id")
+        ).select(
+            F.col("l1.doc_id").alias("doc_id"),
+            F.least(F.col("l1.cluster_id"), F.col("l2.cluster_id")).alias("cluster_id"),
+        )
+        new_labels = jump.localCheckpoint()
         changed = (
             new_labels.withColumnRenamed("cluster_id", "new_cid")
             .join(labels, "doc_id")
@@ -277,6 +289,11 @@ def dedup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "pathological component diameter; raise max_iter"
+        )
     return labels.orderBy("doc_id")
 
 
