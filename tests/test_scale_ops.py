@@ -220,3 +220,46 @@ def test_pq_encode_and_topk(spark, sf_dir):
     assert len(top) == 10 and 0 not in {r.vec_id for r in top}
     dists = [r.pq_dist for r in top]
     assert dists == sorted(dists)
+
+
+def test_curation_suite_stress_20k_docs(spark):
+    """Curation gates at 40x the dev corpus: synthesized 20k docs flow
+    through quality -> contamination -> vocab coverage -> packing without
+    plan degradation (no interpreted-UDF fallbacks, broadcasts intact)
+    and with sane wall time. Catches accidental O(N^2) regressions the
+    500-doc oracle corpus can't see."""
+    import time
+
+    from pyspark.sql import functions as FF
+
+    from yamon_spark.operators.curation import (
+        contamination_check,
+        pack_sequences,
+        quality_filter,
+        vocab_coverage,
+    )
+
+    words = FF.transform(
+        FF.sequence(FF.lit(0), (FF.col("id") % 40) + 10),
+        lambda i: FF.concat(FF.lit("w"), ((FF.col("id") + i * 37) % 500).cast("string")),
+    )
+    docs = spark.range(20_000).select(
+        FF.col("id").alias("doc_id"),
+        FF.array_join(words, " ").alias("text"),
+        FF.concat(FF.lit("l"), (FF.col("id") % 5).cast("string")).alias("lang"),
+        FF.concat(FF.lit("s"), (FF.col("id") % 20).cast("string")).alias("source"),
+    )
+    docs = docs.withColumn("n_chars", FF.length("text").cast("bigint")).persist()
+    assert docs.count() == 20_000
+
+    t0 = time.perf_counter()
+    assert quality_filter(docs).count() == 20_000
+    scored = contamination_check(docs, ngram=5, bench_mod=50)
+    assert scored.count() == 20_000 - 400  # benchmark members excluded
+    assert vocab_coverage(docs, top_k=100).count() == 20_000
+    assert pack_sequences(docs, ctx_len=2048).agg(FF.sum("n_docs")).first()[0] == 20_000
+    wall = time.perf_counter() - t0
+    docs.unpersist()
+    # generous bound: these are scan-shaped jobs; quadratic regressions
+    # blow far past this even on a contended box
+    assert wall < 120, f"curation stress took {wall:.0f}s"
