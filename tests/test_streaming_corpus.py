@@ -73,3 +73,26 @@ def test_corpus_pipeline_checkpoint_resume_and_cross_batch_dedup(spark, tmp_path
     assert ids == [1, 11]  # 10 dropped by cross-batch digest state
     # no duplicate reprocessing of b1 on restart
     assert corpus.where(F.col("doc_id") == 1).count() == 1
+
+
+def test_engine_corpus_views_and_search(spark, tmp_path):
+    from yamon_spark.engine import Engine
+
+    _land(
+        tmp_path / "landing",
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "text": GOOD, "lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"},
+            {"doc_id": 2, "text": GOOD.replace("fox", "wolf") + " extra", "lang": "de", "source": "s",
+             "ts": "2024-05-01T10:01:00Z"},
+        ],
+    )
+    _run(spark, tmp_path)
+    eng = Engine(spark, str(tmp_path / "out"))
+    eng.register_corpus_views()
+    assert spark.sql("SELECT count(*) FROM corpus").first()[0] == 2
+
+    hits = eng.corpus_search("wolf", lang="de")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan[plan.find("PartitionFilters"):][:200]
+    assert [r["doc_id"] for r in hits.collect()] == [2]

@@ -69,6 +69,37 @@ class Engine:
         self.register_views()
         return self.spark.sql(query)
 
+    # --- corpus side (streaming/corpus.py output) --------------------------
+
+    def register_corpus_views(self) -> None:
+        """Bind the curated corpus + rejects (as written by
+        streaming/corpus.py) as SQL views, when present."""
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        for t in ("corpus", "rejects"):
+            if os.path.isdir(os.path.join(self.data_dir, t)):
+                try:
+                    self.table(t).createOrReplaceTempView(t)
+                except AnalysisException:
+                    # no committed rows yet (only _SUCCESS): no schema
+                    continue
+
+    def corpus_search(
+        self, needle: str, lang: str | None = None, limit: int = 100
+    ) -> DataFrame:
+        """Substring search over the curated corpus: the lang partition
+        prunes at the directory level and the contains() filter pushes
+        into the parquet scan (same pushdown contract as text_search)."""
+        df = self.table("corpus")
+        if lang is not None:
+            df = df.where(F.col("lang") == lang)
+        return (
+            df.where(F.col("text").contains(needle))
+            .select("doc_id", "lang", "source", "text")
+            .orderBy("doc_id")
+            .limit(limit)
+        )
+
     # --- ClickHouse-ism helpers --------------------------------------------
 
     @staticmethod
