@@ -64,3 +64,33 @@ def asof_join_events(events: DataFrame, left_type: str, right_type: str) -> Data
         .select("event_id", "user_id", "asof_event_id")
         .orderBy("event_id")
     )
+
+
+def asof_join_events_tolerance(
+    events: DataFrame, left_type: str, right_type: str, tolerance_us: int
+) -> DataFrame:
+    """As-of with a max-staleness bound: the latest prior ``right_type``
+    event counts only if it happened within ``tolerance_us`` of the left
+    event (the metrics form: "value just before t, but not staler than
+    the scrape interval"). Same single-shuffle union+window shape — the
+    carried timestamp rides along in a second last(ignorenulls) over the
+    SAME window frame (one window pass), and the bound is a post-window
+    projection, not a join."""
+    u = events.where(F.col("event_type").isin(left_type, right_type)).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        F.when(F.col("event_type") == right_type, F.col("event_id")).alias("dep_id"),
+        F.when(F.col("event_type") == right_type, F.unix_micros("ts")).alias("dep_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, -1)
+    carried_id = F.last("dep_id", ignorenulls=True).over(w)
+    carried_us = F.last("dep_us", ignorenulls=True).over(w)
+    fresh = (F.unix_micros("ts") - carried_us) <= tolerance_us
+    return (
+        u.withColumn("asof_event_id", F.when(fresh, carried_id))
+        .where(F.col("event_type") == left_type)
+        .select("event_id", "user_id", "asof_event_id")
+        .orderBy("event_id")
+    )

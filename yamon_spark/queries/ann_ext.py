@@ -317,3 +317,38 @@ def rebalanced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import rebalanced_sample
 
     return rebalanced_sample(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q81_asof_tolerance",
+    """
+    WITH u AS (
+      SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN event_id END AS dep_id,
+             CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS dep_us
+      FROM events WHERE event_type IN ('error', 'purchase')
+    ), w AS (
+      SELECT event_id, ts, user_id, event_type,
+             last_value(dep_id IGNORE NULLS) OVER wdef AS a_id,
+             last_value(dep_us IGNORE NULLS) OVER wdef AS a_us
+      FROM u
+      WINDOW wdef AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           CASE WHEN epoch_us(ts) - a_us <= 3600000000 THEN a_id END AS asof_event_id
+    FROM w WHERE event_type = 'error' ORDER BY event_id
+    """,
+    doc=(
+        "As-of join with a 1-hour staleness bound: latest prior purchase "
+        "per user counts only within tolerance — one union+window pass, "
+        "the bound is a projection, never a join."
+    ),
+)
+def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.asof import asof_join_events_tolerance
+
+    return asof_join_events_tolerance(
+        table(spark, sf_dir, "events"), left_type="error", right_type="purchase",
+        tolerance_us=3_600_000_000,
+    )
