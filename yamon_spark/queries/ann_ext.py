@@ -352,3 +352,46 @@ def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events"), left_type="error", right_type="purchase",
         tolerance_us=3_600_000_000,
     )
+
+
+@register(
+    "domain_mix_temperature",
+    """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars // 4 + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source, tokens,
+        CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS natural_share
+      FROM s
+    )
+    SELECT source, tokens, round(natural_share, 4) AS natural_share,
+           round(pow(natural_share, 0.7)
+                 / sum(pow(natural_share, 0.7)) OVER (), 4) AS temp_share
+    FROM sh ORDER BY source
+    """,
+    doc=(
+        "Temperature-scaled mixture weights (tau=0.7): w_i = share^tau / "
+        "sum(share^tau) — the standard pretraining upsampling knob for "
+        "low-resource domains; aggregates to |sources| rows first."
+    ),
+)
+def domain_mix_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.expr("n_chars DIV 4 + 1")).cast("bigint").alias("tokens")
+    )
+    wall = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(wall)
+    shared = per_src.select("source", "tokens", share.alias("natural_share"))
+    powed = F.pow("natural_share", 0.7)
+    return shared.select(
+        "source",
+        "tokens",
+        F.round("natural_share", 4).alias("natural_share"),
+        F.round(powed / F.sum(powed).over(wall), 4).alias("temp_share"),
+    ).orderBy("source")
