@@ -129,8 +129,9 @@ def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
     # the split into the (interpreted) transform re-tokenizes the doc per
     # element — O(words²); a column reference keeps it O(words). Then
     # explode + md5 in a codegen'd projection + one partial-agg groupBy.
-    spark = docs.sparkSession
-    base = docs.select("doc_id", "text").repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    from yamon_spark.operators.dedup import _spread
+
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
     words = base.select("doc_id", words_col(F.col("text")).alias("w"))
     idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
     shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram)))
