@@ -66,11 +66,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# Names already hash-verified green by the round-1 driver (CORRECTNESS_r01).
+# Names already hash-verified green by the driver (CORRECTNESS_r01 + r02).
 # External verification budgets cover a prefix of the registry, so these sort
 # last: every not-yet-driver-verified entry gets a window slot first. Update
 # this set from CORRECTNESS_r{N} each round to rotate fresh entries in.
 _DRIVER_GREEN: frozenset[str] = frozenset({
+    # round 1 (49 green; q34 re-verified green in round 2)
     "dedup_exact", "q10_inner_join_dims", "q11_left_outer_count",
     "q12_semi_join", "q13_anti_join", "q14_range_join", "q15_asof_join",
     "q16_cross_join_pairs", "q20_hash_agg", "q21_distinct_agg",
@@ -87,6 +88,23 @@ _DRIVER_GREEN: frozenset[str] = frozenset({
     "q73_unpivot", "q74_lateral_explode", "q75_bitmap_distinct",
     "q76_zip_with", "q77_cube_grouping", "q78_median_stats",
     "q79_fuzzy_match", "text_bigrams", "text_search",
+    # round 2 (50/50 green, CORRECTNESS_r02)
+    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_near_dup_pairs",
+    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
+    "multimodal_meta", "multimodal_frames", "multimodal_features",
+    "q01_filter_project", "q02_pushdown_predicates", "q03_distinct",
+    "q30_topk_per_group", "q31_counter_delta", "q32_moving_avg",
+    "q33_running_sum", "q34_counter_rate", "q40_global_topk",
+    "q41_union_distinct", "q42_intersect", "q43_except",
+    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
+    "q63_watermark_late_drop", "q64_stateful_dedup",
+    "q66_hll_rollup_merge", "q67_funnel", "q68_cohort_retention",
+    "q70_scalar_pandas_udf", "q71_grouped_map_zscore", "q72_grouped_agg_udaf",
+    "text_quality_filter", "text_repetition", "contamination_ngram",
+    "sample_stratified", "pack_sequences", "domain_mix",
+    "dedup_canonical", "dedup_clusters", "vocab_coverage",
+    "embed_centroids", "embed_norm_stats", "ann_range_search", "pq_codes",
 })
 
 
