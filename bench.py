@@ -38,9 +38,19 @@ def main() -> None:
             except Exception:  # noqa: BLE001 - warm-up must never fail the bench
                 pass
 
+    # Per-query failure isolation: one broken query must never zero out the
+    # perf signal for the rest (round 3: a single AnalysisException aborted
+    # the whole run and BENCH_r03 recorded no timings). Failures get a -1.0
+    # sentinel in the timings map and are listed under "errors".
+    errors: dict[str, str] = {}
+
     def run_one(name: str) -> float:
         t0 = time.perf_counter()
-        qs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            qs[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
+            return -1.0
         return round(time.perf_counter() - t0, 2)
 
     timings: dict[str, float] = {}
@@ -52,21 +62,27 @@ def main() -> None:
     # on a pure-projection query). Re-measure only the outliers (> 3x the
     # run's median) once and keep the min — genuine heavyweights confirm
     # themselves, contended ones collapse back.
-    med = sorted(timings.values())[len(timings) // 2]
+    ok = sorted(t for t in timings.values() if t >= 0)
+    med = ok[len(ok) // 2] if ok else 0.0
     for name in [n for n, t in timings.items() if t > max(1.5, 3 * med)]:
-        timings[name] = min(timings[name], run_one(name))
+        second = run_one(name)
+        if second >= 0:
+            timings[name] = min(timings[name], second)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
     # same transient-contention damping as the queries: up to 3 ingest
     # measurements, keep the fastest, stop early once clearly healthy
     # (observed 3s -> 19s under host steal; healthy floor ~600k rows/s)
-    ingest = ingest_bench(spark)
-    for _ in range(2):
-        if ingest["rows_per_sec"] > 400_000:
-            break
-        again = ingest_bench(spark)
-        if again["rows_per_sec"] > ingest["rows_per_sec"]:
-            ingest = again
+    try:
+        ingest = ingest_bench(spark)
+        for _ in range(2):
+            if ingest["rows_per_sec"] > 400_000:
+                break
+            again = ingest_bench(spark)
+            if again["rows_per_sec"] > ingest["rows_per_sec"]:
+                ingest = again
+    except Exception as e:  # noqa: BLE001 - ingest failure must not kill the query timings
+        ingest = {"rows_per_sec": -1, "hosts": 50, "error": f"{type(e).__name__}: {e}"[:200]}
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,
@@ -75,6 +91,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
     }
+    if errors:
+        result["errors"] = errors
     # Full result lands in bench_out.json; the stdout contract line must fit
     # a 2000-char tail capture (round 1's line was front-truncated and
     # unparseable), so it is compact-encoded with qNN_* keys shortened to
@@ -90,7 +108,8 @@ def main() -> None:
     # bench_out.json regardless).
     encoded = json.dumps(line, separators=(",", ":"))
     if len(encoded) > 1900:
-        by_cost = sorted(short, key=short.get)
+        # failed queries (sentinel -1.0) stay named — never fold a failure
+        by_cost = sorted((n for n in short if short[n] >= 0), key=short.get)
         folded = 0.0
         while len(encoded) > 1900 and by_cost:
             folded += short.pop(by_cost.pop(0))

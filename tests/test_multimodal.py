@@ -98,3 +98,59 @@ def test_real_frames_and_features(spark, png_media):
     feats = {r.doc_id: r.feature for r in M.extract_features(png_media, dim=4, decode_stub=False).collect()}
     assert all(len(v) == 4 for v in feats.values())
     assert all(0.0 <= x <= 1.0 for v in feats.values() for x in v)
+
+
+def test_sample_video_frames_stub(spark, media):
+    """Stub video codec: 256-byte blocks as frames, every_n sampling,
+    per-frame dims derived deterministically from block bytes."""
+    rows = M.sample_video_frames(media, every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 640 bytes -> 2 blocks -> sampled frame 0 only (every 2nd)
+    assert [r.frame_idx for r in by_doc[1]] == [0]
+    assert by_doc[3][0].frame_idx == 0  # tiny payload still yields one frame
+    for r in rows:
+        assert 16 <= r.width < 80 and 16 <= r.height < 80
+        assert isinstance(r.frame, (bytes, bytearray))
+    # deterministic
+    again = M.sample_video_frames(media, every_n=2).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_video_codec_gates_without_pyav(spark, media):
+    """Sans pyav the real video path must fail loudly, naming the dep."""
+    import importlib.util
+
+    if importlib.util.find_spec("av") is not None:
+        pytest.skip("pyav installed; gate does not fire")
+    with pytest.raises(Exception, match="pyav|decode_stub"):
+        M.sample_video_frames(media, decode_stub=False).collect()
+
+
+def test_real_video_frames(spark):
+    """Real pyav demux path (auto-skips when pyav is absent): encode a
+    tiny synthetic video, round-trip frames through sample_video_frames."""
+    av = pytest.importorskip("av")
+    pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 24
+        stream.pix_fmt = "yuv420p"
+        for i in range(6):
+            arr = np.full((24, 32, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+
+    media = spark.createDataFrame([(1, buf.getvalue())], "doc_id bigint, payload binary")
+    rows = M.sample_video_frames(media, every_n=3, decode_stub=False).collect()
+    assert [r.frame_idx for r in rows] == [0, 3]
+    assert all((r.width, r.height) == (32, 24) for r in rows)

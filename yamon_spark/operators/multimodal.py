@@ -37,6 +37,21 @@ def _pil_image():
             "install it or run with decode_stub=True"
         ) from e
 
+
+def _pyav():
+    """Lazy executor-side pyav import for video-container frame decode
+    (same pattern as _pil_image: only worker environments need the lib,
+    and stub mode keeps the Spark-side plumbing testable without it)."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError as e:  # pragma: no cover - exercised only sans pyav
+        raise NotImplementedError(
+            "video frame decoding requires pyav on the executors; "
+            "install it or run with decode_stub=True"
+        ) from e
+
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sha string, width bigint, height bigint, n_frames bigint"
 )
@@ -171,6 +186,57 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode_stub: bool = True)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = "doc_id bigint, frame_idx bigint, width bigint, height bigint, frame binary"
+
+
+def sample_video_frames(media: DataFrame, every_n: int = 10, decode_stub: bool = True) -> DataFrame:
+    """mapInPandas video frame-sampling: container bytes -> every n-th
+    decoded frame as PNG, with per-frame dims (one output row per frame —
+    the same UDTF-shaped expansion as sample_frames, but through a real
+    video demuxer). Real codec: pyav (lazy executor import) demuxes the
+    container's first video stream and re-encodes kept frames via Pillow.
+    Stub codec: each 256-byte block is one 'frame' whose fake dims derive
+    from the block bytes — deterministic, environment-free plumbing."""
+
+    def video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        av = None if decode_stub else _pyav()
+        if not decode_stub:
+            _pil_image()  # frame.to_image() needs Pillow; fail fast with the dep named
+        for pdf in batches:
+            ids, idxs, ws, hs, frames = [], [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if decode_stub:
+                    n_frames = max(1, len(b) // 256)
+                    for i in range(0, n_frames, every_n):
+                        blk = b[i * 256 : (i + 1) * 256]
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        ws.append(16 + (sum(blk[:4]) % 64) if blk else 16)
+                        hs.append(16 + (sum(blk[4:8]) % 64) if len(blk) > 4 else 16)
+                        frames.append(blk)
+                else:  # pragma: no cover - needs pyav on the executors
+                    with av.open(io.BytesIO(b)) as container:
+                        for i, frame in enumerate(container.decode(video=0)):
+                            if i % every_n:
+                                continue
+                            img = frame.to_image()
+                            buf = io.BytesIO()
+                            img.save(buf, format="PNG")
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            ws.append(img.width)
+                            hs.append(img.height)
+                            frames.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "width": ws, "height": hs, "frame": frames}
+            )
+
+    return media.mapInPandas(video_batches, VIDEO_FRAMES_SCHEMA)
 
 
 FEATURES_SCHEMA = "doc_id bigint, feature array<float>"

@@ -44,10 +44,20 @@ def register(name: str, oracle: str | None, doc: str = ""):
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a testdata table.
 
-    events.parquet carries TIMESTAMP(NANOS) (the reference's DateTime64(9),
-    res/schema.sql:3); Spark has no ns timestamp, so it is read with the
-    nanosAsLong legacy mapping and truncated to µs (integer DIV — exact,
-    no double round-trip), matching the oracle's µs comparison contract.
+    events.parquet carries the reference's DateTime64 event time
+    (res/schema.sql:3, common/metric.go:9-14); the physical parquet
+    encoding has varied across testdata generations, so `ts` is
+    normalized here — in ONE place — to session-tz TIMESTAMP (µs):
+
+    - TIMESTAMP(NANOS): read via the nanosAsLong legacy mapping (Spark
+      has no ns timestamp) and truncated to µs with integer DIV (exact,
+      no double round-trip).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads this as
+      TIMESTAMP_NTZ, which `unix_micros` et al. reject; cast to
+      TIMESTAMP. Semantics-preserving because the session timezone is
+      pinned UTC (yamon_spark/session.py), matching the oracle's
+      naive-UTC convention.
+    - TIMESTAMP(MICROS, isAdjustedToUTC=true): already TIMESTAMP.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -56,55 +66,66 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:  # noqa: BLE001
             pass
         df = spark.read.parquet(path)
-        from pyspark.sql.types import LongType
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            from pyspark.sql import functions as F
-
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
 
-# Names already hash-verified green by the driver (CORRECTNESS_r01 + r02).
-# External verification budgets cover a prefix of the registry, so these sort
-# last: every not-yet-driver-verified entry gets a window slot first. Update
-# this set from CORRECTNESS_r{N} each round to rotate fresh entries in.
+# Names hash-verified green by the driver in SOME round (union of
+# CORRECTNESS_r01..r03 hash_match:true rows). External verification budgets
+# cover a prefix of the registry, so these sort last: every
+# not-yet-driver-verified entry gets a window slot first.
+#
+# Maintenance contract (round-3 lesson: "green once" is NOT "green forever" —
+# the testdata's ts encoding shifted and two ledger-green queries crashed):
+#   1. refresh this set from CORRECTNESS_r{N} each round;
+#   2. REMOVE any entry that errored or regressed so the driver re-hashes it
+#      (this round: q34_counter_rate, q69_time_range_window,
+#      q81_asof_tolerance after the NTZ fix);
+#   3. never list a query the driver has not actually hash-verified
+#      (multimodal_features was err:no_oracle in r2+r3 — rows-only checks
+#      do not qualify);
+#   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
+#      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN: frozenset[str] = frozenset({
-    # round 1 (49 green; q34 re-verified green in round 2)
-    "dedup_exact", "q10_inner_join_dims", "q11_left_outer_count",
-    "q12_semi_join", "q13_anti_join", "q14_range_join", "q15_asof_join",
-    "q16_cross_join_pairs", "q20_hash_agg", "q21_distinct_agg",
-    "q22_approx_distinct", "q23_grouping_sets", "q24_rollup",
-    "q25_gauge_rollup_mv", "q26_counter_rollup_mv", "q27_pivot",
-    "q28_percentiles", "q29_heavy_hitters", "q35_gap_fill",
-    "q36_dist_windows", "q37_histogram", "q38_approx_quantile",
-    "q39_cond_aggs", "q44_union_all", "q45_scalar_subquery",
-    "q46_in_subquery", "q47_exists_correlated", "q48_cte_reuse",
-    "q49_first_last_window", "q50_string_funcs", "q51_datetime_funcs",
-    "q52_math_funcs", "q53_json_extract", "q54_map_tag_ops",
-    "q55_array_funcs", "q56_struct_ops", "q57_conditionals",
-    "q58_regex_funcs", "q65_interval_join", "q69_time_range_window",
-    "q73_unpivot", "q74_lateral_explode", "q75_bitmap_distinct",
-    "q76_zip_with", "q77_cube_grouping", "q78_median_stats",
-    "q79_fuzzy_match", "text_bigrams", "text_search",
-    # round 2 (50/50 green, CORRECTNESS_r02)
-    "dedup_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_topk", "sim_near_dup_pairs",
-    "text_stats", "text_lang_id", "text_token_count", "text_fingerprint",
-    "multimodal_meta", "multimodal_frames", "multimodal_features",
-    "q01_filter_project", "q02_pushdown_predicates", "q03_distinct",
-    "q30_topk_per_group", "q31_counter_delta", "q32_moving_avg",
-    "q33_running_sum", "q34_counter_rate", "q40_global_topk",
-    "q41_union_distinct", "q42_intersect", "q43_except",
-    "q60_tumbling_window", "q61_sliding_window", "q62_session_window",
-    "q63_watermark_late_drop", "q64_stateful_dedup",
-    "q66_hll_rollup_merge", "q67_funnel", "q68_cohort_retention",
-    "q70_scalar_pandas_udf", "q71_grouped_map_zscore", "q72_grouped_agg_udaf",
-    "text_quality_filter", "text_repetition", "contamination_ngram",
-    "sample_stratified", "pack_sequences", "domain_mix",
-    "dedup_canonical", "dedup_clusters", "vocab_coverage",
-    "embed_centroids", "embed_norm_stats", "ann_range_search", "pq_codes",
+    "ann_range_search", "contamination_ngram", "corpus_profile",
+    "dedup_canonical", "dedup_clusters", "dedup_exact", "dedup_jaccard",
+    "dedup_minhash_lsh", "dedup_simhash", "domain_mix",
+    "domain_mix_temperature", "embed_centroids", "embed_norm_stats",
+    "multimodal_frames", "multimodal_meta", "pack_sequences", "pq_codes",
+    "pq_topk", "q01_filter_project", "q02_pushdown_predicates", "q03_distinct",
+    "q10_inner_join_dims", "q11_left_outer_count", "q12_semi_join",
+    "q13_anti_join", "q14_range_join", "q15_asof_join", "q16_cross_join_pairs",
+    "q20_hash_agg", "q21_distinct_agg", "q22_approx_distinct",
+    "q23_grouping_sets", "q24_rollup", "q25_gauge_rollup_mv",
+    "q26_counter_rollup_mv", "q27_pivot", "q28_percentiles",
+    "q29_heavy_hitters", "q30_topk_per_group", "q31_counter_delta",
+    "q32_moving_avg", "q33_running_sum", "q35_gap_fill", "q36_dist_windows",
+    "q37_histogram", "q38_approx_quantile", "q39_cond_aggs", "q40_global_topk",
+    "q41_union_distinct", "q42_intersect", "q43_except", "q44_union_all",
+    "q45_scalar_subquery", "q46_in_subquery", "q47_exists_correlated",
+    "q48_cte_reuse", "q49_first_last_window", "q50_string_funcs",
+    "q51_datetime_funcs", "q52_math_funcs", "q53_json_extract",
+    "q54_map_tag_ops", "q55_array_funcs", "q56_struct_ops", "q57_conditionals",
+    "q58_regex_funcs", "q60_tumbling_window", "q61_sliding_window",
+    "q62_session_window", "q63_watermark_late_drop", "q64_stateful_dedup",
+    "q65_interval_join", "q66_hll_rollup_merge", "q67_funnel",
+    "q68_cohort_retention", "q70_scalar_pandas_udf", "q71_grouped_map_zscore",
+    "q72_grouped_agg_udaf", "q73_unpivot", "q74_lateral_explode",
+    "q75_bitmap_distinct", "q76_zip_with", "q77_cube_grouping",
+    "q78_median_stats", "q79_fuzzy_match", "q80_runtime_filter",
+    "sample_rebalanced", "sample_stratified", "sim_cosine_topk", "sim_ivf_topk",
+    "sim_lsh_topk", "sim_near_dup_lsh", "sim_near_dup_pairs", "text_bigrams",
+    "text_fingerprint", "text_lang_id", "text_pii_scrub", "text_quality_filter",
+    "text_repetition", "text_search", "text_stats", "text_token_count",
+    "text_winnow", "vocab_coverage",
 })
 
 

@@ -429,11 +429,36 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # stub-encoder output has no SQL twin: rows-only driver check
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ), bytes AS (
+      SELECT doc_id, (n + 7) // 8 AS cols,
+        list_transform(range(0, n), i ->
+          16*(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)
+          + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)) AS arr
+      FROM b
+    )
+    SELECT doc_id,
+    CAST(COALESCE(list_sum(arr[0*cols+1 : 1*cols]), 0) AS BIGINT) AS s0,
+    CAST(COALESCE(list_sum(arr[1*cols+1 : 2*cols]), 0) AS BIGINT) AS s1,
+    CAST(COALESCE(list_sum(arr[2*cols+1 : 3*cols]), 0) AS BIGINT) AS s2,
+    CAST(COALESCE(list_sum(arr[3*cols+1 : 4*cols]), 0) AS BIGINT) AS s3,
+    CAST(COALESCE(list_sum(arr[4*cols+1 : 5*cols]), 0) AS BIGINT) AS s4,
+    CAST(COALESCE(list_sum(arr[5*cols+1 : 6*cols]), 0) AS BIGINT) AS s5,
+    CAST(COALESCE(list_sum(arr[6*cols+1 : 7*cols]), 0) AS BIGINT) AS s6,
+    CAST(COALESCE(list_sum(arr[7*cols+1 : 8*cols]), 0) AS BIGINT) AS s7
+    FROM bytes ORDER BY doc_id
+    """,
     doc=(
         "Feature-extraction plumbing: payload -> fixed-dim vector via "
-        "Arrow-batched mapInPandas (the GPU-encoder slot at scale); "
-        "vector scalarized to columns for deterministic hashing."
+        "Arrow-batched mapInPandas (the GPU-encoder slot at scale). The "
+        "stub encoder's chunk-mean feature is scalarized to EXACT integer "
+        "chunk byte-sums (round(f_i * cols * 255), lossless for payloads "
+        "< ~2 MB given float32's 24-bit mantissa) so the oracle — which "
+        "recomputes the sums from hex-decoded utf-8 bytes in DuckDB — "
+        "hash-matches without float tolerance."
     ),
 )
 def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,8 +466,16 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from yamon_spark.operators.multimodal import attach_binary, extract_features
 
-    feats = extract_features(attach_binary(table(spark, sf_dir, "documents")), dim=8)
-    return feats.select(
+    docs = table(spark, sf_dir, "documents")
+    feats = extract_features(attach_binary(docs), dim=8)
+    cols = F.floor((F.octet_length("text") + F.lit(7)) / 8)
+    sized = feats.join(docs.select("doc_id", cols.alias("cols")), "doc_id")
+    return sized.select(
         "doc_id",
-        *[F.round(F.element_at("feature", i + 1).cast("double"), 4).alias(f"f{i}") for i in range(8)],
+        *[
+            F.round(F.element_at("feature", i + 1).cast("double") * F.col("cols") * 255)
+            .cast("bigint")
+            .alias(f"s{i}")
+            for i in range(8)
+        ],
     ).orderBy("doc_id")
