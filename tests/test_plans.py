@@ -116,3 +116,16 @@ def test_partition_pruning_on_date_partitioned_tables(spark, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "2024-05-01" in m.group(1)
     assert df.count() == 50
+
+
+def test_asof_single_shuffle_contract(spark, sf_dir):
+    """The union+window as-of formulation (operators/asof.py) costs exactly
+    ONE hash-partitioned shuffle — the key partition for the window. The
+    trailing Exchange rangepartitioning (the determinism ORDER BY) is the
+    only other exchange allowed. A second hashpartitioning would mean the
+    plan regressed to the range-join+groupBy shape that collapses on
+    dense series."""
+    for name in ("q15_asof_join", "q81_asof_tolerance"):
+        plan = _plan(spark, sf_dir, name)
+        hash_ex = plan.count("Exchange hashpartitioning")
+        assert hash_ex == 1, f"{name}: expected 1 hash shuffle, saw {hash_ex}\n{plan}"

@@ -96,3 +96,50 @@ def test_engine_corpus_views_and_search(spark, tmp_path):
     plan = hits._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "lang" in plan[plan.find("PartitionFilters"):][:200]
     assert [r["doc_id"] for r in hits.collect()] == [2]
+
+
+def test_streaming_batch_dedup_quality_parity(spark, tmp_path):
+    """The streaming pipeline's surviving set must equal the batch
+    curation equivalent on the same slice — the dedup+quality contract
+    shared by streaming/corpus.py and operators/curation.py. Survivor
+    CHOICE within an exact-dup group is engine-dependent (streaming
+    keeps first arrival, dedup_canonical the longest/lowest id), so
+    parity is on content digests, which identical texts share."""
+    from yamon_spark.operators.curation import dedup_canonical, quality_filter
+    from yamon_spark.streaming.corpus import parse_doc_lines
+
+    base = {"lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"}
+    docs = []
+    for i in range(12):
+        text = GOOD + f" extra unique words about topic number {i} here"
+        docs.append(dict(base, doc_id=i, text=text))
+        if i % 3 == 0:  # exact duplicates of every third good doc
+            docs.append(dict(base, doc_id=100 + i, text=text))
+    for i in range(4):  # quality rejects
+        docs.append(dict(base, doc_id=200 + i, text=f"tiny{i}"))
+    _land(tmp_path / "landing", "b1.jsonl", docs)
+    _run(spark, tmp_path)
+
+    corpus = spark.read.parquet(str(tmp_path / "out" / "corpus"))
+    # streaming scrubs text; recompute digests from the original slice by id
+    landed = parse_doc_lines(spark.read.text(str(tmp_path / "landing")))
+    with_digest = landed.withColumn("digest", F.sha2("text", 256))
+    stream_digests = {
+        r.digest
+        for r in with_digest.join(corpus.select("doc_id"), "doc_id", "semi").collect()
+    }
+
+    kept = landed.join(
+        quality_filter(landed).where(F.col("keep") == 1).select("doc_id"), "doc_id", "semi"
+    )
+    batch_digests = {
+        r.digest
+        for r in with_digest.join(
+            dedup_canonical(kept).select("doc_id"), "doc_id", "semi"
+        ).collect()
+    }
+
+    assert stream_digests == batch_digests
+    assert corpus.count() == len(batch_digests) == 12  # one survivor per unique good text
+    rejects = spark.read.parquet(str(tmp_path / "out" / "rejects"))
+    assert sorted(r.doc_id for r in rejects.collect()) == [200, 201, 202, 203]
