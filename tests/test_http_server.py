@@ -1,0 +1,123 @@
+"""Live HTTP ingestion receiver: submit-batch auth, landing-zone
+publication, webhook wrapping, dead-lettered bad JSON, self-metrics —
+and the landed files parsing through the wire parsers into typed rows
+(the full push -> landing -> parse path)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from yamon_spark.sources.http_server import IngestHTTPServer
+
+
+def _post(port: int, path: str, body: bytes, headers: dict | None = None) -> int:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", data=body, headers=headers or {}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+BATCH = {
+    "m": [
+        {"t": "2024-05-01T10:00:00Z", "m": "gauge", "h": "h1", "n": "cpu.load", "v": 1.5, "g": {"dc": "a"}}
+    ],
+    "l": [{"t": "2024-05-01T10:00:00Z", "h": "h1", "s": "sshd", "l": "info", "d": "hello"}],
+    "e": [{"t": "2024-05-01T10:00:00Z", "h": "h1", "e": "deploy", "d": "v2"}],
+}
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = IngestHTTPServer(str(tmp_path / "landing")).start()
+    yield srv
+    srv.stop()
+
+
+def test_submit_batch_lands_and_parses(spark, tmp_path, server):
+    from yamon_spark.sources.wire import parse_batch
+
+    assert _post(server.port, "/v1/submit-batch", json.dumps(BATCH).encode()) == 204
+    streams = parse_batch(spark.read.text(str(tmp_path / "landing" / "submit_batch")))
+    m = streams["metrics"].collect()
+    assert len(m) == 1 and m[0].name == "cpu.load" and m[0].value == 1.5 and m[0].tags["dc"] == "a"
+    assert streams["logs"].collect()[0].service == "sshd"
+    assert streams["events"].collect()[0].type == "deploy"
+
+
+def test_post_data_long_form(spark, tmp_path, server):
+    from yamon_spark.sources.wire import parse_post_data
+
+    body = {"metrics": BATCH["m"], "events": BATCH["e"]}
+    assert _post(server.port, "/v1/data", json.dumps(body).encode()) == 204
+    streams = parse_post_data(spark.read.text(str(tmp_path / "landing" / "post_data")))
+    assert streams["metrics"].collect()[0].name == "cpu.load"
+    assert streams["events"].collect()[0].type == "deploy"
+
+
+def test_webhook_wraps_to_event(spark, tmp_path, server):
+    from yamon_spark.sources.wire import parse_post_data
+
+    assert (
+        _post(
+            server.port,
+            "/v1/webhook",
+            json.dumps({"action": "opened", "number": 7}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        == 204
+    )
+    # urlencoded form: JSON-ish values inline, plain values stay strings
+    assert (
+        _post(
+            server.port,
+            "/v1/webhook",
+            b"count=3&name=alpha",
+            {"Content-Type": "application/x-www-form-urlencoded"},
+        )
+        == 204
+    )
+    events = parse_post_data(spark.read.text(str(tmp_path / "landing" / "post_data")))[
+        "events"
+    ].collect()
+    assert len(events) == 2
+    assert all(e.type == "yamon-agent.webhook" for e in events)
+    payloads = [json.loads(e.data) for e in events]
+    assert {"action": "opened", "number": 7} in payloads
+    assert {"count": 3, "name": "alpha"} in payloads
+    assert all(e.tags["content-type"] for e in events)
+
+
+def test_bad_json_dead_letters(tmp_path, server):
+    assert _post(server.port, "/v1/submit-batch", b"{not json") == 400
+    rejects = list((tmp_path / "landing" / "rejects").iterdir())
+    assert len(rejects) == 1 and rejects[0].read_text().startswith("{not json")
+
+
+def test_submit_batch_auth(tmp_path):
+    srv = IngestHTTPServer(str(tmp_path / "landing"), keys={"agent1": "s3cret"}).start()
+    try:
+        body = json.dumps(BATCH).encode()
+        assert _post(srv.port, "/v1/submit-batch", body) == 401
+        assert _post(srv.port, "/v1/submit-batch", body, {"Authorization": "agent1:wrong"}) == 401
+        assert _post(srv.port, "/v1/submit-batch", body, {"Authorization": "nobody:s3cret"}) == 401
+        assert _post(srv.port, "/v1/submit-batch", body, {"Authorization": "agent1:s3cret"}) == 204
+        # /v1/data is the agent-local endpoint: no auth gate (agent/http.go)
+        assert _post(srv.port, "/v1/data", json.dumps({"metrics": BATCH["m"]}).encode()) == 204
+    finally:
+        srv.stop()
+
+
+def test_self_metrics_exposition(server):
+    _post(server.port, "/v1/data", json.dumps({"metrics": BATCH["m"]}).encode())
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
+        text = resp.read().decode()
+    assert "# TYPE yamon_http_requests_total counter" in text
+    assert 'yamon_http_requests_total{endpoint="/v1/data",status="204"} 1' in text

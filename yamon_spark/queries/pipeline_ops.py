@@ -428,6 +428,49 @@ def multimodal_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_frames",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ), bytes AS (
+      SELECT doc_id, n,
+        list_transform(range(0, n), i ->
+          16*(strpos('0123456789ABCDEF', substr(h, 2*i+1, 1))-1)
+          + (strpos('0123456789ABCDEF', substr(h, 2*i+2, 1))-1)) AS arr
+      FROM b
+    ), f AS (
+      SELECT doc_id, n, arr, unnest(range(0, greatest(n // 256, 1), 2)) AS idx
+      FROM bytes
+    )
+    SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx,
+      CAST(16 + (COALESCE(list_sum(arr[idx*256+1 : idx*256+4]), 0) % 64) AS BIGINT) AS width,
+      CAST(CASE WHEN n - idx*256 > 4
+           THEN 16 + (COALESCE(list_sum(arr[idx*256+5 : idx*256+8]), 0) % 64)
+           ELSE 16 END AS BIGINT) AS height,
+      CAST(least(256, n - idx*256) AS BIGINT) AS n_bytes
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "Video frame-sampling plumbing (pyav slot): container bytes -> "
+        "every 2nd 256-byte stub frame with per-frame dims via "
+        "mapInPandas; oracle recomputes frame indices, dims (block-byte "
+        "sums mod 64) and byte counts from hex-decoded utf-8 bytes."
+    ),
+)
+def multimodal_video_frames_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.multimodal import attach_binary, sample_video_frames
+
+    frames = sample_video_frames(attach_binary(table(spark, sf_dir, "documents")), every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", "width", "height",
+        F.octet_length("frame").cast("bigint").alias("n_bytes"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "multimodal_features",
     """
     WITH b AS (
