@@ -121,3 +121,39 @@ def test_self_metrics_exposition(server):
         text = resp.read().decode()
     assert "# TYPE yamon_http_requests_total counter" in text
     assert 'yamon_http_requests_total{endpoint="/v1/data",status="204"} 1' in text
+
+
+def test_http_push_to_streaming_pipeline_end_to_end(spark, tmp_path, server):
+    """The full agent story over a real socket: HTTP POST -> atomic
+    landing file -> Structured Streaming pipeline (readStream.text ->
+    wire parse -> detail sinks + 1-min rollup MVs) -> parquet tables."""
+    from yamon_spark.streaming.pipeline import PipelineConfig, run_pipeline_once
+
+    for host in ("h1", "h2"):
+        batch = {
+            "m": [
+                {"t": "2024-05-01T10:00:05Z", "m": "gauge", "h": host, "n": "cpu.load", "v": 1.0},
+                {"t": "2024-05-01T10:00:35Z", "m": "gauge", "h": host, "n": "cpu.load", "v": 3.0},
+                {"t": "2024-05-01T10:00:40Z", "m": "counter", "h": host, "n": "net.rx", "v": 10.0},
+            ],
+            "l": [{"t": "2024-05-01T10:00:06Z", "h": host, "s": "app", "l": "info", "d": "up"}],
+        }
+        assert _post(server.port, "/v1/submit-batch", json.dumps(batch).encode()) == 204
+
+    run_pipeline_once(
+        spark,
+        PipelineConfig(
+            landing_dir=str(tmp_path / "landing" / "submit_batch"),
+            out_dir=str(tmp_path / "store"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            watermark=None,  # availableNow run: emit all windows at end of input
+        ),
+    )
+
+    metrics = spark.read.parquet(str(tmp_path / "store" / "metrics"))
+    assert metrics.count() == 6
+    gauge = spark.read.parquet(str(tmp_path / "store" / "metrics_gauge_lts"))
+    rows = {(r.host, r.name): r.value for r in gauge.collect()}
+    assert rows[("h1", "cpu.load")] == 2.0  # 1-min avg of 1.0 and 3.0
+    logs = spark.read.parquet(str(tmp_path / "store" / "logs"))
+    assert logs.count() == 2

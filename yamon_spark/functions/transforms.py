@@ -33,11 +33,17 @@ from pyspark.sql import functions as F
 def metadata_filter(hostname: str, static_tags: dict[str, str] | None = None) -> Callable[[DataFrame], DataFrame]:
     """Overwrite ``host`` with the agent hostname and merge static config
     tags into ``tags`` (static wins on key collision — the reference's
-    map-assignment loop, writer.go:27-35)."""
+    map-assignment loop, writer.go:27-35).
+
+    The host stamp is the AGENT-side identity transform; a server-side
+    pipeline ingesting multi-host submit batches must keep each record's
+    own host (the forward server never re-stamps). Empty ``hostname``
+    therefore means "no agent identity": hosts pass through untouched
+    while static tags still merge."""
     static_tags = static_tags or {}
 
     def apply(df: DataFrame) -> DataFrame:
-        out = df.withColumn("host", F.lit(hostname))
+        out = df.withColumn("host", F.lit(hostname)) if hostname else df
         if static_tags:
             lit_tags = F.create_map(*[F.lit(x) for kv in static_tags.items() for x in kv])
             static_keys = F.array(*[F.lit(k) for k in static_tags])
