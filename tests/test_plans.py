@@ -25,6 +25,7 @@ BNLJ_OK = {
     "ann_range_search",
     "pq_topk",
     "q80_runtime_filter",
+    "text_bm25",  # broadcast of the ONE corpus-stats row
 }
 
 

@@ -144,3 +144,55 @@ def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bm25_scores(
+    docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 ranked retrieval over the documents corpus for a fixed term
+    set — the scoring layer the reference's log-search surface
+    (res/schema.sql:93-98 ORDER BY + bloom indexes) implies once search
+    results need ranking, and a standard training-data retrieval tool
+    (benchmark decontamination lookups, nearest-corpus queries).
+
+    Scale shape: per-doc term frequencies are pure codegen'd array ops
+    (no explode, no shuffle); corpus statistics (N, avgdl, per-term doc
+    freq) reduce to ONE aggregate row that broadcasts back, so the whole
+    plan costs a single partial-agg reduction regardless of corpus size.
+    Tokenization is lowercase + non-alphanumeric split, chosen to be
+    expressible identically in SQL engines (DuckDB oracle parity)."""
+    w = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    base = docs.select("doc_id", w.alias("w")).withColumn(
+        "dl", F.size("w").cast("double")
+    )
+    def tf_col(term: str):
+        # single-arg lambda: a 2-arg lambda would be read as (elem, index)
+        return F.size(F.filter(F.col("w"), lambda x: x == F.lit(term)))
+
+    for i, t in enumerate(terms):
+        base = base.withColumn(f"tf{i}", tf_col(t).cast("double"))
+    base = base.drop("w")
+
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("double")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def part(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        norm = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (k1 + 1.0) / norm).otherwise(F.lit(0.0))
+
+    score = part(0)
+    for i in range(1, len(terms)):
+        score = score + part(i)
+    hit = F.greatest(*[F.col(f"tf{i}") for i in range(len(terms))]) > 0
+    return scored.where(hit).select("doc_id", score.alias("bm25"))

@@ -268,6 +268,49 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bm25",
+    """
+    WITH w AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+      FROM documents
+    ), t AS (
+      SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl,
+        CAST(len(list_filter(w, x -> x = 'data')) AS DOUBLE) AS tf0,
+        CAST(len(list_filter(w, x -> x = 'model')) AS DOUBLE) AS tf1,
+        CAST(len(list_filter(w, x -> x = 'spark')) AS DOUBLE) AS tf2
+      FROM w
+    ), s AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+        sum(CASE WHEN tf0 > 0 THEN 1.0 ELSE 0.0 END) AS df0,
+        sum(CASE WHEN tf1 > 0 THEN 1.0 ELSE 0.0 END) AS df1,
+        sum(CASE WHEN tf2 > 0 THEN 1.0 ELSE 0.0 END) AS df2
+      FROM t
+    )
+    SELECT doc_id, ROUND(
+        (CASE WHEN tf0 > 0 THEN ln((n_docs - df0 + 0.5)/(df0 + 0.5) + 1.0) * tf0 * 2.2 / (tf0 + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
+      + (CASE WHEN tf1 > 0 THEN ln((n_docs - df1 + 0.5)/(df1 + 0.5) + 1.0) * tf1 * 2.2 / (tf1 + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END)
+      + (CASE WHEN tf2 > 0 THEN ln((n_docs - df2 + 0.5)/(df2 + 0.5) + 1.0) * tf2 * 2.2 / (tf2 + 1.2*(0.25 + 0.75*dl/avgdl)) ELSE 0.0 END), 4) AS bm25
+    FROM t, s
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY doc_id
+    """,
+    doc=(
+        "BM25 ranked retrieval (k1=1.2, b=0.75) for the fixed query "
+        "{data, model, spark}: per-doc tf via codegen'd array ops, corpus "
+        "stats (N, avgdl, df) as ONE broadcast aggregate row - a single "
+        "reduction regardless of corpus size."
+    ),
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import bm25_scores
+
+    d = table(spark, sf_dir, "documents")
+    scored = bm25_scores(d, ["data", "model", "spark"])
+    return scored.select("doc_id", F.round("bm25", 4).alias("bm25")).orderBy("doc_id")
+
+
+@register(
     "text_search",
     """
     SELECT lang, count(*) AS cnt,
