@@ -157,3 +157,29 @@ def test_http_push_to_streaming_pipeline_end_to_end(spark, tmp_path, server):
     assert rows[("h1", "cpu.load")] == 2.0  # 1-min avg of 1.0 and 3.0
     logs = spark.read.parquet(str(tmp_path / "store" / "logs"))
     assert logs.count() == 2
+
+
+def test_engine_serve_composition(spark, tmp_path):
+    """engine.serve(): live receiver + continuously-triggered pipeline +
+    Engine facade, composed like the reference's server command. Push
+    over HTTP, let the micro-batch fire, query through the engine."""
+    from yamon_spark.engine import serve
+
+    receiver, queries, engine = serve(
+        spark,
+        data_dir=str(tmp_path / "store"),
+        landing_dir=str(tmp_path / "landing"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        batch = {"m": [{"t": "2024-05-01T10:00:05Z", "m": "gauge", "h": "h9", "n": "mem.used", "v": 7.0}]}
+        assert _post(receiver.port, "/v1/submit-batch", json.dumps(batch).encode()) == 204
+        for q in queries:
+            q.processAllAvailable()
+        rows = engine.table("metrics").collect()
+        assert len(rows) == 1 and rows[0].host == "h9" and rows[0].value == 7.0
+    finally:
+        receiver.stop()
+        for q in queries:
+            q.stop()

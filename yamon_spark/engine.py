@@ -208,3 +208,41 @@ class Engine:
             .agg(agg.alias("value"))
             .select("when", "host", "name", "value", F.map_from_entries("tag_entries").alias("tags"))
         )
+
+
+def serve(
+    spark: SparkSession,
+    data_dir: str,
+    landing_dir: str,
+    checkpoint_dir: str,
+    keys: dict[str, str] | None = None,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    trigger: dict | None = None,
+):
+    """The reference's ``yamon server`` composed end-to-end (cmd server
+    wiring: forward server -> writer -> ClickHouse; here: HTTP receiver
+    -> landing zone -> Structured Streaming -> parquet tables + rollup
+    MVs). Returns ``(receiver, queries, engine)``: the live HTTP
+    receiver (``receiver.port``), the running streaming queries, and an
+    Engine bound to the written tables.
+
+    Scale note: the receiver scales horizontally (any number of
+    receivers appending to the same landing zone / object-store prefix);
+    the streaming side scales with executors. Neither knows about the
+    other beyond the directory contract."""
+    from yamon_spark.sources.http_server import SUBMIT_BATCH_DIR, IngestHTTPServer
+    from yamon_spark.streaming.pipeline import PipelineConfig, start_pipeline
+
+    receiver = IngestHTTPServer(landing_dir, keys=keys, host=host, port=port).start()
+    cfg = PipelineConfig(
+        landing_dir=os.path.join(landing_dir, SUBMIT_BATCH_DIR),
+        out_dir=data_dir,
+        checkpoint_dir=checkpoint_dir,
+        trigger=trigger or {"processingTime": "5 seconds"},
+    )
+    # the file source needs the directory to exist before the stream starts
+    os.makedirs(cfg.landing_dir, exist_ok=True)
+    queries = start_pipeline(spark, cfg)
+    engine = Engine(spark, data_dir)
+    return receiver, queries, engine
