@@ -130,3 +130,19 @@ def test_asof_single_shuffle_contract(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         hash_ex = plan.count("Exchange hashpartitioning")
         assert hash_ex == 1, f"{name}: expected 1 hash shuffle, saw {hash_ex}\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """Scans must read only the projected columns (ReadSchema pruning):
+    a documents scan that drags `text`-adjacent columns into a shuffle
+    is wrong at any corpus size."""
+    for name, want_cols in [
+        ("text_bm25", {"doc_id", "text"}),
+        ("corpus_shuffle", {"doc_id"}),
+    ]:
+        plan = _plan(spark, sf_dir, name)
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+        assert schemas, f"{name}: no parquet scan found"
+        for s in schemas:
+            got = {c.split(":")[0] for c in s.split(",") if c}
+            assert got <= want_cols, f"{name}: scan reads {got}, want subset of {want_cols}"

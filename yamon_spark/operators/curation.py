@@ -477,3 +477,27 @@ def vocab_coverage(docs: DataFrame, top_k: int = 100) -> DataFrame:
         .withColumn("vocab_cov", F.col("n_in_vocab").cast("double") / F.col("n_words"))
         .orderBy("doc_id")
     )
+
+
+def corpus_shuffle(docs: DataFrame, n_shards: int = 8, salt: str = "42") -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    export: every doc gets a pseudorandom-but-reproducible position
+    (md5 of the salted doc id — identical across engines, retries, and
+    cluster sizes, unlike RNG- or partition-index-based shuffles), a
+    shard = first-8-hex-digits mod n_shards, and a position within its
+    shard. The training loader reads shards in order and gets a stable
+    global permutation; changing the salt reshuffles every epoch.
+
+    Scale shape: one hash-partitioned window shuffle on the shard key —
+    shards are hash-uniform by construction, so no skew; within-shard
+    ordering is a per-partition sort. No global sort, no single-reducer
+    stage at any corpus size."""
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + salt)))
+    shard = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % n_shards
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

@@ -324,3 +324,30 @@ def range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import cosine_range
 
     return cosine_range(table(spark, sf_dir, "embeddings"), query_vec_id=0, threshold=0.3)
+
+
+@register(
+    "corpus_shuffle",
+    """
+    WITH k AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS key
+      FROM documents
+    ), s AS (
+      SELECT doc_id, key,
+             ('0x' || substr(key, 1, 8))::BIGINT % 8 AS shard
+      FROM k
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id) AS BIGINT) AS pos
+    FROM s ORDER BY shard, pos
+    """,
+    doc=(
+        "Deterministic global shuffle for training export: md5-salted "
+        "key -> hash-uniform shard + in-shard position; reproducible "
+        "across engines/retries, one window shuffle, no global sort."
+    ),
+)
+def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import corpus_shuffle
+
+    return corpus_shuffle(table(spark, sf_dir, "documents"), n_shards=8, salt="42")
