@@ -154,3 +154,12 @@ def test_real_video_frames(spark):
     rows = M.sample_video_frames(media, every_n=3, decode_stub=False).collect()
     assert [r.frame_idx for r in rows] == [0, 3]
     assert all((r.width, r.height) == (32, 24) for r in rows)
+
+
+def test_extract_features_empty_payload(spark):
+    """Empty payloads yield a zero vector (not NaN from a mean of
+    nothing) — the convention the SQL oracle's empty-slice sums imply."""
+    media = spark.createDataFrame([(1, b""), (2, b"abc")], "doc_id bigint, payload binary")
+    rows = {r.doc_id: r.feature for r in M.extract_features(media, dim=4).collect()}
+    assert rows[1] == [0.0, 0.0, 0.0, 0.0]
+    assert all(x == x for x in rows[2])  # no NaN

@@ -258,6 +258,8 @@ def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -
         Image = None if decode_stub else _pil_image()
 
         def chunk_means(arr: "np.ndarray") -> "np.ndarray":
+            if arr.size == 0:  # empty payload: zero vector, not NaN (mean of nothing)
+                return np.zeros(dim, dtype=np.float32)
             pad = (-len(arr)) % dim
             arr = np.pad(arr, (0, pad)).reshape(dim, -1)
             return (arr.mean(axis=1) / 255.0).astype(np.float32)
