@@ -297,3 +297,48 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataFrame:
+    """Cross-document repeated-substring detection — the exact-substring
+    dedup signal ("Deduplicating Training Data Makes Language Models
+    Better" Lee et al. 2022, suffix-array formulation) restated for a
+    shared-nothing engine: hash k-char windows sampled every `stride`
+    chars, find windows occurring in more than one document, and report
+    per-doc repeated-window coverage (the decision input for span
+    trimming / doc dropping).
+
+    Scale shape: window explode is bounded to len/stride rows per doc;
+    both aggregations (per-window distinct-doc count, per-doc coverage)
+    are hash-uniform partial-agg groupBys — no suffix array, no global
+    sort, no skew (md5 keys). The repeated-window set joins back
+    shuffle-partitioned on the same md5 key, so the join reuses the
+    first aggregation's partitioning. A production pass would follow
+    with span-merge trimming per doc (map-only)."""
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
+    n = F.length("text")
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)), F.lit(stride))
+    wins = F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(k))))
+    w = base.select("doc_id", F.explode(wins).alias("h"))
+    repeated = (
+        w.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+        .select("h")
+    )
+    flagged = w.join(repeated, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_repeated")
+    )
+    per_doc = w.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
+    return (
+        per_doc.join(flagged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_windows",
+            F.coalesce(F.col("n_repeated"), F.lit(0)).cast("bigint").alias("n_repeated"),
+            F.round(
+                F.coalesce(F.col("n_repeated"), F.lit(0)).cast("double") / F.col("n_windows"), 4
+            ).alias("rep_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -351,3 +351,34 @@ def corpus_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import corpus_shuffle
 
     return corpus_shuffle(table(spark, sf_dir, "documents"), n_shards=8, salt="42")
+
+
+@register(
+    "dedup_substring",
+    """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 63, 1) + 1, 16)) AS i
+      FROM documents
+    ), w AS (
+      SELECT doc_id, md5(substr(text, CAST(i AS INT), 64)) AS h FROM pos
+    ), rep AS (
+      SELECT h FROM w GROUP BY h HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN h IN (SELECT h FROM rep) THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+           ROUND(sum(CASE WHEN h IN (SELECT h FROM rep) THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS rep_frac
+    FROM w GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Cross-doc repeated-substring coverage (exact-substring dedup "
+        "signal): md5 of 64-char windows every 16 chars; windows in >1 "
+        "doc counted per doc. Hash-uniform groupBys, no suffix array."
+    ),
+)
+def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import substring_dup_stats
+
+    return substring_dup_stats(table(spark, sf_dir, "documents"), k=64, stride=16)
