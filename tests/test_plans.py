@@ -26,6 +26,7 @@ BNLJ_OK = {
     "pq_topk",
     "q80_runtime_filter",
     "text_bm25",  # broadcast of the ONE corpus-stats row
+    "sim_knn_join",  # broadcast of the bounded query-vector batch
 }
 
 

@@ -388,3 +388,33 @@ def ivf_search(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def knn_join(embeddings: DataFrame, query_mod: int = 97, k: int = 3) -> DataFrame:
+    """Batch k-NN join: every query vector (vec_id % query_mod == 0) gets
+    its top-k cosine neighbors among the candidate vectors — the
+    many-queries generalization of cosine_topk and the shape a retrieval
+    or hard-negative-mining pass runs (one batch of queries against the
+    corpus, not one query at a time).
+
+    Scale shape: the query set broadcasts (bounded by query_mod
+    sampling); scoring is a map-side projection over the candidate scan;
+    the only shuffle is the per-query top-k window, partitioned by query
+    id (uniform, |queries| keys). Similarities round to 4dp BEFORE
+    ranking so the (cos_sim, vec_id) order is identical across engines
+    regardless of last-ulp float differences."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = embeddings.where(F.col("vec_id") % query_mod != 0)
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    scored = cand.crossJoin(F.broadcast(q)).select("q_id", "vec_id", sim.alias("cos_sim"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -382,3 +382,32 @@ def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.dedup import substring_dup_stats
 
     return substring_dup_stats(table(spark, sf_dir, "documents"), k=64, stride=16)
+
+
+@register(
+    "sim_knn_join",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0
+    ), s AS (
+      SELECT q.q_id, e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id % 97 <> 0
+    ), r AS (
+      SELECT q_id, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s
+    ), rk AS (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+      FROM r
+    )
+    SELECT q_id, vec_id, cos_sim, rank FROM rk WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    doc=(
+        "Batch k-NN join: top-3 cosine neighbors for EVERY sampled query "
+        "vector in one pass — broadcast query batch, map-side scoring, "
+        "one per-query-id window shuffle."
+    ),
+)
+def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import knn_join
+
+    return knn_join(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
