@@ -27,6 +27,7 @@ BNLJ_OK = {
     "q80_runtime_filter",
     "text_bm25",  # broadcast of the ONE corpus-stats row
     "sim_knn_join",  # broadcast of the bounded query-vector batch
+    "text_unigram_logprob",  # broadcast of the ONE total-count row
 }
 
 

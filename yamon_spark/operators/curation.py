@@ -501,3 +501,32 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 8, salt: str = "42") -> Data
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+def unigram_logprob(docs: DataFrame, top_k: int = 1000) -> DataFrame:
+    """CCNet-style language-model quality score: per-doc mean unigram
+    log-probability under the corpus's own top-k unigram model
+    (out-of-vocabulary words get a half-count floor). Low mean log-prob
+    = improbable word soup (the perplexity filter's decision input);
+    training pipelines threshold on it per language.
+
+    Scale shape: one partial-agg wordcount builds the k-row model, which
+    broadcasts back with the 1-row total for map-side scoring; the
+    per-doc mean is a second partial-agg groupBy. Model size is bounded
+    by top_k, never vocabulary size."""
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("word")).limit(top_k)
+    joined = words.join(F.broadcast(vocab), "word", "left").crossJoin(F.broadcast(total_df))
+    logp = F.when(
+        F.col("cnt").isNotNull(), F.log(F.col("cnt").cast("double") / F.col("total"))
+    ).otherwise(F.log(F.lit(0.5) / F.col("total")))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(F.avg(logp), 4).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )

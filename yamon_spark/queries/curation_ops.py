@@ -411,3 +411,33 @@ def knn_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import knn_join
 
     return knn_join(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+    c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+    v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 1000),
+    j AS (
+      SELECT w.doc_id,
+             CASE WHEN v.cnt IS NOT NULL THEN ln(v.cnt / t.total)
+                  ELSE ln(0.5 / t.total) END AS lp
+      FROM w LEFT JOIN v ON w.word = v.word CROSS JOIN t
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           ROUND(avg(lp), 4) AS mean_logprob
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "CCNet-style perplexity-filter input: per-doc mean unigram "
+        "log-prob under the corpus top-1000 unigram model (OOV = "
+        "half-count floor); k-row model broadcast, two partial-agg "
+        "groupBys."
+    ),
+)
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import unigram_logprob
+
+    return unigram_logprob(table(spark, sf_dir, "documents"), top_k=1000)
