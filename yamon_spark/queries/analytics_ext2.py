@@ -373,3 +373,69 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot(["p_partkey"], ["size", "retailprice"], "metric", "val")
         .orderBy("p_partkey", "metric")
     )
+
+
+@register(
+    "text_pmi",
+    r"""
+    WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+    u AS (SELECT unnest(w) AS word FROM t),
+    uc AS (SELECT word, count(*) AS c FROM u GROUP BY word),
+    tw AS (SELECT CAST(sum(c) AS DOUBLE) AS t_w FROM uc),
+    p AS (SELECT unnest(list_transform(range(1, len(w)), i -> {'x': w[i], 'y': w[i+1]})) AS s FROM t),
+    bc AS (SELECT s.x AS x, s.y AS y, count(*) AS c_xy FROM p GROUP BY s.x, s.y),
+    tb AS (SELECT CAST(sum(c_xy) AS DOUBLE) AS t_b FROM bc),
+    f AS (SELECT * FROM bc WHERE c_xy >= 5)
+    SELECT f.x || ' ' || f.y AS bigram, CAST(f.c_xy AS BIGINT) AS cnt,
+           ROUND(ln((f.c_xy / t_b) / ((ux.c / t_w) * (uy.c / t_w))), 4) AS pmi
+    FROM f JOIN uc ux ON f.x = ux.word JOIN uc uy ON f.y = uy.word
+    CROSS JOIN tw CROSS JOIN tb
+    ORDER BY pmi DESC, bigram LIMIT 20
+    """,
+    doc=(
+        "Top-20 collocations by pointwise mutual information (min bigram "
+        "count 5): unigram + bigram partial-agg counts, the FILTERED "
+        "bigram set broadcast against the unigram table twice, totals as "
+        "two 1-row broadcasts. Rank on rounded PMI for engine parity."
+    ),
+)
+def text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    base = d.select(words_col(F.col("text")).alias("w"))
+    uni = base.select(F.explode("w").alias("word")).groupBy("word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tw = uni.agg(F.sum("c").cast("double").alias("t_w"))
+    pairs = (
+        base.where(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS x, w[i] AS y))")
+            ).alias("p")
+        )
+        .select("p.x", "p.y")
+    )
+    big = pairs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    tb = big.agg(F.sum("c_xy").cast("double").alias("t_b"))
+    filt = F.broadcast(big.where(F.col("c_xy") >= 5))
+    ux = uni.withColumnRenamed("word", "x").withColumnRenamed("c", "c_x")
+    uy = uni.withColumnRenamed("word", "y").withColumnRenamed("c", "c_y")
+    scored = (
+        filt.join(ux, "x").join(uy, "y").crossJoin(F.broadcast(tw)).crossJoin(F.broadcast(tb))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy") / F.col("t_b"))
+            / ((F.col("c_x") / F.col("t_w")) * (F.col("c_y") / F.col("t_w")))
+        ),
+        4,
+    )
+    return (
+        scored.select(
+            F.concat_ws(" ", "x", "y").alias("bigram"),
+            F.col("c_xy").cast("bigint").alias("cnt"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )
