@@ -28,6 +28,7 @@ BNLJ_OK = {
     "text_bm25",  # broadcast of the ONE corpus-stats row
     "sim_knn_join",  # broadcast of the bounded query-vector batch
     "text_unigram_logprob",  # broadcast of the ONE total-count row
+    "text_pmi",  # broadcast of the two 1-row totals
 }
 
 
