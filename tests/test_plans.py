@@ -29,6 +29,7 @@ BNLJ_OK = {
     "sim_knn_join",  # broadcast of the bounded query-vector batch
     "text_unigram_logprob",  # broadcast of the ONE total-count row
     "text_pmi",  # broadcast of the two 1-row totals
+    "hybrid_rank_rrf",  # bm25 stats row + single query vector broadcasts
 }
 
 

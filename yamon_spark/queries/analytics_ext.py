@@ -335,3 +335,96 @@ def text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _register_hybrid_rrf() -> None:
+    """Registered via a builder so the oracle can splice in the already-
+    registered text_bm25 SQL and the shared cosine exprs verbatim —
+    one source of truth for both ranking lists."""
+    from yamon_spark.queries import REGISTRY
+    from yamon_spark.queries.pipeline_ops import _COS_EXPRS
+
+    bm25_sql = REGISTRY["text_bm25"].oracle
+
+    @register(
+        "hybrid_rank_rrf",
+        f"""
+        WITH bm_all AS ({bm25_sql}),
+        bm100 AS (SELECT doc_id, bm25 FROM bm_all ORDER BY bm25 DESC, doc_id LIMIT 100),
+        bmr AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_bm
+                FROM bm100),
+        q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+        cs AS (
+          SELECT e.vec_id AS doc_id, {_COS_EXPRS}
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        ), c_all AS (
+          SELECT doc_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM cs
+        ),
+        c100 AS (SELECT doc_id, cos_sim FROM c_all ORDER BY cos_sim DESC, doc_id LIMIT 100),
+        csr AS (SELECT doc_id,
+                       CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS r_cos
+                FROM c100),
+        f AS (
+          SELECT COALESCE(bmr.doc_id, csr.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + r_bm), 0) + COALESCE(1.0 / (60 + r_cos), 0) AS rrf
+          FROM bmr FULL JOIN csr ON bmr.doc_id = csr.doc_id
+        )
+        SELECT doc_id, ROUND(rrf, 6) AS rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 20
+        """,
+        doc=(
+            "Hybrid retrieval via reciprocal rank fusion (k=60): the BM25 "
+            "lexical list and the cosine dense list each cut to a bounded "
+            "top-100 (TakeOrdered — no global sort), ranks fused "
+            "full-outer. The lists are tiny by construction, so fusion "
+            "cost is independent of corpus size."
+        ),
+    )
+    def hybrid_rrf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from yamon_spark.operators.similarity import cosine_sim
+        from yamon_spark.operators.text import bm25_scores
+
+        docs = table(spark, sf_dir, "documents")
+        bm = (
+            bm25_scores(docs, ["data", "model", "spark"])
+            .select("doc_id", F.round("bm25", 4).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(100)
+        )
+        bmr = bm.withColumn(
+            "r_bm",
+            F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")).cast("bigint"),
+        ).select("doc_id", "r_bm")
+
+        emb = table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+        cs = (
+            emb.where(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("cos_sim"),
+            )
+            .orderBy(F.col("cos_sim").desc(), "doc_id")
+            .limit(100)
+        )
+        csr = cs.withColumn(
+            "r_cos",
+            F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), "doc_id")).cast("bigint"),
+        ).select("doc_id", "r_cos")
+
+        fused = bmr.join(csr, "doc_id", "full").select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+        return (
+            fused.select("doc_id", F.round("rrf", 6).alias("rrf"))
+            .orderBy(F.col("rrf").desc(), "doc_id")
+            .limit(20)
+        )
+
+
+_register_hybrid_rrf()
