@@ -441,3 +441,40 @@ def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import unigram_logprob
 
     return unigram_logprob(table(spark, sf_dir, "documents"), top_k=1000)
+
+
+@register(
+    "sim_ivf_recall",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, e.label, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ), scored AS (
+      SELECT vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s
+    ),
+    bf AS (SELECT vec_id FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10),
+    ivf AS (
+      SELECT vec_id FROM scored WHERE label = (SELECT q_label FROM q)
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM bf WHERE vec_id IN (SELECT vec_id FROM ivf)) AS DOUBLE) / 10.0
+           AS recall_at_10
+    """,
+    doc=(
+        "Index self-evaluation: recall@10 of the single-probe IVF search "
+        "against the brute-force cosine ground truth for the same query — "
+        "the measure-don't-guess gate an ANN index ships with."
+    ),
+)
+def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    bf = cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    ivf = ivf_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    return bf.join(ivf, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
+    )
