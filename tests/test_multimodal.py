@@ -163,3 +163,36 @@ def test_extract_features_empty_payload(spark):
     rows = {r.doc_id: r.feature for r in M.extract_features(media, dim=4).collect()}
     assert rows[1] == [0.0, 0.0, 0.0, 0.0]
     assert all(x == x for x in rows[2])  # no NaN
+
+
+def test_audio_windows_stub(spark):
+    """Stub PCM16 framing: known samples -> exact window RMS."""
+    import struct
+
+    # 96 samples: 64-window every 32 -> 2 windows
+    pcm = struct.pack("<96h", *([100] * 64 + [-200] * 32))
+    media = spark.createDataFrame([(1, pcm), (2, b"\x01")], "doc_id bigint, payload binary")
+    rows = {(r.doc_id, r.win_idx): r for r in M.audio_windows(media, win=64, hop=32).collect()}
+    assert rows[(1, 0)].rms == 100.0  # all-100 window
+    # window 1 = 32x100 + 32x(-200): rms = sqrt((32*100^2 + 32*200^2)/64)
+    assert abs(rows[(1, 1)].rms - 158.1139) < 1e-4
+    assert rows[(1, 0)].n_samples == 96
+    # doc 2: one dangling byte -> zero samples, one empty window, rms 0
+    assert rows[(2, 0)].rms == 0.0 and rows[(2, 0)].n_samples == 0
+
+
+def test_audio_windows_real_wav(spark):
+    """Real path: stdlib wave parses an in-memory 16-bit mono WAV."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(16000)
+        wf.writeframes(struct.pack("<64h", *([1000] * 64)))
+    media = spark.createDataFrame([(1, buf.getvalue())], "doc_id bigint, payload binary")
+    rows = M.audio_windows(media, win=64, hop=32, decode_stub=False).collect()
+    assert len(rows) == 1 and rows[0].rms == 1000.0 and rows[0].n_samples == 64

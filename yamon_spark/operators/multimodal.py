@@ -276,3 +276,56 @@ def extract_features(media: DataFrame, dim: int = 8, decode_stub: bool = True) -
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+AUDIO_WINDOWS_SCHEMA = "doc_id bigint, win_idx bigint, n_samples bigint, rms double"
+
+
+def audio_windows(
+    media: DataFrame, win: int = 400, hop: int = 160, decode_stub: bool = True
+) -> DataFrame:
+    """mapInPandas audio framing: payload -> per-window RMS energy (the
+    front end of any audio featurizer — VAD, loudness normalization,
+    MFCC all start from framed energy). One output row per analysis
+    window (win samples every hop), plus the decoded sample count.
+
+    Real codec: stdlib ``wave`` parses WAV containers (16-bit PCM mono)
+    — no third-party dependency, so the real path runs anywhere. Stub
+    codec: the raw payload bytes are interpreted as little-endian PCM16
+    directly; deterministic and container-free, exercising the same
+    framing math. RMS rounds to 4dp (engine-parity convention)."""
+    import numpy as np
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            ids, idxs, counts, rmss = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if decode_stub:
+                    pcm = b[: len(b) - (len(b) % 2)]
+                else:
+                    with wave.open(io.BytesIO(b)) as wf:
+                        if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                            raise NotImplementedError(
+                                "real audio decoding supports 16-bit PCM mono WAV; "
+                                "other formats need a codec lib or decode_stub=True"
+                            )
+                        pcm = wf.readframes(wf.getnframes())
+                samples = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                n = len(samples)
+                n_wins = max(1, (n - win) // hop + 1) if n >= win else 1
+                for i in range(n_wins):
+                    chunk = samples[i * hop : i * hop + win]
+                    rms = float(np.sqrt(np.mean(chunk * chunk))) if len(chunk) else 0.0
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    counts.append(n)
+                    rmss.append(round(rms, 4))
+            yield pd.DataFrame(
+                {"doc_id": ids, "win_idx": idxs, "n_samples": counts, "rms": rmss}
+            )
+
+    return media.mapInPandas(window_batches, AUDIO_WINDOWS_SCHEMA)

@@ -522,3 +522,52 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(8)
         ],
     ).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_windows",
+    """
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST((nb - nb % 2) / 2 AS BIGINT) AS n,
+        list_transform(range(0, CAST((nb - nb % 2) / 2 AS BIGINT)), k ->
+          CASE WHEN (16*(strpos('0123456789ABCDEF', substr(h, 4*k+3, 1))-1)
+                     + (strpos('0123456789ABCDEF', substr(h, 4*k+4, 1))-1)) * 256
+                    + 16*(strpos('0123456789ABCDEF', substr(h, 4*k+1, 1))-1)
+                    + (strpos('0123456789ABCDEF', substr(h, 4*k+2, 1))-1) >= 32768
+               THEN (16*(strpos('0123456789ABCDEF', substr(h, 4*k+3, 1))-1)
+                     + (strpos('0123456789ABCDEF', substr(h, 4*k+4, 1))-1)) * 256
+                    + 16*(strpos('0123456789ABCDEF', substr(h, 4*k+1, 1))-1)
+                    + (strpos('0123456789ABCDEF', substr(h, 4*k+2, 1))-1) - 65536
+               ELSE (16*(strpos('0123456789ABCDEF', substr(h, 4*k+3, 1))-1)
+                     + (strpos('0123456789ABCDEF', substr(h, 4*k+4, 1))-1)) * 256
+                    + 16*(strpos('0123456789ABCDEF', substr(h, 4*k+1, 1))-1)
+                    + (strpos('0123456789ABCDEF', substr(h, 4*k+2, 1))-1)
+          END) AS arr
+      FROM b
+    ), w AS (
+      SELECT doc_id, n, arr,
+             unnest(range(0, CASE WHEN n >= 64 THEN (n - 64) // 32 + 1 ELSE 1 END)) AS i
+      FROM s
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS win_idx, n AS n_samples,
+           ROUND(sqrt(list_sum(list_transform(arr[i*32+1 : i*32+64],
+                                              x -> CAST(x * x AS DOUBLE)))
+                      / len(arr[i*32+1 : i*32+64])), 4) AS rms
+    FROM w ORDER BY doc_id, win_idx
+    """,
+    doc=(
+        "Audio framing plumbing: payload interpreted as little-endian "
+        "PCM16 -> per-window RMS energy (64-sample windows every 32) via "
+        "Arrow mapInPandas; the oracle decodes the same PCM samples from "
+        "hex-decoded payload bytes. Integer-exact sums + IEEE sqrt make "
+        "the float comparison engine-stable."
+    ),
+)
+def multimodal_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import attach_binary, audio_windows
+
+    wins = audio_windows(attach_binary(table(spark, sf_dir, "documents")), win=64, hop=32)
+    return wins.orderBy("doc_id", "win_idx")
