@@ -76,7 +76,7 @@ def main() -> None:
     try:
         ingest = ingest_bench(spark)
         for _ in range(2):
-            if ingest["rows_per_sec"] > 400_000:
+            if ingest["rows_per_sec"] > 650_000:
                 break
             again = ingest_bench(spark)
             if again["rows_per_sec"] > ingest["rows_per_sec"]:
