@@ -31,6 +31,7 @@ BNLJ_OK = {
     "text_pmi",  # broadcast of the two 1-row totals
     "hybrid_rank_rrf",  # bm25 stats row + single query vector broadcasts
     "sim_ivf_recall",  # single broadcast query vector (both rankings)
+    "q82_deadman",  # broadcast of the ONE horizon row
 }
 
 

@@ -188,3 +188,43 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("dist") >= 0) & (F.col("dist") <= 3))
         .orderBy("pa", "pb")
     )
+
+
+@register(
+    "q82_deadman",
+    """
+    WITH last_seen AS (
+      SELECT user_id, max(epoch_us(ts)) AS last_us, count(*) AS n_events
+      FROM events GROUP BY user_id
+    ), horizon AS (SELECT max(last_us) AS now_us FROM last_seen)
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(now_us - last_us AS BIGINT) AS silence_us,
+           CAST(CASE WHEN now_us - last_us > 3600000000 THEN 1 ELSE 0 END AS INT) AS stale
+    FROM last_seen CROSS JOIN horizon
+    ORDER BY user_id
+    """,
+    doc=(
+        "Deadman / staleness check — which series went silent: per-key "
+        "last event time vs the corpus horizon, stale flag past 1 h. One "
+        "partial-agg groupBy + a 1-row horizon broadcast; the alerting "
+        "query every monitoring engine runs on a schedule (the reference "
+        "agent's 5 s cadence makes silence a first-class failure signal)."
+    ),
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    last_seen = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    horizon = last_seen.agg(F.max("last_us").alias("now_us"))
+    return (
+        last_seen.crossJoin(F.broadcast(horizon))
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (F.col("now_us") - F.col("last_us")).cast("bigint").alias("silence_us"),
+            (F.col("now_us") - F.col("last_us") > 3_600_000_000).cast("int").alias("stale"),
+        )
+        .orderBy("user_id")
+    )
