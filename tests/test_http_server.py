@@ -183,3 +183,31 @@ def test_engine_serve_composition(spark, tmp_path):
         receiver.stop()
         for q in queries:
             q.stop()
+
+
+def test_documents_endpoint_to_corpus_pipeline(spark, tmp_path, server):
+    """Training-data intake over the wire: POST JSONL documents ->
+    landing -> streaming corpus pipeline (quality gate + digest dedup +
+    PII scrub) -> curated (lang, date)-partitioned parquet."""
+    from yamon_spark.streaming.corpus import start_corpus_pipeline
+
+    good = "the quick brown fox jumps over a lazy dog and runs far away today"
+    lines = [
+        json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"}),
+        json.dumps({"doc_id": 2, "text": good, "lang": "en", "source": "s", "ts": "2024-05-01T10:01:00Z"}),
+        "not json",
+        json.dumps({"doc_id": 3, "text": "tiny", "lang": "en", "source": "s", "ts": "2024-05-01T10:02:00Z"}),
+    ]
+    assert _post(server.port, "/v1/documents", "\n".join(lines).encode()) == 204
+    # the bad line dead-lettered, not fatal
+    assert list((tmp_path / "landing" / "rejects").iterdir())
+
+    q = start_corpus_pipeline(
+        spark,
+        str(tmp_path / "landing" / "documents"),
+        str(tmp_path / "corpus_out"),
+        str(tmp_path / "corpus_ckpt"),
+    )
+    q.awaitTermination()
+    corpus = spark.read.parquet(str(tmp_path / "corpus_out" / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1]  # 2 deduped, 3 quality-gated

@@ -42,6 +42,7 @@ from urllib.parse import parse_qs
 SUBMIT_BATCH_DIR = "submit_batch"
 POST_DATA_DIR = "post_data"
 WEBHOOK_DIR = "post_data"  # webhooks are landed as long-form event pushes
+DOCUMENTS_DIR = "documents"
 REJECTS_DIR = "rejects"
 
 
@@ -106,6 +107,29 @@ class IngestHTTPServer:
                     self._land_json(body, SUBMIT_BATCH_DIR, "batch")
                 elif self.path == "/v1/data":
                     self._land_json(body, POST_DATA_DIR, "data")
+                elif self.path == "/v1/documents":
+                    # corpus intake: one JSON document per line (the
+                    # streaming corpus pipeline's wire format). Each line
+                    # validates independently; bad lines dead-letter
+                    # without rejecting the rest of the batch.
+                    good, bad = [], []
+                    for line in body.decode("utf-8", errors="replace").splitlines():
+                        if not line.strip():
+                            continue
+                        try:
+                            json.loads(line)
+                            good.append(line.replace("\n", " "))
+                        except ValueError:
+                            bad.append(line)
+                    if bad:
+                        _publish_line(
+                            os.path.join(outer.landing_root, REJECTS_DIR), "\n".join(bad), "reject"
+                        )
+                    if good:
+                        _publish_line(
+                            os.path.join(outer.landing_root, DOCUMENTS_DIR), "\n".join(good), "docs"
+                        )
+                    self._respond(self.path, 204 if good else 400)
                 elif self.path == "/v1/webhook":
                     line = outer._webhook_line(
                         body,
