@@ -71,3 +71,26 @@ def test_pii_scrub_leaves_no_matches(spark, frags):
     scrubbed = out["text_scrubbed"]
     for token, pat in PII_PATTERNS:
         assert not re.search(pat, scrubbed), f"{token} pattern still matches: {scrubbed!r}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    filler=st.lists(st.text(alphabet="qrstuv", min_size=2, max_size=5), min_size=8, max_size=16),
+    extra=st.integers(min_value=1, max_value=3),
+)
+def test_bm25_tf_monotonic(spark, filler, extra):
+    """Within one corpus, a doc with strictly more query-term occurrences
+    than an otherwise-identical doc (same length) must score higher —
+    BM25's tf term is monotone and idf is always positive."""
+    from yamon_spark.operators.text import bm25_scores
+
+    pad = ["pad"] * extra
+    doc_hi = " ".join(filler + ["data"] * (1 + extra))
+    doc_lo = " ".join(filler + ["data"] + pad)  # same word count, fewer 'data'
+    docs = spark.createDataFrame(
+        [(1, doc_hi), (2, doc_lo), (3, " ".join(filler))],
+        "doc_id bigint, text string",
+    )
+    scores = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["data"]).collect()}
+    assert scores[1] > scores[2]
+    assert 3 not in scores  # no term, no row

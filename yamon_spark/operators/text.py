@@ -194,5 +194,6 @@ def bm25_scores(
     score = part(0)
     for i in range(1, len(terms)):
         score = score + part(i)
-    hit = F.greatest(*[F.col(f"tf{i}") for i in range(len(terms))]) > 0
+    tf_cols = [F.col(f"tf{i}") for i in range(len(terms))]
+    hit = (F.greatest(*tf_cols) if len(tf_cols) > 1 else tf_cols[0]) > 0
     return scored.where(hit).select("doc_id", score.alias("bm25"))

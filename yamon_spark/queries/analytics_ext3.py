@@ -228,3 +228,41 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q83_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n DESC, from_type, to_type
+    """,
+    doc=(
+        "Event-sequence transition matrix (ClickHouse sequence-function "
+        "family): adjacent event-type pairs per user timeline via lead() "
+        "over (user, time) — one window shuffle on the user key, then a "
+        "partial-agg pair count. The Markov-chain input for funnel and "
+        "path analysis."
+    ),
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    return (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "from_type", "to_type")
+    )
