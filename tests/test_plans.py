@@ -32,6 +32,7 @@ BNLJ_OK = {
     "hybrid_rank_rrf",  # bm25 stats row + single query vector broadcasts
     "sim_ivf_recall",  # single broadcast query vector (both rankings)
     "q82_deadman",  # broadcast of the ONE horizon row
+    "sim_truncation_recall",  # single broadcast query vector (both rankings)
 }
 
 

@@ -478,3 +478,62 @@ def ivf_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bf.join(ivf, "vec_id", "left_semi").agg(
         (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
     )
+
+
+@register(
+    "sim_truncation_recall",
+    f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ), full_rank AS (
+      SELECT vec_id FROM (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM s)
+      ORDER BY cs DESC, vec_id LIMIT 10
+    ),
+    qt AS (SELECT q_emb[1:16] AS q_emb FROM q),
+    st AS (
+      SELECT e2.vec_id,
+        list_reduce(list_transform(range(1, 17),
+          i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(qt.q_emb[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        list_reduce(list_transform(e2.embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS na,
+        list_reduce(list_transform(qt.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS nb
+      FROM embeddings e2 CROSS JOIN qt WHERE e2.vec_id <> 0
+    ), trunc_rank AS (
+      SELECT vec_id FROM (SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM st)
+      ORDER BY cs DESC, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM full_rank
+                 WHERE vec_id IN (SELECT vec_id FROM trunc_rank)) AS DOUBLE) / 10.0
+           AS recall_at_10
+    """,
+    doc=(
+        "Dimension-truncation eval (Matryoshka-style): recall@10 of "
+        "16-dim-prefix cosine search against the full 64-dim ground "
+        "truth — the accuracy/cost curve that justifies (or rejects) "
+        "serving truncated embeddings."
+    ),
+)
+def truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import cosine_sim, cosine_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    full = cosine_topk(emb, query_vec_id=0, k=10).select("vec_id")
+
+    q = emb.where(F.col("vec_id") == 0).select(F.slice("embedding", 1, 16).alias("q_emb"))
+    trunc = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.slice("embedding", 1, 16), F.col("q_emb")), 4).alias("cs"),
+        )
+        .orderBy(F.col("cs").desc(), "vec_id")
+        .limit(10)
+        .select("vec_id")
+    )
+    return full.join(trunc, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
+    )
