@@ -211,3 +211,30 @@ def test_documents_endpoint_to_corpus_pipeline(spark, tmp_path, server):
     q.awaitTermination()
     corpus = spark.read.parquet(str(tmp_path / "corpus_out" / "corpus"))
     assert sorted(r.doc_id for r in corpus.collect()) == [1]  # 2 deduped, 3 quality-gated
+
+
+def test_concurrent_posts_land_atomically(spark, tmp_path, server):
+    """The landing contract under concurrency: parallel posts must each
+    produce exactly one complete landing file (tmp+rename publish), with
+    every metric row surviving the wire parse."""
+    import threading
+
+    def push(i: int) -> None:
+        batch = {"m": [{"t": "2024-05-01T10:00:00Z", "m": "gauge", "h": f"h{i}", "n": f"m.{j}", "v": float(j)}
+                       for j in range(5)]}
+        assert _post(server.port, "/v1/submit-batch", json.dumps(batch).encode()) == 204
+
+    threads = [threading.Thread(target=push, args=(i,)) for i in range(20)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    landed = list((tmp_path / "landing" / "submit_batch").glob("*.jsonl"))
+    assert len(landed) == 20
+    assert not list((tmp_path / "landing" / "submit_batch").glob("*.tmp"))
+    from yamon_spark.sources.wire import parse_batch
+
+    metrics = parse_batch(spark.read.text(str(tmp_path / "landing" / "submit_batch")))["metrics"]
+    assert metrics.count() == 100
+    assert metrics.select("host").distinct().count() == 20
