@@ -537,3 +537,93 @@ def truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.join(trunc, "vec_id", "left_semi").agg(
         (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
     )
+
+
+@register(
+    "sim_ivf_recall_batch",
+    """
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), s AS (
+      SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        list_reduce(list_transform(range(1, len(e.embedding) + 1),
+          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.q_emb[i] AS DOUBLE)), (a, b) -> a + b) AS dot,
+        list_reduce(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS na,
+        list_reduce(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS nb
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id % 97 <> 0
+    ), r AS (
+      SELECT q_id, q_label, vec_id, label, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM s
+    ), full_rank AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+        FROM r) t WHERE rk <= 10
+    ), ivf_rank AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+        FROM r WHERE label = q_label) t WHERE rk <= 10
+    ), hits AS (
+      SELECT fr.q_id, count(ir.vec_id) AS n_hit
+      FROM full_rank fr LEFT JOIN ivf_rank ir
+        ON fr.q_id = ir.q_id AND fr.vec_id = ir.vec_id
+      GROUP BY fr.q_id
+    )
+    SELECT ROUND(avg(n_hit / 10.0), 4) AS avg_recall_at_10,
+           CAST(count(*) AS BIGINT) AS n_queries
+    FROM hits
+    """,
+    doc=(
+        "Batch ANN eval: recall@10 of single-probe IVF vs brute force, "
+        "averaged over the whole sampled query batch — the statistically "
+        "honest version of the single-query gate; same broadcast-batch "
+        "scan, two bounded per-query rankings."
+    ),
+)
+def ivf_recall_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import cosine_sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    scored = (
+        emb.where(F.col("vec_id") % 97 != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    full_rank = (
+        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10).select("q_id", "vec_id")
+    )
+    ivf_rank = (
+        scored.where(F.col("label") == F.col("q_label"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 10)
+        .select(F.col("q_id").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    )
+    hits = (
+        full_rank.join(
+            ivf_rank,
+            (F.col("q_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("i_vid").alias("n_hit"))
+    )
+    return hits.agg(
+        F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall_at_10"),
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+    )
