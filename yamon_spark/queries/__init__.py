@@ -78,63 +78,81 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-# Names hash-verified green by the driver in SOME round (union of
-# CORRECTNESS_r01..r03 hash_match:true rows). External verification budgets
-# cover a prefix of the registry, so these sort last: every
-# not-yet-driver-verified entry gets a window slot first.
+# name -> LAST driver round whose CORRECTNESS_r{N}.json recorded a
+# hash_match:true row for it. External verification budgets cover a prefix
+# of the registry, so ordering is: never-verified entries first, then
+# verified ones STALEST-VINTAGE FIRST — the rotation's job once the surface
+# is fully green is re-validating the oldest greens against environment
+# drift (the exact failure mode round 3 hit).
 #
 # Maintenance contract (round-3 lesson: "green once" is NOT "green forever" —
 # the testdata's ts encoding shifted and two ledger-green queries crashed):
-#   1. refresh this set from CORRECTNESS_r{N} each round;
+#   1. refresh this map from CORRECTNESS_r{N} each round (bump the round of
+#      every re-hashed green);
 #   2. REMOVE any entry that errored or regressed so the driver re-hashes it
-#      (this round: q34_counter_rate, q69_time_range_window,
-#      q81_asof_tolerance after the NTZ fix);
+#      as fresh;
 #   3. never list a query the driver has not actually hash-verified
-#      (multimodal_features was err:no_oracle in r2+r3 — rows-only checks
-#      do not qualify);
+#      (rows-only / no-oracle checks do not qualify);
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
-_DRIVER_GREEN: frozenset[str] = frozenset({
-    "ann_range_search", "contamination_ngram", "corpus_profile",
-    "dedup_canonical", "dedup_clusters", "dedup_exact", "dedup_jaccard",
-    "dedup_minhash_lsh", "dedup_simhash", "domain_mix",
-    "domain_mix_temperature", "embed_centroids", "embed_norm_stats",
-    "multimodal_frames", "multimodal_meta", "pack_sequences", "pq_codes",
-    "pq_topk", "q01_filter_project", "q02_pushdown_predicates", "q03_distinct",
-    "q10_inner_join_dims", "q11_left_outer_count", "q12_semi_join",
-    "q13_anti_join", "q14_range_join", "q15_asof_join", "q16_cross_join_pairs",
-    "q20_hash_agg", "q21_distinct_agg", "q22_approx_distinct",
-    "q23_grouping_sets", "q24_rollup", "q25_gauge_rollup_mv",
-    "q26_counter_rollup_mv", "q27_pivot", "q28_percentiles",
-    "q29_heavy_hitters", "q30_topk_per_group", "q31_counter_delta",
-    "q32_moving_avg", "q33_running_sum", "q35_gap_fill", "q36_dist_windows",
-    "q37_histogram", "q38_approx_quantile", "q39_cond_aggs", "q40_global_topk",
-    "q41_union_distinct", "q42_intersect", "q43_except", "q44_union_all",
-    "q45_scalar_subquery", "q46_in_subquery", "q47_exists_correlated",
-    "q48_cte_reuse", "q49_first_last_window", "q50_string_funcs",
-    "q51_datetime_funcs", "q52_math_funcs", "q53_json_extract",
-    "q54_map_tag_ops", "q55_array_funcs", "q56_struct_ops", "q57_conditionals",
-    "q58_regex_funcs", "q60_tumbling_window", "q61_sliding_window",
-    "q62_session_window", "q63_watermark_late_drop", "q64_stateful_dedup",
-    "q65_interval_join", "q66_hll_rollup_merge", "q67_funnel",
-    "q68_cohort_retention", "q70_scalar_pandas_udf", "q71_grouped_map_zscore",
-    "q72_grouped_agg_udaf", "q73_unpivot", "q74_lateral_explode",
-    "q75_bitmap_distinct", "q76_zip_with", "q77_cube_grouping",
-    "q78_median_stats", "q79_fuzzy_match", "q80_runtime_filter",
-    "sample_rebalanced", "sample_stratified", "sim_cosine_topk", "sim_ivf_topk",
-    "sim_lsh_topk", "sim_near_dup_lsh", "sim_near_dup_pairs", "text_bigrams",
-    "text_fingerprint", "text_lang_id", "text_pii_scrub", "text_quality_filter",
-    "text_repetition", "text_search", "text_stats", "text_token_count",
-    "text_winnow", "vocab_coverage",
-})
+_DRIVER_GREEN_ROUND: dict[str, int] = {
+    # r1-vintage (oldest — front of the verified segment)
+    "q10_inner_join_dims": 1, "q11_left_outer_count": 1, "q12_semi_join": 1,
+    "q13_anti_join": 1, "q14_range_join": 1, "q15_asof_join": 1,
+    "q16_cross_join_pairs": 1, "q20_hash_agg": 1, "q21_distinct_agg": 1,
+    "q22_approx_distinct": 1, "q23_grouping_sets": 1, "q24_rollup": 1,
+    "q25_gauge_rollup_mv": 1, "q26_counter_rollup_mv": 1, "q27_pivot": 1,
+    "q28_percentiles": 1, "q29_heavy_hitters": 1, "q35_gap_fill": 1,
+    "q36_dist_windows": 1, "q37_histogram": 1, "q38_approx_quantile": 1,
+    "q39_cond_aggs": 1, "q44_union_all": 1, "q45_scalar_subquery": 1,
+    "q46_in_subquery": 1, "q47_exists_correlated": 1, "q48_cte_reuse": 1,
+    "q49_first_last_window": 1, "q50_string_funcs": 1, "q51_datetime_funcs": 1,
+    "q52_math_funcs": 1, "q53_json_extract": 1, "q54_map_tag_ops": 1,
+    "q55_array_funcs": 1, "q56_struct_ops": 1, "q57_conditionals": 1,
+    "q58_regex_funcs": 1, "q65_interval_join": 1, "q73_unpivot": 1,
+    "q74_lateral_explode": 1, "q75_bitmap_distinct": 1, "q76_zip_with": 1,
+    "q77_cube_grouping": 1, "q78_median_stats": 1, "q79_fuzzy_match": 1,
+    "text_bigrams": 1, "text_search": 1,
+    # r2-vintage
+    "ann_range_search": 2, "dedup_canonical": 2, "dedup_clusters": 2,
+    "domain_mix": 2, "embed_centroids": 2, "embed_norm_stats": 2,
+    "pack_sequences": 2, "pq_codes": 2, "vocab_coverage": 2,
+    # r3-vintage
+    "contamination_ngram": 3, "corpus_profile": 3, "domain_mix_temperature": 3,
+    "pq_topk": 3, "q66_hll_rollup_merge": 3, "q67_funnel": 3,
+    "q68_cohort_retention": 3, "q72_grouped_agg_udaf": 3,
+    "q80_runtime_filter": 3, "sample_rebalanced": 3, "sample_stratified": 3,
+    "sim_near_dup_lsh": 3, "text_pii_scrub": 3, "text_quality_filter": 3,
+    "text_repetition": 3, "text_winnow": 3,
+    # r4-vintage (freshest — back of the queue)
+    "corpus_shuffle": 4, "dedup_exact": 4, "dedup_jaccard": 4,
+    "dedup_minhash_lsh": 4, "dedup_simhash": 4, "dedup_substring": 4,
+    "hybrid_rank_rrf": 4, "multimodal_audio_windows": 4,
+    "multimodal_features": 4, "multimodal_frames": 4, "multimodal_meta": 4,
+    "multimodal_video_frames": 4, "q01_filter_project": 4,
+    "q02_pushdown_predicates": 4, "q03_distinct": 4, "q30_topk_per_group": 4,
+    "q31_counter_delta": 4, "q32_moving_avg": 4, "q33_running_sum": 4,
+    "q34_counter_rate": 4, "q40_global_topk": 4, "q41_union_distinct": 4,
+    "q42_intersect": 4, "q43_except": 4, "q60_tumbling_window": 4,
+    "q61_sliding_window": 4, "q62_session_window": 4,
+    "q63_watermark_late_drop": 4, "q64_stateful_dedup": 4,
+    "q69_time_range_window": 4, "q70_scalar_pandas_udf": 4,
+    "q71_grouped_map_zscore": 4, "q81_asof_tolerance": 4, "q82_deadman": 4,
+    "q83_event_transitions": 4, "sim_cosine_topk": 4, "sim_ivf_recall": 4,
+    "sim_ivf_recall_batch": 4, "sim_ivf_topk": 4, "sim_knn_join": 4,
+    "sim_lsh_topk": 4, "sim_near_dup_pairs": 4, "sim_truncation_recall": 4,
+    "text_bm25": 4, "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
+    "text_stats": 4, "text_token_count": 4, "text_unigram_logprob": 4,
+}
 
 
 def all_queries() -> dict[str, DeclaredQuery]:
     """Import all query modules (side-effect: registration) and return registry.
 
     Returned order is deliberate: entries without a green driver-verification
-    row yet come first (in module registration order), already-verified ones
-    last, so a prefix-bounded verification budget always lands on fresh work.
+    row yet come first (in module registration order), then verified ones
+    stalest-round-first, so a prefix-bounded verification budget lands on
+    fresh work and then on the greens most exposed to environment drift.
     """
     from yamon_spark.queries import (  # noqa: F401
         pipeline_ops,
@@ -154,6 +172,10 @@ def all_queries() -> dict[str, DeclaredQuery]:
         joins,
     )
 
-    fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN}
-    seen = {k: v for k, v in REGISTRY.items() if k in _DRIVER_GREEN}
-    return {**fresh, **seen}
+    fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}
+    reg_order = {k: i for i, k in enumerate(REGISTRY)}
+    seen_names = sorted(
+        (k for k in REGISTRY if k in _DRIVER_GREEN_ROUND),
+        key=lambda k: (_DRIVER_GREEN_ROUND[k], reg_order[k]),
+    )
+    return {**fresh, **{k: REGISTRY[k] for k in seen_names}}
