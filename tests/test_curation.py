@@ -280,3 +280,21 @@ def test_dedup_clusters_long_chain_converges(spark):
     out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs, ngram=3, threshold=0.15).collect()}
     assert len(out) == 40
     assert set(out.values()) == {0}
+
+
+def test_bm25_normalizes_terms_and_rejects_empty(spark):
+    """Query terms go through the documents' own tokenization: "Spark!"
+    must match token "spark" instead of silently scoring tf=0; an
+    all-empty term list raises instead of IndexError (ADVICE r4)."""
+    from yamon_spark.operators.text import bm25_scores
+
+    docs = _docs(spark, [("spark shuffles data", "en", "s"), ("no match here", "en", "s")])
+    plain = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["spark"]).collect()}
+    shouty = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["Spark!"]).collect()}
+    assert plain and plain == shouty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, [])
+    with _pytest.raises(ValueError):
+        bm25_scores(docs, ["!!!"])

@@ -115,6 +115,47 @@ def test_submit_batch_auth(tmp_path):
         srv.stop()
 
 
+def test_auth_rejects_colon_credentials(tmp_path):
+    # reference splits on ':' and rejects != 2 parts (forward_server.go:38-56):
+    # "agent1:a:b" must NOT authenticate against key "a:b"
+    srv = IngestHTTPServer(str(tmp_path / "landing"), keys={"agent1": "a:b"}).start()
+    try:
+        body = json.dumps(BATCH).encode()
+        assert _post(srv.port, "/v1/submit-batch", body, {"Authorization": "agent1:a:b"}) == 401
+    finally:
+        srv.stop()
+
+
+def test_oversized_body_rejected_413(tmp_path, server):
+    from yamon_spark.sources import http_server as hs
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/v1/data",
+        data=b"{}",
+        headers={"Content-Length": str(hs.MAX_BODY_BYTES + 1)},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req):
+            status = 200
+    except urllib.error.HTTPError as e:
+        status = e.code
+    except urllib.error.URLError:
+        status = 413  # server may cut the connection after responding
+    assert status == 413
+    assert not (tmp_path / "landing" / "post_data").exists()
+
+
+def test_unknown_paths_bucket_in_stats(server):
+    for path in ("/nope1", "/nope2", "/nope3"):
+        _post(server.port, path, b"x")
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
+        text = resp.read().decode()
+    # arbitrary client paths must not mint new series on /metrics
+    assert "nope" not in text
+    assert 'yamon_http_requests_total{endpoint="other",status="404"} 3' in text
+
+
 def test_self_metrics_exposition(server):
     _post(server.port, "/v1/data", json.dumps({"metrics": BATCH["m"]}).encode())
     with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:

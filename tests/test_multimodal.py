@@ -181,6 +181,35 @@ def test_audio_windows_stub(spark):
     assert rows[(2, 0)].rms == 0.0 and rows[(2, 0)].n_samples == 0
 
 
+def test_audio_windows_tiny_payload_oracle_parity(spark):
+    """Sub-2-byte payloads hit the oracle's empty-window slice, where
+    DuckDB's list_sum([]) is NULL — the COALESCE must land on the same
+    0.0 the Spark operator emits (ADVICE r4)."""
+    import duckdb
+    import pandas as pd
+
+    from yamon_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    oracle = REGISTRY["multimodal_audio_windows"].oracle
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["x", "", "abcd"]})
+    media = M.attach_binary(
+        spark.createDataFrame(pdf.assign(text=pdf.text.astype(str)))
+    )
+    got = [
+        (r.doc_id, r.win_idx, r.n_samples, r.rms)
+        for r in M.audio_windows(media, win=64, hop=32)
+        .orderBy("doc_id", "win_idx")
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = [tuple(r) for r in con.execute(oracle).fetchall()]
+    assert got == want
+    # the 1-byte and empty docs are the empty-slice rows: rms must be 0.0
+    assert got[0][3] == 0.0 and got[1][3] == 0.0
+
+
 def test_audio_windows_real_wav(spark):
     """Real path: stdlib wave parses an in-memory 16-bit mono WAV."""
     import io

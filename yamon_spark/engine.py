@@ -235,14 +235,19 @@ def serve(
     from yamon_spark.streaming.pipeline import PipelineConfig, start_pipeline
 
     receiver = IngestHTTPServer(landing_dir, keys=keys, host=host, port=port).start()
-    cfg = PipelineConfig(
-        landing_dir=os.path.join(landing_dir, SUBMIT_BATCH_DIR),
-        out_dir=data_dir,
-        checkpoint_dir=checkpoint_dir,
-        trigger=trigger or {"processingTime": "5 seconds"},
-    )
-    # the file source needs the directory to exist before the stream starts
-    os.makedirs(cfg.landing_dir, exist_ok=True)
-    queries = start_pipeline(spark, cfg)
-    engine = Engine(spark, data_dir)
+    try:
+        cfg = PipelineConfig(
+            landing_dir=os.path.join(landing_dir, SUBMIT_BATCH_DIR),
+            out_dir=data_dir,
+            checkpoint_dir=checkpoint_dir,
+            trigger=trigger or {"processingTime": "5 seconds"},
+        )
+        # the file source needs the directory to exist before the stream starts
+        os.makedirs(cfg.landing_dir, exist_ok=True)
+        queries = start_pipeline(spark, cfg)
+        engine = Engine(spark, data_dir)
+    except BaseException:
+        # never leave the receiver accepting data with no consumer behind it
+        receiver.stop()
+        raise
     return receiver, queries, engine

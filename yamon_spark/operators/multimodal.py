@@ -17,6 +17,7 @@ stays stubbed.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -323,7 +324,9 @@ def audio_windows(
                     ids.append(doc_id)
                     idxs.append(i)
                     counts.append(n)
-                    rmss.append(round(rms, 4))
+                    # half-away-from-zero, matching DuckDB/Spark ROUND ties
+                    # (Python round() is half-even — a third convention)
+                    rmss.append(math.floor(rms * 1e4 + 0.5) / 1e4)
             yield pd.DataFrame(
                 {"doc_id": ids, "win_idx": idxs, "n_samples": counts, "rms": rmss}
             )

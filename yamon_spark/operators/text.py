@@ -12,6 +12,8 @@ regexp-split of trimmed text on whitespace runs.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -160,7 +162,12 @@ def bm25_scores(
     freq) reduce to ONE aggregate row that broadcasts back, so the whole
     plan costs a single partial-agg reduction regardless of corpus size.
     Tokenization is lowercase + non-alphanumeric split, chosen to be
-    expressible identically in SQL engines (DuckDB oracle parity)."""
+    expressible identically in SQL engines (DuckDB oracle parity);
+    query terms pass through the SAME normalization, so "Spark!" matches
+    token "spark" instead of silently scoring tf=0."""
+    terms = [t2 for t in terms for t2 in re.split(r"[^a-z0-9]+", t.lower()) if t2]
+    if not terms:
+        raise ValueError("bm25_scores requires at least one non-empty term")
     w = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
     )

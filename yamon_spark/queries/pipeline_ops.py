@@ -553,9 +553,11 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT doc_id, CAST(i AS BIGINT) AS win_idx, n AS n_samples,
-           ROUND(sqrt(list_sum(list_transform(arr[i*32+1 : i*32+64],
+           -- COALESCE guards the empty-window slice (payload < 2 bytes):
+           -- list_sum([]) is NULL in DuckDB, audio_windows emits 0.0
+           COALESCE(ROUND(sqrt(list_sum(list_transform(arr[i*32+1 : i*32+64],
                                               x -> CAST(x * x AS DOUBLE)))
-                      / len(arr[i*32+1 : i*32+64])), 4) AS rms
+                      / len(arr[i*32+1 : i*32+64])), 4), 0.0) AS rms
     FROM w ORDER BY doc_id, win_idx
     """,
     doc=(

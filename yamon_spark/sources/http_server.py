@@ -30,6 +30,7 @@ nothing is silently lost).
 
 from __future__ import annotations
 
+import hmac
 import json
 import os
 import threading
@@ -40,6 +41,10 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs
 
 SUBMIT_BATCH_DIR = "submit_batch"
+# Intake endpoints face untrusted clients: cap accepted bodies so a single
+# request cannot balloon receiver memory (reference relies on chi defaults;
+# http.server has no built-in limit).
+MAX_BODY_BYTES = 32 * 1024 * 1024
 POST_DATA_DIR = "post_data"
 WEBHOOK_DIR = "post_data"  # webhooks are landed as long-form event pushes
 DOCUMENTS_DIR = "documents"
@@ -82,12 +87,24 @@ class IngestHTTPServer:
                 if body:
                     self.wfile.write(body)
 
-            def _read_body(self) -> bytes:
-                return self.rfile.read(int(self.headers.get("Content-Length", 0) or 0))
+            def _read_body(self) -> bytes | None:
+                """Read the request body, or None (413 already sent) when it
+                exceeds MAX_BODY_BYTES. Untrusted Content-Length is never
+                trusted as an allocation size."""
+                try:
+                    length = int(self.headers.get("Content-Length", 0) or 0)
+                except ValueError:
+                    length = 0
+                if length > MAX_BODY_BYTES:
+                    self._respond("other", 413)
+                    return None
+                return self.rfile.read(max(length, 0))
 
             def do_GET(self):  # noqa: N802 - http.server API
                 if self.path != "/metrics":
-                    self._respond(self.path, 404)
+                    # unknown paths share one stats label: arbitrary client
+                    # paths must not grow the Counter (or /metrics) unboundedly
+                    self._respond("other", 404)
                     return
                 lines = [
                     "# TYPE yamon_http_requests_total counter",
@@ -100,6 +117,8 @@ class IngestHTTPServer:
 
             def do_POST(self):  # noqa: N802 - http.server API
                 body = self._read_body()
+                if body is None:  # oversized: 413 already sent
+                    return
                 if self.path == "/v1/submit-batch":
                     if not outer._authorized(self.headers.get("Authorization", "")):
                         self._respond(self.path, 401)
@@ -139,7 +158,7 @@ class IngestHTTPServer:
                     _publish_line(os.path.join(outer.landing_root, WEBHOOK_DIR), line, "webhook")
                     self._respond(self.path, 204)
                 else:
-                    self._respond(self.path, 404)
+                    self._respond("other", 404)
 
             def _land_json(self, body: bytes, subdir: str, prefix: str) -> None:
                 text = body.decode("utf-8", errors="replace")
@@ -164,8 +183,15 @@ class IngestHTTPServer:
     def _authorized(self, auth: str) -> bool:
         if self.keys is None:
             return True
-        name, sep, key = auth.partition(":")
-        return bool(sep) and self.keys.get(name) == key
+        # exactly two ':'-separated parts, like the reference
+        # (forward_server.go:38-56): "name:a:b" is rejected, not treated
+        # as key "a:b"; comparison is constant-time.
+        parts = auth.split(":")
+        if len(parts) != 2:
+            return False
+        name, key = parts
+        expected = self.keys.get(name)
+        return expected is not None and hmac.compare_digest(expected, key)
 
     def _webhook_line(self, body: bytes, content_type: str, remote_addr: str) -> str:
         """Wrap a webhook request as one long-form event push line
