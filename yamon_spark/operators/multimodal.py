@@ -53,6 +53,42 @@ def _pyav():
             "install it or run with decode_stub=True"
         ) from e
 
+def decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """Vendored minimal BMP decoder (pure stdlib): dimensions of an
+    uncompressed Windows bitmap, from the public BITMAPFILEHEADER /
+    BITMAPINFOHEADER / BITMAPCOREHEADER layouts. One REAL container
+    format the codec path can exercise in any environment — Pillow-less
+    CI included — rather than trusting the stub for everything.
+
+    Returns (width, height, n_frames=1); raises ValueError on anything
+    that is not a well-formed uncompressed BMP."""
+    import struct
+
+    if len(b) < 26 or b[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    file_size, pixel_off = struct.unpack_from("<I4xI", b, 2)
+    if file_size != len(b):
+        raise ValueError(f"BMP header size {file_size} != payload size {len(b)}")
+    (dib_size,) = struct.unpack_from("<I", b, 14)
+    if dib_size == 12:  # BITMAPCOREHEADER: u16 dims, always uncompressed
+        width, height, _planes, bpp = struct.unpack_from("<HHHH", b, 18)
+    elif dib_size >= 40:  # BITMAPINFOHEADER and extensions: i32 dims
+        if len(b) < 14 + 40:
+            raise ValueError("truncated BITMAPINFOHEADER")
+        width, height, _planes, bpp, compression = struct.unpack_from("<iiHHI", b, 18)
+        if compression != 0:  # BI_RGB only — this decoder is 'uncompressed'
+            raise ValueError(f"unsupported BMP compression {compression}")
+        height = abs(height)  # negative = top-down row order, same dims
+    else:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    if width <= 0 or height <= 0 or bpp not in (1, 4, 8, 16, 24, 32):
+        raise ValueError(f"implausible BMP geometry {width}x{height}@{bpp}bpp")
+    row_bytes = (width * bpp + 31) // 32 * 4  # rows pad to 4-byte boundaries
+    if pixel_off + row_bytes * height > len(b):
+        raise ValueError("BMP pixel array extends past payload")
+    return width, height, 1
+
+
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sha string, width bigint, height bigint, n_frames bigint"
 )
@@ -83,7 +119,6 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         import hashlib
         import io
 
-        Image = None if decode_stub else _pil_image()
         for pdf in batches:
             payloads = pdf["payload"]
             if decode_stub:
@@ -91,8 +126,12 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             else:
                 dims = []
                 for p in payloads:
-                    with Image.open(io.BytesIO(bytes(p))) as img:
-                        dims.append((img.width, img.height, getattr(img, "n_frames", 1)))
+                    b = bytes(p)
+                    if b[:2] == b"BM":  # vendored real codec: no Pillow needed
+                        dims.append(decode_bmp(b))
+                    else:
+                        with _pil_image().open(io.BytesIO(b)) as img:
+                            dims.append((img.width, img.height, getattr(img, "n_frames", 1)))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
