@@ -156,6 +156,30 @@ def test_unknown_paths_bucket_in_stats(server):
     assert 'yamon_http_requests_total{endpoint="other",status="404"} 3' in text
 
 
+def test_prom_scrape_pull_roundtrip(spark, tmp_path, server):
+    """Pull-mode acquisition (prom/scrape.go Run loop): the receiver's
+    own /metrics serves expfmt text; scrape_once lands it; the wire
+    parser yields typed counter rows. Closes the scrape -> landing ->
+    parse -> metrics path with no new infra."""
+    from yamon_spark.sources.scrape import scrape_interval, scrape_once
+    from yamon_spark.sources.wire import parse_prom_text
+
+    _post(server.port, "/v1/data", json.dumps({"metrics": BATCH["m"]}).encode())
+    scrape_dir = tmp_path / "landing" / "prom"
+    path = scrape_once(f"http://127.0.0.1:{server.port}/metrics", str(scrape_dir))
+    assert path is not None
+    rows = parse_prom_text(spark.read.text(str(scrape_dir))).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.name == "yamon_http_requests_total" and r.type == "counter"
+    assert r.value == 1.0 and r.tags == {"endpoint": "/v1/data", "status": "204"}
+
+    # dead target: skipped-not-fatal, no landing file (scrape.go:53-57)
+    assert scrape_once("http://127.0.0.1:1/metrics", str(scrape_dir), timeout_s=0.5) is None
+    # bounded Run() loop lands one file per successful tick
+    assert len(scrape_interval(f"http://127.0.0.1:{server.port}/metrics", str(scrape_dir), ticks=2)) == 2
+
+
 def test_self_metrics_exposition(server):
     _post(server.port, "/v1/data", json.dumps({"metrics": BATCH["m"]}).encode())
     with urllib.request.urlopen(f"http://127.0.0.1:{server.port}/metrics") as resp:
