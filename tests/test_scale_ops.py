@@ -38,6 +38,47 @@ def test_salted_join_left_keeps_unmatched(spark):
     assert any(dc is None for _, _, dc in salted)
 
 
+def test_salted_join_balances_hot_key(spark):
+    """The demonstration that salting fixes what it claims (VERDICT r4
+    item 6): with a 90%-hot key, the unsalted shuffle pins ~all hot rows
+    on one reducer; salting spreads them across the salt buckets. The
+    spread is measured under the join's own hash-partitioning keys, and
+    the executed plan must actually join on the salt term."""
+    from yamon_spark.operators.skew import _SALT
+
+    n, salt = 10_000, 16
+    probe = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, "host-0")
+        .otherwise(F.concat(F.lit("host-"), (F.col("id") % 7).cast("string")))
+        .alias("host"),
+        F.col("id").alias("v"),
+    )
+    build = spark.createDataFrame([(f"host-{i}", f"dc-{i % 3}") for i in range(7)], ["host", "dc"])
+
+    out = salted_join(probe, build, ["host"], "inner", salt=salt)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _SALT in plan  # the salt term survives into the executed join keys
+
+    def max_partition_rows(df, keys):
+        counts = (
+            df.repartition(32, *keys)
+            .groupBy(F.spark_partition_id().alias("p"))
+            .count()
+            .collect()
+        )
+        return max(r["count"] for r in counts)
+
+    unsalted_max = max_partition_rows(probe, [F.col("host")])
+    salted_probe = probe.withColumn(
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))
+    )
+    salted_max = max_partition_rows(salted_probe, [F.col("host"), F.col(_SALT)])
+    # hot key pins one reducer unsalted (~9000 rows); salted buckets hold
+    # ~9000/16 ≈ 560 hot rows each — assert an order-of-magnitude rebalance
+    assert unsalted_max >= int(0.85 * n)
+    assert salted_max <= n // salt * 3
+
+
 def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     table_dir = tmp_path / "metrics"
     df = spark.range(2000).select(
