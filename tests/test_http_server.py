@@ -250,6 +250,53 @@ def test_engine_serve_composition(spark, tmp_path):
             q.stop()
 
 
+def test_engine_serve_rollup_parity_with_batch(spark, tmp_path):
+    """The facade round-trip (VERDICT r4 item 7): serve() -> POST over
+    HTTP -> micro-batch fires -> engine.sql over the LTS rollup tables
+    must equal the BATCH rollup of the very same landed input — the
+    streaming MV cascade and the declarative rollup are one semantics."""
+    from yamon_spark.engine import serve
+    from yamon_spark.sources.wire import parse_batch
+    from yamon_spark.streaming.pipeline import counter_rollup, gauge_rollup
+
+    receiver, queries, engine = serve(
+        spark,
+        data_dir=str(tmp_path / "store"),
+        landing_dir=str(tmp_path / "landing"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        for host in ("h1", "h2"):
+            for minute, vals in ((0, (1.0, 3.0)), (1, (5.0,))):
+                batch = {
+                    "m": [
+                        {"t": f"2024-05-01T10:0{minute}:{5 + 10 * i:02d}Z", "m": "gauge",
+                         "h": host, "n": "cpu.load", "v": v}
+                        for i, v in enumerate(vals)
+                    ]
+                    + [{"t": f"2024-05-01T10:0{minute}:40Z", "m": "counter",
+                        "h": host, "n": "net.rx", "v": 10.0 * (minute + 1)}],
+                }
+                assert _post(receiver.port, "/v1/submit-batch", json.dumps(batch).encode()) == 204
+        for q in queries:
+            q.processAllAvailable()
+
+        def key(rows):
+            return sorted((r.when, r.host, r.name, r.value) for r in rows)
+
+        landed = parse_batch(spark.read.text(str(tmp_path / "landing" / "submit_batch")))["metrics"]
+        served_gauge = engine.sql("SELECT `when`, host, name, value FROM metrics_gauge_lts")
+        assert key(served_gauge.collect()) == key(gauge_rollup(landed).collect())
+        assert served_gauge.count() == 4  # 2 hosts x 2 minutes, one avg row each
+        served_counter = engine.sql("SELECT `when`, host, name, value FROM metrics_counter_lts")
+        assert key(served_counter.collect()) == key(counter_rollup(landed).collect())
+    finally:
+        receiver.stop()
+        for q in queries:
+            q.stop()
+
+
 def test_documents_endpoint_to_corpus_pipeline(spark, tmp_path, server):
     """Training-data intake over the wire: POST JSONL documents ->
     landing -> streaming corpus pipeline (quality gate + digest dedup +
