@@ -1,0 +1,132 @@
+"""Empirical scaling curves for the heavy corpus operators.
+
+The 100 TB claims in SCALE.md argue from plan shape (bounded candidate
+sets, partial aggregation, broadcast sides). This script checks them
+empirically, the way a superlinear blowup (LSH bucket skew, candidate
+explosion, driver materialization) actually shows up: synthesize an
+N-times slice of the sf0.1 corpus, run each operator at 1x and Nx, and
+report wall-time ratios. A scan-shaped or bounded-candidate operator
+lands near t(Nx)/t(1x) ~ N (plus fixed overhead); anything quadratic
+blows far past it.
+
+Slice synthesis (self-similar, not pathological):
+- documents: replica i > 0 suffixes every token with "_r{i}", so each
+  replica is a vocabulary-disjoint shard that mirrors the original's
+  shingle/near-dup structure — corpus N times bigger, per-replica dup
+  graph identical. Plain copies would instead make every doc a 10-way
+  exact dup and measure a candidate explosion no real corpus has.
+- embeddings: vec_id reindexed per replica, vectors unchanged (the ANN
+  scans/top-k paths are data-independent in cost).
+
+Usage: python scripts/scale_curve.py [factor] [ops...]
+Writes SCALE_CURVE.json next to the repo root and prints one line per op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = "/root/testdata/sf0.1"
+WARM = "/root/testdata/sf0.001"
+DEFAULT_OPS = [
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "pq_topk",
+    "text_bm25",
+    "sim_knn_join",
+]
+
+
+def synthesize(spark, base: str, out_dir: str, factor: int) -> None:
+    """Write a factor-x documents/embeddings slice; symlink other tables."""
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(base):
+        if name not in ("documents.parquet", "embeddings.parquet"):
+            os.symlink(os.path.join(base, name), os.path.join(out_dir, name))
+
+    docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
+    n = docs.agg(F.max("doc_id")).first()[0] + 1
+    reps = spark.range(factor).select(F.col("id").alias("rep"))
+    text = F.when(F.col("rep") == 0, F.col("text")).otherwise(
+        F.regexp_replace(
+            F.col("text"), F.lit(r"(\S+)"), F.concat(F.lit("$1_r"), F.col("rep").cast("string"))
+        )
+    )
+    docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep") * n).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("bigint").alias("n_chars"),
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    m = emb.agg(F.max("vec_id")).first()[0] + 1
+    emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep") * m).alias("vec_id"), "embedding", "label"
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+
+def time_op(build, spark, sf_dir: str, runs: int = 2) -> float:
+    """Min wall over `runs` executions through the noop sink (same
+    contention damping as bench.py on this steal-prone box)."""
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or DEFAULT_OPS
+
+    from yamon_spark.queries import all_queries
+    from yamon_spark.session import get_spark
+
+    spark = get_spark("yamon-scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    big_dir = tempfile.mkdtemp(prefix=f"yamon_scale{factor}x_")
+    try:
+        t0 = time.perf_counter()
+        synthesize(spark, BASE, big_dir, factor)
+        print(f"synthesized {factor}x slice in {time.perf_counter() - t0:.1f}s -> {big_dir}")
+
+        results = {}
+        for name in ops:
+            build = qs[name].build
+            build(spark, WARM).write.format("noop").mode("overwrite").save()  # JIT warm-up
+            t1 = time_op(build, spark, BASE)
+            tn = time_op(build, spark, big_dir)
+            ratio = tn / t1 if t1 > 0 else float("inf")
+            results[name] = {
+                "t_1x_sec": round(t1, 2),
+                f"t_{factor}x_sec": round(tn, 2),
+                "ratio": round(ratio, 2),
+            }
+            print(f"{name:24s} 1x={t1:6.2f}s {factor}x={tn:6.2f}s ratio={ratio:5.2f}")
+
+        out = {"factor": factor, "base": BASE, "ops": results}
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {path}")
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,6 +34,7 @@ BNLJ_OK = {
     "q82_deadman",  # broadcast of the ONE horizon row
     "sim_truncation_recall",  # single broadcast query vector (both rankings)
     "sim_ivf_recall_batch",  # broadcast of the bounded query-vector batch
+    "sim_pq_recall",  # single broadcast query vector (both rankings)
 }
 
 

@@ -331,6 +331,21 @@ def pq_topk(
     )
 
 
+def l2_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Exact squared-L2 brute-force top-k — the ground truth PQ's
+    asymmetric distances approximate (PQ quantizes L2 space, so its
+    recall gate must rank by L2, not cosine). Same shape as cosine_topk:
+    broadcast 1-row query, JVM zip_with fold, TakeOrderedAndProject."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(F.col("embedding").alias("q_emb"))
+    return (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(_sq_dist(F.col("q_emb"), F.col("embedding")), 4).alias("l2_dist"))
+        .orderBy("l2_dist", "vec_id")
+        .limit(k)
+    )
+
+
 def ivf_build(
     embeddings: DataFrame,
     index_path: str,

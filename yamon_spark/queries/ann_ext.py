@@ -88,6 +88,52 @@ def pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, topk=10, m=_M, k=_K, sub_dim=_SUB)
 
 
+_L2_EXPR = (
+    "round(list_reduce(list_transform(range(1, len(e.embedding) + 1),"
+    " i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))"
+    " * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.q_emb[i] AS DOUBLE))), (a, b) -> a + b), 4)"
+)
+
+
+@register(
+    "sim_pq_recall",
+    _CODES_CTE
+    + f"""
+    , q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    pqr AS (
+      SELECT vec_id FROM codes CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY round({_pq_dist_sql()}, 4), vec_id LIMIT 10
+    ),
+    ex AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {_L2_EXPR} AS d
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) t
+      ORDER BY d, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM pqr))
+                AS DOUBLE) / 10.0 AS recall_at_10
+    """,
+    doc=(
+        "Compressed-index self-evaluation: recall@10 of the PQ "
+        "asymmetric-distance ranking against the exact squared-L2 "
+        "ground truth for the same query — the same measure-don't-guess "
+        "gate sim_ivf_recall gives the IVF path, so BOTH ANN shapes ship "
+        "with their accuracy measured, not assumed."
+    ),
+)
+def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import l2_topk, pq_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    pq = pq_topk(emb, query_vec_id=0, topk=10, m=_M, k=_K, sub_dim=_SUB).select("vec_id")
+    exact = l2_topk(emb, query_vec_id=0, k=10).select("vec_id")
+    return exact.join(pq, "vec_id", "left_semi").agg(
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10")
+    )
+
+
 def _bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
     from yamon_spark.operators.similarity import lsh_hyperplanes
 
