@@ -138,10 +138,15 @@ _SHORT_WHOLE = {
     "ann_range_search": "ann_range",
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmix_temp",
+    "sim_ivf_recall": "sm_ivf_rec",
+    "sim_ivf_recall_batch": "sm_ivf_rec_b",
+    "sim_truncation_recall": "sm_trunc_rec",
+    "sim_pq_recall": "sm_pq_rec",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
     ("sample_", "sp_"), ("embed_", "em_"), ("corpus_", "co_"),
+    ("sim_", "sm_"),
 ]
 
 

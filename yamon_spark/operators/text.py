@@ -148,6 +148,41 @@ def doc_fingerprint(docs: DataFrame, ngram: int = 4) -> DataFrame:
     )
 
 
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Character-level Shannon entropy per document — the classic
+    gibberish/boilerplate signal (low entropy = repeated characters /
+    padding, high = encrypted or binary junk) used alongside the Gopher
+    quality rules. H = -sum_c p_c·log2(p_c) over the document's chars.
+
+    Scale shape: pure per-doc JVM array ops, shuffle-free. Char and
+    count arrays are materialized as columns BEFORE the folds touch
+    them (interpreted HOFs re-evaluate inlined children per element —
+    the measured cliff documented at operators/similarity.py pq_encode).
+    Distinct chars are sorted so the float fold walks one deterministic
+    order on both engines. Cost O(distinct_chars × len) per doc."""
+    base = docs.select("doc_id", F.split(F.col("text"), "").alias("cs"))
+    base = base.select(
+        "doc_id",
+        "cs",
+        F.array_sort(F.array_distinct("cs")).alias("dch"),
+        F.size("cs").cast("double").alias("n"),
+    )
+    counts = F.transform(
+        F.col("dch"),
+        lambda ch: F.size(F.filter(F.col("cs"), lambda x: x == ch)).cast("double"),  # noqa: B023
+    )
+    mat = base.select("doc_id", "n", counts.alias("cnt"))
+    h = -F.aggregate(
+        F.transform(F.col("cnt"), lambda c: (c / F.col("n")) * F.log2(c / F.col("n"))),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return mat.select(
+        "doc_id",
+        F.when(F.col("n") == 0, F.lit(0.0)).otherwise(F.round(h, 4)).alias("char_entropy"),
+    ).orderBy("doc_id")
+
+
 def bm25_scores(
     docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
 ) -> DataFrame:

@@ -314,6 +314,42 @@ def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_entropy",
+    """
+    WITH c AS (
+      SELECT doc_id, list_transform(range(1, length(text) + 1), i -> text[i]) AS cs
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dch,
+             CAST(len(cs) AS DOUBLE) AS n
+      FROM c
+    ),
+    k AS (
+      SELECT doc_id, n,
+             list_transform(dch, ch -> CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)) AS cnt
+      FROM d
+    )
+    SELECT doc_id,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round(-list_reduce(list_transform(cnt, c -> (c / n) * log2(c / n)),
+                                        (a, b) -> a + b), 4)
+           END AS char_entropy
+    FROM k ORDER BY doc_id
+    """,
+    doc=(
+        "Character-level Shannon entropy per doc (gibberish/boilerplate "
+        "quality signal): sorted distinct-char counts -> one deterministic "
+        "float fold, shuffle-free on both engines."
+    ),
+)
+def text_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import char_entropy
+
+    return char_entropy(table(spark, sf_dir, "documents"))
+
+
+@register(
     "text_lang_id",
     f"""
     WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
