@@ -176,6 +176,62 @@ def test_video_codec_gates_without_pyav(spark, media):
         M.sample_video_frames(media, decode_stub=False).collect()
 
 
+def _avi(width: int, height: int, frames: list[bytes], compressed: bool = False) -> bytes:
+    """Build a minimal RIFF/AVI container: hdrl LIST with an avih main
+    header, movi LIST with one '00db' (or '00dc') chunk per frame."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    def list_chunk(list_type: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", list_type + data)
+
+    avih = bytearray(56)
+    struct.pack_into("<I", avih, 16, len(frames))  # dwTotalFrames
+    struct.pack_into("<II", avih, 32, width, height)
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", bytes(avih)))
+    cc = b"00dc" if compressed else b"00db"
+    movi = list_chunk(b"movi", b"".join(chunk(cc, f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_demux_real_path_no_pyav(spark):
+    """The vendored AVI demuxer is a REAL container->frames path that
+    runs in this sandbox: decode_stub=False must work on uncompressed
+    AVI payloads with no pyav installed — completing the BMP/WAV/AVI
+    real-codec trio. Odd-length frames exercise the even-padding rule."""
+    frames = [b"frame-zero!", b"f1-odd-len-x", b"frame-two-bytes", b"f3!"]
+    media = spark.createDataFrame(
+        [(1, _avi(32, 24, frames)), (2, _avi(8, 6, frames[:1]))],
+        "doc_id bigint, payload binary",
+    )
+    rows = M.sample_video_frames(media, every_n=2, decode_stub=False).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [(r.frame_idx, bytes(r.frame)) for r in sorted(by_doc[1], key=lambda r: r.frame_idx)] == [
+        (0, frames[0]), (2, frames[2]),
+    ]
+    assert all((r.width, r.height) == (32, 24) for r in by_doc[1])
+    assert [(r.width, r.height, bytes(r.frame)) for r in by_doc[2]] == [(8, 6, frames[0])]
+
+
+def test_avi_demuxer_rejects_malformed():
+    with pytest.raises(ValueError, match="magic"):
+        M.demux_avi(b"RIFFxxxxWAVE")  # right RIFF, wrong form type
+    with pytest.raises(ValueError, match="compressed"):
+        M.demux_avi(_avi(4, 4, [b"zz"], compressed=True))
+    ok = _avi(4, 4, [b"abcd"])
+    with pytest.raises(ValueError, match="past payload"):
+        M.demux_avi(ok[:-3])  # truncated final chunk
+    with pytest.raises(ValueError, match="avih"):
+        import struct
+        movi_only = b"AVI " + b"LIST" + struct.pack("<I", 4) + b"movi"
+        M.demux_avi(b"RIFF" + struct.pack("<I", len(movi_only)) + movi_only)
+
+
 def test_real_video_frames(spark):
     """Real pyav demux path (auto-skips when pyav is absent): encode a
     tiny synthetic video, round-trip frames through sample_video_frames."""
