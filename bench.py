@@ -142,6 +142,7 @@ _SHORT_WHOLE = {
     "sim_ivf_recall_batch": "sm_ivf_rec_b",
     "sim_truncation_recall": "sm_trunc_rec",
     "sim_pq_recall": "sm_pq_rec",
+    "multimodal_bmp_roundtrip": "mm_bmp",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

@@ -90,6 +90,19 @@ def test_bmp_decode_real_path_no_pillow(spark):
     assert all(len(r.sha) == 64 and r.n_bytes == len(p) for (_, p), r in zip(rows_in, [got[1], got[2], got[3]]))
 
 
+def test_bmp_roundtrip_operator(spark):
+    """Encode-then-decode round-trip: recovered dims match the derivation
+    and n_bytes matches the exact BMP layout the oracle recomputes."""
+    docs = spark.createDataFrame(
+        [(1, "abcdef", 6), (2, "x" * 40, 40)], "doc_id bigint, text string, n_chars bigint"
+    )
+    rows = {r.doc_id: r for r in M.bmp_roundtrip(docs).collect()}
+    assert (rows[1].width, rows[1].height) == (6 % 13 + 1, 1 % 7 + 1)
+    assert (rows[2].width, rows[2].height) == (40 % 13 + 1, 2 % 7 + 1)
+    for r in rows.values():
+        assert r.n_bytes == 54 + (r.width * 24 + 31) // 32 * 4 * r.height
+
+
 def test_bmp_decoder_rejects_malformed():
     import struct
 

@@ -561,6 +561,32 @@ def multimodal_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_bmp_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars % 13 + 1 AS w, doc_id % 7 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(54 + ((w * 24 + 31) // 32) * 4 * h AS BIGINT) AS n_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "Real-codec round-trip: encode an actual uncompressed BMP per doc "
+        "(dims derived from doc fields), decode it back with the vendored "
+        "stdlib decoder, emit recovered dims + container size. The oracle "
+        "recomputes dims and the exact BMP byte layout (54-byte headers + "
+        "4-byte-padded rows) arithmetically — a hash match means genuine "
+        "image-container bytes parsed correctly on the Spark side."
+    ),
+)
+def multimodal_bmp_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import bmp_roundtrip
+
+    return bmp_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_audio_windows",
     """
     WITH b AS (
