@@ -135,7 +135,6 @@ _SHORT_WHOLE = {
     "vocab_coverage": "vocab",
     "hybrid_rank_rrf": "rrf",
     "pack_sequences": "pack",
-    "ann_range_search": "ann_range",
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmix_temp",
     "sim_ivf_recall": "sm_ivf_rec",
@@ -143,6 +142,9 @@ _SHORT_WHOLE = {
     "sim_truncation_recall": "sm_trunc_rec",
     "sim_pq_recall": "sm_pq_rec",
     "multimodal_bmp_roundtrip": "mm_bmp",
+    "ann_range_search": "annr",
+    "dedup_minhash_lsh": "dd_mhlsh",
+    "text_unigram_logprob": "tx_unigram",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

@@ -266,3 +266,58 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy(F.col("n").desc(), "from_type", "to_type")
     )
+
+
+@register(
+    "q84_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(dev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, round(d.value, 4) AS value,
+           round(d.med, 4) AS med, round(m.mad, 4) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE d.dev > 3 * m.mad
+    ORDER BY d.event_id
+    """,
+    doc=(
+        "Robust outlier detection per event type: flag rows whose "
+        "|value - median| exceeds 3x the median absolute deviation — the "
+        "alerting statistic that, unlike z-scores (q71), is immune to the "
+        "outliers it hunts. Plan: two grouped exact medians over the "
+        "handful of event types, each joined back via broadcast (the "
+        "per-type stats rows are tiny); the flag itself is a projection. "
+        "At corpus scale swap percentile for approx_percentile (q38 "
+        "demonstrates the sketch) — the two-pass broadcast shape is "
+        "unchanged."
+    ),
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(dev, 0.5D)").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+        )
+        .orderBy("event_id")
+    )
