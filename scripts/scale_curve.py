@@ -42,6 +42,8 @@ DEFAULT_OPS = [
     "pq_topk",
     "text_bm25",
     "sim_knn_join",
+    "text_entropy",
+    "sim_pq_recall",
 ]
 
 
@@ -119,8 +121,16 @@ def main() -> None:
             }
             print(f"{name:24s} 1x={t1:6.2f}s {factor}x={tn:6.2f}s ratio={ratio:5.2f}")
 
-        out = {"factor": factor, "base": BASE, "ops": results}
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json")
+        # merge-by-op: a partial run (explicit ops argv) refreshes those
+        # entries without discarding the rest of the record
+        out = {"factor": factor, "base": BASE, "ops": {}}
+        if os.path.exists(path):
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("factor") == factor:
+                out["ops"] = prev.get("ops", {})
+        out["ops"].update(results)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path}")
