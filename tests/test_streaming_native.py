@@ -260,3 +260,62 @@ def test_streaming_interval_join_matches_batch(spark, tmp_path):
         (r.error_id, r.click_id) for r in spark.sql("select * from interval_join_out").collect()
     }
     assert streamed == batch == {(20, 10), (20, 11)}
+
+
+def test_streaming_deadman_fires_on_silence(spark, tmp_path):
+    """Live deadman (streaming twin of q82): a series that stops
+    reporting gets an alert as soon as the watermark passes its
+    last_seen + horizon; the series that keeps reporting does not."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.alerts import deadman_alerts
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # both series alive at 10:00; only h1 reports again at 12:00
+    land(
+        [
+            {"when": "2024-05-01T10:00:00", "host": "h1", "name": "cpu", "value": 1.0},
+            {"when": "2024-05-01T10:00:30", "host": "h2", "name": "cpu", "value": 2.0},
+            {"when": "2024-05-01T10:00:40", "host": "h2", "name": "cpu", "value": 3.0},
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    alerts = deadman_alerts(stream, horizon_s=3600, watermark="10 seconds")
+    q = (
+        alerts.writeStream.format("memory")
+        .queryName("deadman_alerts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM deadman_alerts").count() == 0  # nobody stale yet
+
+        # h1 reports two hours later: watermark jumps past h2's deadline
+        land([{"when": "2024-05-01T12:00:00", "host": "h1", "name": "cpu", "value": 4.0}])
+        q.processAllAvailable()
+        # one more micro-batch so the timeout fires against the advanced watermark
+        land([{"when": "2024-05-01T12:00:01", "host": "h1", "name": "cpu", "value": 5.0}])
+        q.processAllAvailable()
+
+        rows = spark.sql("SELECT * FROM deadman_alerts").collect()
+        assert [(r.host, r.name, r.n_events) for r in rows] == [("h2", "cpu", 2)]
+        assert rows[0].last_when == dt.datetime(2024, 5, 1, 10, 0, 40)
+    finally:
+        q.stop()
