@@ -35,6 +35,7 @@ BNLJ_OK = {
     "sim_truncation_recall",  # single broadcast query vector (both rankings)
     "sim_ivf_recall_batch",  # broadcast of the bounded query-vector batch
     "sim_pq_recall",  # single broadcast query vector (both rankings)
+    "q85_histogram_quantile",  # broadcast of the 2-row quantile list
 }
 
 

@@ -321,3 +321,67 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q85_histogram_quantile",
+    """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bkt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, bkt
+    ),
+    c AS (
+      SELECT event_type, bkt, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bkt
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM b
+    ),
+    qs AS (SELECT unnest([0.5, 0.95]) AS q),
+    hit AS (
+      SELECT c.event_type, qs.q, c.bkt, c.n, c.cum, c.total,
+             qs.q * c.total AS thresh
+      FROM c CROSS JOIN qs
+      WHERE c.cum >= qs.q * c.total AND (c.cum - c.n) < qs.q * c.total
+    )
+    SELECT event_type, q,
+           round(bkt * 5.0 + 5.0 * (thresh - (cum - n)) / n, 4) AS est
+    FROM hit ORDER BY event_type, q
+    """,
+    doc=(
+        "PromQL-style histogram_quantile: per event type, bucket values "
+        "into fixed 5-unit bins, then estimate p50/p95 by linear "
+        "interpolation inside the bucket where the cumulative count "
+        "crosses q*total. The monitoring-native quantile — mergeable "
+        "bucket counts instead of a value buffer, so at 100 TB the "
+        "partial-agg histogram is tiny and the interpolation runs over "
+        "|types|x|buckets| rows. Pairs with q37 (the histogram) and q38 "
+        "(the sketch-vs-exact gate)."
+    ),
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    width = 5.0
+    b = ev.groupBy(
+        "event_type", F.floor(F.col("value") / width).cast("bigint").alias("bkt")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy("event_type")
+    c = b.select(
+        "event_type", "bkt", "n", F.sum("n").over(wc).alias("cum"), F.sum("n").over(wt).alias("total")
+    )
+    qs = spark.createDataFrame([(0.5,), (0.95,)], "q double")
+    thresh = F.col("q") * F.col("total")
+    hit = c.crossJoin(F.broadcast(qs)).where(
+        (F.col("cum") >= thresh) & ((F.col("cum") - F.col("n")) < thresh)
+    )
+    return hit.select(
+        "event_type",
+        "q",
+        F.round(
+            F.col("bkt") * width + width * (thresh - (F.col("cum") - F.col("n"))) / F.col("n"), 4
+        ).alias("est"),
+    ).orderBy("event_type", "q")
