@@ -101,6 +101,79 @@ def test_compact_table_reduces_files_preserves_rows(spark, tmp_path):
     assert back.agg(F.sum("value")).first()[0] == sum(range(2000))
 
 
+def test_parquet_bloom_reality_scalar_yes_array_no(spark, tmp_path):
+    """Characterization pin for the D7 layout claims (plans/layout.py):
+    parquet blooms physically arm on SCALAR columns once cardinality
+    defeats the dictionary (bloom at ndv=100k adds >100 KB — a clear
+    size signal), and do NOT arm on array leaves at any cardinality on
+    this Spark/parquet version. If an upgrade flips the array case,
+    this test fails and the layout docs + hot-column workaround should
+    be revisited."""
+    from yamon_spark.plans.layout import with_tag_blooms
+
+    df = spark.range(60_000).select(
+        F.concat(F.lit("v-"), F.col("id").cast("string")).alias("tag_env"),
+        F.array(F.concat(F.lit("k-"), F.col("id").cast("string")), F.lit("dc")).alias("tag_keys"),
+        F.array(F.lit("x")).alias("tag_values"),
+    )
+
+    def written_size(writer_dir, with_blooms):
+        w = df.coalesce(1).write.mode("overwrite")
+        if with_blooms:
+            w = with_tag_blooms(w, hot_keys=("env",))
+        w.parquet(str(tmp_path / writer_dir))
+        return sum(f.stat().st_size for f in (tmp_path / writer_dir).rglob("*.parquet"))
+
+    plain = written_size("plain", with_blooms=False)
+    bloomed = written_size("bloomed", with_blooms=True)
+    # scalar tag_env bloom armed; if array blooms ever arm too, the
+    # delta jumps by another ~230 KB and the upper bound trips
+    assert plain + 100_000 < bloomed < plain + 220_000
+
+
+def test_hot_tag_columns_push_down_and_survive_compaction(spark, tmp_path):
+    """D7's IO-skipping layer end-to-end: the pipeline materializes
+    hot-key scalar tag columns, Engine.tag_filter compiles to a
+    fully-pushed parquet equality on them, and compaction keeps the
+    columns (re-arming their bloom options)."""
+    import json
+
+    from yamon_spark.engine import Engine
+    from yamon_spark.streaming.pipeline import PipelineConfig, run_pipeline_once
+
+    landing = tmp_path / "landing"
+    landing.mkdir(parents=True)
+    ms = [
+        {"t": f"2024-05-01T10:00:{i:02d}Z", "m": "gauge", "h": f"h{i % 3}", "n": "cpu",
+         "v": float(i), "g": {"env": "prod" if i % 2 else "dev", "dc": f"dc{i % 2}"}}
+        for i in range(20)
+    ]
+    (landing / "b0.jsonl").write_text(json.dumps({"m": ms}) + "\n")
+    cfg = PipelineConfig(
+        landing_dir=str(landing),
+        out_dir=str(tmp_path / "store"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        watermark=None,
+        hot_tag_keys=("env",),
+    )
+    run_pipeline_once(spark, cfg)
+
+    metrics = spark.read.parquet(str(tmp_path / "store" / "metrics"))
+    assert "tag_env" in metrics.columns
+    scan = Engine.tag_filter(metrics, "env", "prod")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "EqualTo(tag_env,prod)" in plan  # fully-pushed IO-skipping filter
+    assert scan.count() == 10
+    # non-hot key falls back to the array lead-in, same answers
+    assert Engine.tag_filter(metrics, "dc", "dc1").count() == 10
+
+    compact_table(spark, str(tmp_path / "store" / "metrics"), target_file_bytes=1 << 30,
+                  sort_keys=["name", "host", "when"], min_files=0)
+    back = spark.read.parquet(str(tmp_path / "store" / "metrics"))
+    assert "tag_env" in back.columns
+    assert Engine.tag_filter(back, "env", "prod").count() == 10
+
+
 def test_compact_table_skips_already_compact(spark, tmp_path):
     table_dir = tmp_path / "logs"
     spark.range(10).select(F.lit("2024-05-01").alias("date"), F.col("id")).coalesce(1).write.partitionBy(

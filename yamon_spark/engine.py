@@ -104,13 +104,15 @@ class Engine:
 
     @staticmethod
     def tag_filter(df: DataFrame, key: str, value: str | None = None) -> DataFrame:
-        """``tags[key] [= value]``. When the table carries the flattened
-        ``tag_keys``/``tag_values`` index columns (written by the
-        pipeline, D7) the predicate leads with array membership so
-        parquet blooms + row-group stats can skip; otherwise a plain
-        map probe."""
-        if "tag_keys" in df.columns:
-            return df.where(tag_predicate(key, value))
+        """``tags[key] [= value]`` against the best layout the table
+        carries (D7): a materialized hot-key scalar column gives a
+        fully-pushed equality (row-group stats/dictionary/bloom IO
+        skip); flattened ``tag_keys``/``tag_values`` arrays give the
+        row-level membership lead-in; else a plain map probe."""
+        from yamon_spark.plans.layout import hot_tag_col
+
+        if hot_tag_col(key) in df.columns or "tag_keys" in df.columns:
+            return df.where(tag_predicate(key, value, df=df))
         probe = F.element_at("tags", key)
         return df.where(probe.isNotNull() if value is None else (probe == value))
 

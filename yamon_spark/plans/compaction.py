@@ -67,7 +67,21 @@ def compact_table(
         keys = [k for k in (sort_keys or []) if k in df.columns]
         if keys:
             df = df.sortWithinPartitions(*keys)
-        df.write.mode("overwrite").option("compression", "zstd").parquet(str(tmp_dir))
+        writer = df.write.mode("overwrite").option("compression", "zstd")
+        if {"tag_keys", "tag_values"} <= set(df.columns):
+            # detail tables carry the D7 tag-index columns: the rewrite
+            # must re-arm their parquet bloom filters (incl. any hot-key
+            # scalar columns), or compaction silently trades small files
+            # for lost tag skipping
+            from yamon_spark.plans.layout import with_tag_blooms
+
+            hot = tuple(
+                c[len("tag_"):]
+                for c in df.columns
+                if c.startswith("tag_") and c not in ("tag_keys", "tag_values")
+            )
+            writer = with_tag_blooms(writer, hot_keys=hot)
+        writer.parquet(str(tmp_dir))
         # atomic-ish swap: old dir out of the way, tmp in, old dropped
         old_dir = Path(table_path) / (part_name + ".compact-old")
         part_dir.rename(old_dir)

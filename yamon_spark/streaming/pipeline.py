@@ -178,6 +178,11 @@ class PipelineConfig:
     # merge at read time with merge_uniq. Off by default (new sink =
     # new checkpoint; existing deployments opt in).
     uniq_mv: bool = False
+    # hot tag keys to materialize as scalar tag_<key> columns on the
+    # detail tables (D7's IO-skipping layer: scalar equality is a
+    # fully-pushed parquet predicate with stats/dictionary/bloom skip;
+    # array columns physically cannot bloom — plans/layout.py).
+    hot_tag_keys: tuple[str, ...] = ()
     # optional ClickHouse detail sink (clickhouse_writer.go): when set,
     # each detail table ALSO streams into ClickHouse over JDBC with its
     # own checkpoint — the parquet store stays the query-side LTS, the
@@ -192,17 +197,17 @@ def _write_detail_batch(batch: DataFrame, table: str, cfg: PipelineConfig) -> No
     parquet bloom filters (D7 — the ClickHouse mapKeys/mapValues bloom
     indexes, res/schema.sql:9-10), write ZSTD parquet partitioned by
     date (D5 -> partition pruning; D4 retention drops whole dirs)."""
-    from yamon_spark.plans.layout import with_tag_blooms, with_tag_index_cols
+    from yamon_spark.plans.layout import with_hot_tag_cols, with_tag_blooms, with_tag_index_cols
 
     sort_cols = [*SORT_KEYS[table], "when"]
     writer = (
-        with_tag_index_cols(batch)
+        with_hot_tag_cols(with_tag_index_cols(batch), cfg.hot_tag_keys)
         .withColumn("date", F.to_date("when"))
         .sortWithinPartitions(*sort_cols)
         .write.mode("append")
         .partitionBy("date")
     )
-    with_tag_blooms(writer).parquet(os.path.join(cfg.out_dir, table))
+    with_tag_blooms(writer, hot_keys=cfg.hot_tag_keys).parquet(os.path.join(cfg.out_dir, table))
 
 
 def _detail_writer(df: DataFrame, table: str, cfg: PipelineConfig) -> StreamingQuery:
