@@ -297,6 +297,54 @@ def test_engine_serve_rollup_parity_with_batch(spark, tmp_path):
             q.stop()
 
 
+def test_engine_serve_hot_tags_and_deadman(spark, tmp_path):
+    """serve() with the full option set: hot-tag scalar columns land on
+    the detail table (pushed-filter tag queries), and the live deadman
+    alerter fires for a series that goes silent while the stream moves
+    on — all over a real socket."""
+    from yamon_spark.engine import Engine, serve
+
+    receiver, queries, engine = serve(
+        spark,
+        data_dir=str(tmp_path / "store"),
+        landing_dir=str(tmp_path / "landing"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+        hot_tag_keys=("env",),
+        deadman_horizon_s=3600,
+    )
+    try:
+        def push(ts, host, v):
+            batch = {"m": [{"t": ts, "m": "gauge", "h": host, "n": "cpu", "v": v,
+                            "g": {"env": "prod"}}]}
+            assert _post(receiver.port, "/v1/submit-batch", json.dumps(batch).encode()) == 204
+
+        push("2024-05-01T10:00:00Z", "h1", 1.0)
+        push("2024-05-01T10:00:30Z", "h2", 2.0)
+        for q in queries:
+            q.processAllAvailable()
+        # h1 keeps reporting two hours later; h2 stays silent
+        push("2024-05-01T12:00:00Z", "h1", 3.0)
+        for q in queries:
+            q.processAllAvailable()
+        push("2024-05-01T12:00:01Z", "h1", 4.0)  # extra batch: timeout fires vs advanced watermark
+        for q in queries:
+            q.processAllAvailable()
+
+        metrics = engine.table("metrics")
+        assert "tag_env" in metrics.columns
+        scan = Engine.tag_filter(metrics, "env", "prod")
+        assert "EqualTo(tag_env,prod)" in scan._jdf.queryExecution().executedPlan().toString()
+        assert scan.count() == 4
+
+        alerts = engine.table("alerts").collect()
+        assert [(r.host, r.name) for r in alerts] == [("h2", "cpu")]
+    finally:
+        receiver.stop()
+        for q in queries:
+            q.stop()
+
+
 def test_documents_endpoint_to_corpus_pipeline(spark, tmp_path, server):
     """Training-data intake over the wire: POST JSONL documents ->
     landing -> streaming corpus pipeline (quality gate + digest dedup +

@@ -221,6 +221,8 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 0,
     trigger: dict | None = None,
+    hot_tag_keys: tuple[str, ...] = (),
+    deadman_horizon_s: int | None = None,
 ):
     """The reference's ``yamon server`` composed end-to-end (cmd server
     wiring: forward server -> writer -> ClickHouse; here: HTTP receiver
@@ -229,12 +231,17 @@ def serve(
     receiver (``receiver.port``), the running streaming queries, and an
     Engine bound to the written tables.
 
+    ``hot_tag_keys`` materializes IO-skipping scalar tag columns on the
+    detail tables (plans/layout.py). ``deadman_horizon_s`` additionally
+    starts the live silence alerter (streaming/alerts.deadman_alerts)
+    writing one alert row per gone-quiet series to ``<data_dir>/alerts``.
+
     Scale note: the receiver scales horizontally (any number of
     receivers appending to the same landing zone / object-store prefix);
     the streaming side scales with executors. Neither knows about the
     other beyond the directory contract."""
     from yamon_spark.sources.http_server import SUBMIT_BATCH_DIR, IngestHTTPServer
-    from yamon_spark.streaming.pipeline import PipelineConfig, start_pipeline
+    from yamon_spark.streaming.pipeline import PipelineConfig, start_pipeline, stream_landing
 
     receiver = IngestHTTPServer(landing_dir, keys=keys, host=host, port=port).start()
     try:
@@ -243,10 +250,26 @@ def serve(
             out_dir=data_dir,
             checkpoint_dir=checkpoint_dir,
             trigger=trigger or {"processingTime": "5 seconds"},
+            hot_tag_keys=hot_tag_keys,
         )
         # the file source needs the directory to exist before the stream starts
         os.makedirs(cfg.landing_dir, exist_ok=True)
         queries = start_pipeline(spark, cfg)
+        if deadman_horizon_s is not None:
+            from yamon_spark.streaming.alerts import deadman_alerts
+
+            alerts = deadman_alerts(
+                stream_landing(spark, cfg.landing_dir)["metrics"], horizon_s=deadman_horizon_s
+            )
+            queries = [
+                *queries,
+                alerts.writeStream.format("parquet")
+                .option("path", os.path.join(data_dir, "alerts"))
+                .option("checkpointLocation", os.path.join(checkpoint_dir, "alerts"))
+                .outputMode("append")
+                .trigger(**cfg.trigger)
+                .start(),
+            ]
         engine = Engine(spark, data_dir)
     except BaseException:
         # never leave the receiver accepting data with no consumer behind it
