@@ -142,6 +142,8 @@ _SHORT_WHOLE = {
     "sim_truncation_recall": "sm_trunc_rec",
     "sim_pq_recall": "sm_pq_rec",
     "multimodal_bmp_roundtrip": "mm_bmp",
+    "multimodal_avi_roundtrip": "mm_avi",
+    "text_quality_filter": "tx_qual",
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "dd_mhlsh",
     "text_unigram_logprob": "tx_unigram",

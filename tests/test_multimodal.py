@@ -103,6 +103,22 @@ def test_bmp_roundtrip_operator(spark):
         assert r.n_bytes == 54 + (r.width * 24 + 31) // 32 * 4 * r.height
 
 
+def test_avi_roundtrip_operator(spark):
+    """Encode-then-demux round-trip: recovered dims/frame counts match
+    the derivation and n_bytes matches the exact RIFF layout the oracle
+    recomputes (100 fixed + per-frame 8-byte chunks, even-padded)."""
+    docs = spark.createDataFrame(
+        [(1, "abcdef", 6), (2, "x" * 40, 40)], "doc_id bigint, text string, n_chars bigint"
+    )
+    rows = {r.doc_id: r for r in M.avi_roundtrip(docs).collect()}
+    for doc_id, n_chars in ((1, 6), (2, 40)):
+        r = rows[doc_id]
+        nf, flen = doc_id % 4 + 1, n_chars % 9 + 1
+        assert (r.width, r.height) == (n_chars % 13 + 1, doc_id % 7 + 1)
+        assert (r.n_frames, r.frame_bytes) == (nf, nf * flen)
+        assert r.n_bytes == 100 + nf * (8 + flen + flen % 2)
+
+
 def test_bmp_decoder_rejects_malformed():
     import struct
 

@@ -164,6 +164,24 @@ def encode_bmp(width: int, height: int, bpp: int = 24) -> bytes:
     return header + dib + pixels
 
 
+def encode_avi(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Build a minimal uncompressed RIFF/AVI container (encode half of
+    demux_avi): hdrl LIST with an avih main header, movi LIST with one
+    '00db' chunk per frame, even-offset padding."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+
+    avih = bytearray(56)
+    struct.pack_into("<I", avih, 16, len(frames))  # dwTotalFrames
+    struct.pack_into("<II", avih, 32, width, height)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", bytes(avih)))
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 BMP_ROUNDTRIP_SCHEMA = "doc_id bigint, width bigint, height bigint, n_bytes bigint"
 
 
@@ -192,6 +210,43 @@ def bmp_roundtrip(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", "n_chars")
         .mapInPandas(roundtrip, BMP_ROUNDTRIP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+AVI_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_frames bigint, "
+    "frame_bytes bigint, n_bytes bigint"
+)
+
+
+def avi_roundtrip(docs: DataFrame) -> DataFrame:
+    """Video twin of :func:`bmp_roundtrip`: encode a real uncompressed
+    AVI per doc (dims/frame count/frame size derived from doc fields),
+    demux it back with the vendored demuxer, emit recovered dims, frame
+    count, decoded frame byte total and container size — all only
+    reachable by genuinely parsing RIFF chunk structure, so the driver
+    oracle hash-verifies the real video-container path."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "n_frames", "frame_bytes", "n_bytes")}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = int(doc_id) % 4 + 1
+                flen = int(n_chars) % 9 + 1
+                b = encode_avi(int(n_chars) % 13 + 1, int(doc_id) % 7 + 1, [b"\x00" * flen] * nf)
+                w, h, frames = demux_avi(b)
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(len(frames))
+                out["frame_bytes"].append(sum(len(f) for f in frames))
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "n_chars")
+        .mapInPandas(roundtrip, AVI_ROUNDTRIP_SCHEMA)
         .orderBy("doc_id")
     )
 

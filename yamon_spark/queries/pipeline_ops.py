@@ -587,6 +587,36 @@ def multimodal_bmp_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_avi_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars % 13 + 1 AS w, doc_id % 7 + 1 AS h,
+             doc_id % 4 + 1 AS nf, n_chars % 9 + 1 AS flen
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(nf * flen AS BIGINT) AS frame_bytes,
+           CAST(100 + nf * (8 + flen + flen % 2) AS BIGINT) AS n_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "Real video-container round-trip: encode an uncompressed RIFF/AVI "
+        "per doc (dims + frame count + frame size derived from doc "
+        "fields), demux it back with the vendored stdlib demuxer, emit "
+        "recovered dims/frame-count/byte totals. The oracle recomputes "
+        "the exact RIFF layout (12-byte header + 76-byte hdrl + 12-byte "
+        "movi head + per-frame 8-byte chunks with even padding) "
+        "arithmetically — a hash match means real chunk parsing ran."
+    ),
+)
+def multimodal_avi_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import avi_roundtrip
+
+    return avi_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_audio_windows",
     """
     WITH b AS (
