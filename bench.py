@@ -143,6 +143,8 @@ _SHORT_WHOLE = {
     "sim_pq_recall": "sm_pq_rec",
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
+    "multimodal_wav_roundtrip": "mm_wav",
+    "sim_near_dup_pairs": "sm_ndp",
     "text_quality_filter": "tx_qual",
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "dd_mhlsh",

@@ -214,6 +214,50 @@ def bmp_roundtrip(docs: DataFrame) -> DataFrame:
     )
 
 
+WAV_ROUNDTRIP_SCHEMA = "doc_id bigint, n_samples bigint, sample_sum bigint, n_bytes bigint"
+
+
+def wav_roundtrip(docs: DataFrame) -> DataFrame:
+    """Audio twin of :func:`bmp_roundtrip`: synthesize a deterministic
+    PCM16 signal per doc, container it as a REAL WAV via stdlib
+    ``wave``, parse it back through the same module (the
+    ``audio_windows`` real-codec branch), emit the recovered sample
+    count, exact integer sample sum, and container size. Values are
+    reachable only by correctly writing AND parsing the RIFF/WAVE
+    layout; integer sums keep the oracle comparison exact."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_samples", "sample_sum", "n_bytes")}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = int(n_chars) % 50 + 1
+                samples = [((int(doc_id) * 37 + k * 11) % 2001) - 1000 for k in range(n)]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(16000)
+                    wf.writeframes(struct.pack(f"<{n}h", *samples))
+                b = buf.getvalue()
+                with wave.open(io.BytesIO(b)) as rf:
+                    back = struct.unpack(f"<{rf.getnframes()}h", rf.readframes(rf.getnframes()))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(back))
+                out["sample_sum"].append(sum(back))
+                out["n_bytes"].append(len(b))
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "n_chars")
+        .mapInPandas(roundtrip, WAV_ROUNDTRIP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
 AVI_ROUNDTRIP_SCHEMA = (
     "doc_id bigint, width bigint, height bigint, n_frames bigint, "
     "frame_bytes bigint, n_bytes bigint"

@@ -587,6 +587,32 @@ def multimodal_bmp_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_wav_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, n_chars % 50 + 1 AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+           CAST(list_reduce(list_transform(range(0, n),
+                  k -> (doc_id * 37 + k * 11) % 2001 - 1000), (a, b) -> a + b)
+                AS BIGINT) AS sample_sum,
+           CAST(44 + 2 * n AS BIGINT) AS n_bytes
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "Real audio-container round-trip: synthesize a deterministic "
+        "PCM16 signal per doc, write an actual RIFF/WAVE file (stdlib "
+        "wave), parse it back, emit recovered sample count + exact "
+        "integer sample sum + container size (44-byte header + 2 bytes "
+        "per sample). With the BMP and AVI round-trips, all three "
+        "vendored real codec paths are hash-verified by the driver."
+    ),
+)
+def multimodal_wav_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import wav_roundtrip
+
+    return wav_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_avi_roundtrip",
     """
     WITH d AS (
