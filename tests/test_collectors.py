@@ -123,3 +123,15 @@ def test_parse_vmstat(spark):
     text = "nr_free_pages 1000\nnr_zone_inactive_anon 2000\nbad line here\n"
     got = {r.name: r.value for r in C.parse_vmstat(_lines(spark, text)).collect()}
     assert got == {"vmstat.nr_free_pages": 1000.0, "vmstat.nr_zone_inactive_anon": 2000.0}
+
+
+def test_meminfo_empty_input_emits_nothing(spark):
+    """A host without a meminfo snapshot must contribute zero memory
+    rows — the global pivot's all-null row must not leak a spurious
+    memory.cached=0 gauge through the coalesce sums."""
+    from yamon_spark.sources.collectors import parse_meminfo
+
+    empty = spark.createDataFrame([], "value string")
+    assert parse_meminfo(empty).count() == 0
+    junk = spark.createDataFrame([("notameminfoline",)], "value string")
+    assert parse_meminfo(junk).count() == 0

@@ -156,6 +156,11 @@ def parse_meminfo(lines: DataFrame, col: str = "value") -> DataFrame:
     pivoted = kv.groupBy().pivot(
         "k", ["MemTotal", "MemFree", "MemAvailable", "Buffers", "Cached", "SReclaimable"]
     ).agg(F.first("v"))
+    # a global agg over EMPTY input still emits one all-null row, and the
+    # coalesce(...,0) sums below would turn it into a spurious
+    # memory.cached=0 gauge on hosts with no meminfo snapshot — gate on
+    # the field every real /proc/meminfo carries
+    pivoted = pivoted.where(F.col("MemTotal").isNotNull())
     derived = pivoted.select(
         F.col("MemTotal").alias("total"),
         F.col("MemFree").alias("free"),
