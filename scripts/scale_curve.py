@@ -122,15 +122,17 @@ def main() -> None:
             print(f"{name:24s} 1x={t1:6.2f}s {factor}x={tn:6.2f}s ratio={ratio:5.2f}")
 
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json")
-        # merge-by-op: a partial run (explicit ops argv) refreshes those
-        # entries without discarding the rest of the record
-        out = {"factor": factor, "base": BASE, "ops": {}}
+        # merge-by-(factor, op): partial runs refresh their entries
+        # without discarding other factors' records
+        out = {"base": BASE, "runs": {}}
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-            if prev.get("factor") == factor:
-                out["ops"] = prev.get("ops", {})
-        out["ops"].update(results)
+            if "runs" in prev:
+                out["runs"] = prev["runs"]
+            elif "ops" in prev:  # migrate the old single-factor layout
+                out["runs"][str(prev.get("factor", "10"))] = prev["ops"]
+        out["runs"].setdefault(str(factor), {}).update(results)
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path}")
