@@ -149,6 +149,11 @@ _SHORT_WHOLE = {
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "dd_mhlsh",
     "text_unigram_logprob": "tx_unigram",
+    "text_zipf_slope": "tx_zipf",
+    "bpe_pair_counts": "bpe",
+    "quality_logit": "qlogit",
+    "text_perplexity_buckets": "tx_ppl",
+    "dsir_weights": "dsir",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

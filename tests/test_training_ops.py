@@ -1,0 +1,126 @@
+"""Round-5 training-data operators: semantics on crafted micro-corpora.
+
+Oracle parity runs in test_oracle.py via the registry; these pin the
+behaviors an oracle diff can't see (MMR actually diversifies, DSIR
+weights tilt toward the target domain, bucket cutoffs order correctly,
+Zipf slope of a flat corpus is 0, BPE pair weighting).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.curation import dsir_weights, perplexity_buckets, quality_logit
+from yamon_spark.operators.similarity import mmr_topk
+from yamon_spark.operators.text import bpe_pair_counts, zipf_slope
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def test_zipf_flat_corpus_slope_zero(spark):
+    # every type appears exactly once -> ln(freq) constant -> slope 0
+    docs = _docs(spark, [("alpha beta gamma delta", "s")])
+    row = zipf_slope(docs).collect()[0]
+    assert row.n_types == 4
+    assert row.zipf_slope == 0.0
+
+
+def test_zipf_natural_skew_is_negative(spark):
+    docs = _docs(spark, [("a a a a a a a a b b b b c c d", "s")])
+    row = zipf_slope(docs).collect()[0]
+    assert row.n_types == 4
+    assert row.zipf_slope < -0.5
+
+
+def test_bpe_pairs_weighted_by_word_frequency(spark):
+    # "ab" occurs in 'abab' (x2 per word, 3 words) and 'ab' (x1, 2 words)
+    docs = _docs(spark, [("abab abab abab ab ab", "s")])
+    got = {r.pair: r.n for r in bpe_pair_counts(docs).collect()}
+    assert got["ab"] == 3 * 2 + 2 * 1
+    assert got["ba"] == 3  # only inside 'abab'
+
+
+def test_quality_logit_monotone_in_stopwords(spark):
+    base = "word " * 20
+    rich = ("the of and " * 7).strip()
+    docs = _docs(spark, [(base.strip(), "s"), (rich, "s")])
+    rows = {r.doc_id: r for r in quality_logit(docs).collect()}
+    # same word count; stopword-rich doc must score strictly higher
+    assert rows[1].quality_score > rows[0].quality_score
+    assert 0.0 <= rows[0].quality_score <= 1.0
+
+
+def test_quality_logit_matches_closed_form(spark):
+    docs = _docs(spark, [("the cat sat on the mat", "s")])
+    row = quality_logit(docs).collect()[0]
+    n, awl, sr = 6.0, 17.0 / 6.0, 2.0 / 6.0
+    z = -1.5 + 0.8 * math.log(n) - 0.3 * awl + 6.0 * sr
+    assert abs(row.quality_score - 1.0 / (1.0 + math.exp(-z))) < 1e-4
+
+
+def test_perplexity_buckets_order_and_cover(spark, sf_dir):
+    from yamon_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs).toPandas()
+    assert set(out.bucket) == {"head", "middle", "tail"}
+    # bucket boundaries must respect the score ordering
+    assert out[out.bucket == "head"].mean_logprob.min() >= out[out.bucket == "middle"].mean_logprob.max()
+    assert out[out.bucket == "middle"].mean_logprob.min() >= out[out.bucket == "tail"].mean_logprob.max()
+    assert len(out) == docs.count()
+
+
+def test_dsir_weights_tilt_toward_target_vocabulary(spark):
+    tgt = [("quantum flux entangle qubit decohere", "src0")] * 6
+    other = [("football goal referee stadium crowd", "srcX")] * 6
+    probe = [
+        ("quantum qubit flux entangle", "probe"),  # looks like target
+        ("football stadium goal referee", "probe"),  # looks like raw-only
+    ]
+    docs = _docs(spark, tgt + other + probe)
+    rows = {r.doc_id: r.log_weight for r in dsir_weights(docs).collect()}
+    # target-looking probe far above raw-only probe (smoothing keeps the
+    # absolute scale slightly negative on a tiny corpus; the RATIO is the
+    # resampling signal)
+    assert rows[12] > rows[13] + 5.0
+    # and above every football doc
+    assert all(rows[12] > rows[i] for i in range(6, 12))
+
+
+def test_mmr_penalizes_near_duplicates(spark):
+    # q = e0; e1 ~ e2 near-identical (sim ~1, both equally relevant);
+    # e3 equally relevant but orthogonal to them. Pure relevance would
+    # return (2, 1, 3); MMR must demote the near-dup 1 below 3.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.7, 0.7, 0.0, 0.0], 0),
+        (2, [0.7, 0.69, 0.01, 0.0], 0),
+        (3, [0.7, -0.7, 0.0, 0.0], 0),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = mmr_topk(embs, query_vec_id=0, k=3, pool=3).collect()
+    assert [r.rank for r in out] == [1, 2, 3]
+    # rank1 = highest rel (vec 2, the slightly-closer twin); rank2 must
+    # skip the near-dup vec 1 in favor of the diverse vec 3
+    assert out[0].vec_id == 2
+    assert out[1].vec_id == 3
+    assert out[2].vec_id == 1
+    assert out[1].mmr_score <= out[0].mmr_score
+
+
+def test_mmr_is_pool_bounded_and_plan_flat(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = mmr_topk(embs, k=5, pool=12)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert len({r.vec_id for r in rows}) == 5
+    # greedy scores are computed over rounded sims; ranks strictly ordered
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]

@@ -530,3 +530,134 @@ def unigram_logprob(docs: DataFrame, top_k: int = 1000) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# fixed weights of the distilled linear quality head (quality_logit):
+# intercept, ln(n_words), avg_word_len, stop_ratio. Published-classifier
+# shape (fastText/logistic quality heads); constants are part of the
+# operator contract and shared verbatim with the SQL oracle.
+LOGIT_W0 = -1.5
+LOGIT_W_LNWORDS = 0.8
+LOGIT_W_AVGLEN = -0.3
+LOGIT_W_STOP = 6.0
+
+
+def quality_logit(docs: DataFrame) -> DataFrame:
+    """Classifier-style quality score: a fixed-weight logistic head over
+    the same cheap features the rule gate uses (ln word count, average
+    word length, stopword ratio). Where quality_filter gives a hard
+    first-failing-rule verdict, this gives the calibrated [0,1] score a
+    mixing pipeline thresholds or importance-weights on.
+
+    Scale shape: shuffle-free scan-projection — features and the sigmoid
+    are whole-stage-codegen JVM expressions; linear in splits."""
+    w = words_col(F.col("text"))
+    n_words = F.size(w).cast("double")
+    avg_wl = F.aggregate(
+        F.transform(w, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    ) / n_words
+    stop_ratio = (
+        F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    )
+    z = (
+        F.lit(LOGIT_W0)
+        + F.lit(LOGIT_W_LNWORDS) * F.log(n_words)
+        + F.lit(LOGIT_W_AVGLEN) * avg_wl
+        + F.lit(LOGIT_W_STOP) * stop_ratio
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score, 4).alias("quality_score"),
+        (F.round(score, 4) >= 0.5).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+def perplexity_buckets(docs: DataFrame, top_k: int = 1000, sample_mod: int = 20) -> DataFrame:
+    """CCNet-style head/middle/tail split: score every doc with the mean
+    unigram log-probability (unigram_logprob), learn the two tercile
+    cutoffs from a deterministic doc_id-hash sample, and bucket docs by
+    comparing their ROUNDED score to the ROUNDED cutoffs (head = most
+    probable third). CCNet does exactly this with a 5-gram LM; the
+    bucketing/threshold machinery is identical, only the scorer differs.
+
+    Scale shape: scoring is the unigram_logprob plan (bounded k-row model
+    broadcast + two partial aggs). The cutoffs come from an EXACT
+    percentile over the 1/sample_mod doc sample — the sample keeps the
+    sort-based percentile state bounded, and the learned 1-row cutoffs
+    broadcast back so bucket assignment is map-side. At 100 TB you cap
+    the sample absolutely (e.g. mod chosen so the sample is ~1M docs);
+    the operator's plan does not change."""
+    scored = unigram_logprob(docs, top_k=top_k)
+    sample = scored.where((F.col("doc_id") % sample_mod) == 0)
+    cuts = sample.agg(
+        F.round(F.expr("percentile(mean_logprob, 1.0/3.0)"), 4).alias("t_low"),
+        F.round(F.expr("percentile(mean_logprob, 2.0/3.0)"), 4).alias("t_high"),
+    )
+    bucket = (
+        F.when(F.col("mean_logprob") >= F.col("t_high"), F.lit("head"))
+        .when(F.col("mean_logprob") >= F.col("t_low"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select("doc_id", "mean_logprob", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def dsir_weights(docs: DataFrame, target_source: str = "src0", n_buckets: int = 256) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023): per-doc sum of
+    log-likelihood ratios between a target-domain hashed-unigram model
+    and the raw-corpus model. Docs whose word-bucket profile looks like
+    the target get positive log-weights; importance resampling then
+    tilts the training mix toward the target domain without a trained
+    classifier. Buckets use the engine-portable md5 hash (shared with
+    the oracle); both models get add-half smoothing over n_buckets.
+
+    Scale shape: the two models are n_buckets-row aggregates (one
+    partial-agg shuffle over hashed words), joined into one bounded
+    model frame that BROADCASTS back; per-doc scoring is a map-side
+    join + one partial-agg groupBy(doc_id). Model size is fixed by
+    n_buckets — independent of vocabulary and corpus size."""
+    words = docs.select(
+        "doc_id",
+        F.col("source"),
+        F.explode(words_col(F.lower(F.col("text")))).alias("w"),
+    ).withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("w")), 1, 6), 16, 10).cast("bigint") % n_buckets,
+    )
+    raw = words.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        words.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    totals = words.agg(
+        F.count(F.lit(1)).cast("double").alias("n_raw"),
+        F.sum((F.col("source") == target_source).cast("long")).cast("double").alias("n_tgt"),
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"c_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_tgt") + 0.5) / (F.col("n_tgt") + 0.5 * n_buckets))
+                - F.log((F.col("c_raw") + 0.5) / (F.col("n_raw") + 0.5 * n_buckets))
+            ).alias("llr"),
+        )
+    )
+    return (
+        words.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.round(F.sum("llr"), 4).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )

@@ -433,3 +433,91 @@ def knn_join(embeddings: DataFrame, query_mod: int = 97, k: int = 3) -> DataFram
         .select("q_id", "vec_id", "cos_sim", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# MMR relevance/diversity trade-off — shared verbatim with the SQL oracle.
+# (mu is written as its own literal: Python's 1 - 0.7 is not the double 0.3,
+# and both engines must multiply by the SAME constant.)
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    pool: int = 30,
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell & Goldstein
+    1998): fetch the `pool` most cosine-similar candidates, then greedily
+    select k maximizing lambda*rel(q,d) - mu*max_sim(d, selected) — the
+    standard rerank that keeps a retrieval context window from filling
+    with near-duplicates of one hit.
+
+    Scale shape: candidate generation is the brute-force/ANN top-pool
+    scan (one pass, TakeOrderedAndProject); everything after operates on
+    the POOL-BOUNDED candidate set (pool rows, pool^2 pair sims), cached
+    once. The greedy loop is unrolled into k tiny anti-join + agg-join
+    steps over that cached frame — no driver-side collect, no unbounded
+    state; cost is independent of corpus size by construction. Each
+    step's 1-row pick is localCheckpoint-materialized (pool-bounded), so
+    the k-step plan stays flat instead of compounding lineage. All
+    comparisons use ROUNDED(4) sims with vec_id tiebreaks, so the
+    selection sequence is engine-deterministic (the DuckDB oracle unrolls
+    the identical k steps in SQL)."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        embeddings.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("rel"),
+            "embedding",
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(pool)
+        .cache()
+    )
+    a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("i") != F.col("j"))
+        .select("i", "j", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("s"))
+        .cache()
+    )
+    selected = (
+        cand.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .localCheckpoint()
+    )
+    for r in range(2, k + 1):
+        sel_ids = selected.select("vec_id")
+        mx = (
+            pairs.join(sel_ids.withColumnRenamed("vec_id", "j"), "j")
+            .groupBy("i")
+            .agg(F.max("s").alias("mx"))
+        )
+        nxt = (
+            cand.join(sel_ids, "vec_id", "left_anti")
+            .join(mx, F.col("vec_id") == F.col("i"))
+            .select(
+                F.lit(r).alias("rank"),
+                "vec_id",
+                "rel",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("mx"), 4
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "vec_id")
+            .limit(1)
+        )
+        selected = selected.unionAll(nxt).localCheckpoint()
+    return selected.orderBy("rank")

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "a", "of", "and", "in")
@@ -250,3 +250,58 @@ def bm25_scores(
     tf_cols = [F.col(f"tf{i}") for i in range(len(terms))]
     hit = (F.greatest(*tf_cols) if len(tf_cols) > 1 else tf_cols[0]) > 0
     return scored.where(hit).select("doc_id", score.alias("bm25"))
+
+
+def zipf_slope(docs: DataFrame) -> DataFrame:
+    """Zipf-law fit over the corpus unigram frequency table: OLS slope of
+    ln(freq) against ln(rank) (rank = frequency order, ties broken by
+    token). Natural text sits near -1; a corpus drifting toward 0 is
+    boilerplate-heavy, drifting much below -1 is vocabulary-starved — a
+    one-row health gauge for a training mix.
+
+    Scale shape: one partial-agg wordcount shuffle builds the frequency
+    table (|vocab| rows, orders of magnitude smaller than the corpus);
+    the rank window and the closed-form slope aggregation run over vocab
+    rows only. No per-document state, no driver materialization."""
+    words = docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = freq.select(
+        F.col("cnt"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
+        .alias("rank"),
+    ).select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("zipf_slope"),
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
+    """The inner statistic of BPE tokenizer training: corpus-weighted
+    adjacent character-pair counts (the quantity the first merge rule
+    maximizes). Emits the top_n pairs by weighted count.
+
+    Scale shape: the corpus collapses to its distinct-word frequency
+    table FIRST (one partial-agg shuffle to |vocab| rows), then pairs
+    explode over vocab rows weighted by word count — pair generation
+    cost is O(|vocab| * word_len), independent of corpus size. Top-n is
+    TakeOrderedAndProject. This is exactly how production BPE trainers
+    scale (they iterate word-frequency dicts, not raw text)."""
+    words = docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        wc.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+            F.col("cnt"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
+    return pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(top_n)

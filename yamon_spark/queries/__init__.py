@@ -170,6 +170,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         analytics_ext3,
         functions_scalar,
         joins,
+        training_ops,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}

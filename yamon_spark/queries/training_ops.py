@@ -1,0 +1,260 @@
+"""Declared queries for the round-5 training-data additions: tokenizer
+statistics (BPE pair counts), corpus health (Zipf slope), classifier-style
+quality scoring, CCNet-style perplexity bucketing, DSIR importance
+weights, and MMR-diversified retrieval.
+
+These extend the beyond-reference inventory (SURVEY §2 'beyond the
+reference'): the quantities a large-scale LLM training pipeline computes
+between raw documents and a training mix, each with a DuckDB oracle.
+
+Determinism contract (FIXTURES.md): doubles downstream of cross-partition
+float sums round to 4; greedy selections (MMR) operate on ROUNDED values
+with vec_id tiebreaks so the selection sequence is engine-deterministic;
+hash bucketing uses the portable md5-hex-prefix hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yamon_spark.queries import register, table
+from yamon_spark.queries.pipeline_ops import _COS_EXPRS, _STOP_SQL, _WORDS
+
+_WORDS_LC = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_LC}) AS w FROM documents),
+    c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+    r AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, w) AS DOUBLE)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(y, x), 4) AS zipf_slope
+    FROM r
+    """,
+    doc=(
+        "Zipf-law OLS slope of ln(freq) vs ln(rank) over the corpus "
+        "unigram table — a one-row naturalness gauge for a training mix."
+    ),
+)
+def zipf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import zipf_slope
+
+    return zipf_slope(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_LC}) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, c
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(c) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+    doc=(
+        "BPE tokenizer training's inner statistic: corpus-weighted "
+        "adjacent character-pair counts over the distinct-word frequency "
+        "table (top-50 = the first merge candidates)."
+    ),
+)
+def bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=50)
+
+
+@register(
+    "quality_logit",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(len(w) AS DOUBLE) AS n_words,
+        list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+          / len(w) AS avg_word_len,
+        CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w) AS stop_ratio
+      FROM t
+    ),
+    z AS (
+      SELECT doc_id,
+             (((-1.5 + 0.8 * ln(n_words)) + (-0.3 * avg_word_len))
+              + (6.0 * stop_ratio)) AS z
+      FROM f
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-z)), 4) AS quality_score,
+           CAST(CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM z ORDER BY doc_id
+    """,
+    doc=(
+        "Fixed-weight logistic quality head over the rule gate's features "
+        "— the calibrated [0,1] score a mixing pipeline thresholds on."
+    ),
+)
+def quality_logit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_logit
+
+    return quality_logit(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_perplexity_buckets",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+    c AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+    t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM c),
+    v AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 1000),
+    j AS (
+      SELECT w.doc_id,
+             CASE WHEN v.cnt IS NOT NULL THEN ln(v.cnt / t.total)
+                  ELSE ln(0.5 / t.total) END AS lp
+      FROM w LEFT JOIN v ON w.word = v.word CROSS JOIN t
+    ),
+    scored AS (
+      SELECT doc_id, ROUND(avg(lp), 4) AS mean_logprob
+      FROM j GROUP BY doc_id
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(mean_logprob, 1.0/3.0), 4) AS t_low,
+             round(quantile_cont(mean_logprob, 2.0/3.0), 4) AS t_high
+      FROM scored WHERE doc_id % 20 = 0
+    )
+    SELECT doc_id, mean_logprob,
+           CASE WHEN mean_logprob >= t_high THEN 'head'
+                WHEN mean_logprob >= t_low THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored CROSS JOIN cuts ORDER BY doc_id
+    """,
+    doc=(
+        "CCNet-style head/middle/tail split: unigram-LM doc scores, "
+        "tercile cutoffs learned from a deterministic doc_id-hash sample, "
+        "map-side bucket assignment against the broadcast cutoffs."
+    ),
+)
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import perplexity_buckets
+
+    return perplexity_buckets(table(spark, sf_dir, "documents"), top_k=1000, sample_mod=20)
+
+
+@register(
+    "dsir_weights",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, unnest({_WORDS_LC}) AS w FROM documents
+    ),
+    wb AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(w), 1, 6))::BIGINT % 256 AS bucket
+      FROM w
+    ),
+    raw AS (SELECT bucket, count(*) AS c_raw FROM wb GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*) AS c_tgt FROM wb WHERE source = 'src0' GROUP BY bucket),
+    tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_raw,
+             CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS DOUBLE) AS n_tgt
+      FROM wb
+    ),
+    model AS (
+      SELECT r.bucket,
+             (ln((COALESCE(t.c_tgt, 0) + 0.5) / (n_tgt + 128.0))
+              - ln((r.c_raw + 0.5) / (n_raw + 128.0))) AS llr
+      FROM raw r LEFT JOIN tgt t ON r.bucket = t.bucket CROSS JOIN tot
+    )
+    SELECT wb.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           ROUND(sum(model.llr), 4) AS log_weight
+    FROM wb JOIN model ON wb.bucket = model.bucket
+    GROUP BY wb.doc_id ORDER BY wb.doc_id
+    """,
+    doc=(
+        "DSIR importance weights: per-doc log-likelihood ratio between a "
+        "target-domain (source='src0') hashed-unigram model and the raw "
+        "corpus model; both models are 256-row broadcasts."
+    ),
+)
+def dsir_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import dsir_weights
+
+    return dsir_weights(table(spark, sf_dir, "documents"), target_source="src0", n_buckets=256)
+
+
+_PAIR_COS = """
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        ix -> CAST(a.embedding[ix] AS DOUBLE) * CAST(b.embedding[ix] AS DOUBLE)), (x, y) -> x + y) AS dot,
+      list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
+      list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+"""
+
+
+def _mmr_oracle(k: int = 10, pool: int = 30) -> str:
+    """Unrolled greedy-MMR oracle: sel{r} picks the argmax of
+    0.7*rel - 0.3*max_sim(candidate, selected so far) among unselected
+    candidates — the same k steps the Spark operator unrolls, in SQL."""
+    parts = [
+        f"""
+    WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT e.vec_id, e.embedding, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    cand AS MATERIALIZED (
+      SELECT vec_id, embedding, round(dot / (sqrt(na) * sqrt(nb)), 4) AS rel
+      FROM s ORDER BY rel DESC, vec_id LIMIT {pool}
+    ),
+    p0 AS (
+      SELECT a.vec_id AS i, b.vec_id AS j, {_PAIR_COS}
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    pairs AS MATERIALIZED (SELECT i, j, round(dot / (sqrt(na) * sqrt(nb)), 4) AS s FROM p0),
+    sel1 AS MATERIALIZED (
+      SELECT CAST(1 AS INT) AS rank, vec_id, rel, rel AS mmr_score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    ),
+    selall1 AS MATERIALIZED (SELECT vec_id FROM sel1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+    sel{r} AS MATERIALIZED (
+      SELECT CAST({r} AS INT) AS rank, c.vec_id, c.rel,
+             round(0.7 * c.rel - 0.3 * m.mx, 4) AS mmr_score
+      FROM cand c JOIN (
+        SELECT i, max(s) AS mx FROM pairs
+        WHERE j IN (SELECT vec_id FROM selall{r - 1}) GROUP BY i
+      ) m ON c.vec_id = m.i
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{r - 1})
+      ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+    ),
+    selall{r} AS MATERIALIZED (
+      SELECT vec_id FROM selall{r - 1} UNION ALL SELECT vec_id FROM sel{r}
+    )"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM sel{r}" for r in range(1, k + 1))
+    parts.append(f"\n    SELECT rank, vec_id, rel, mmr_score FROM ({union}) ORDER BY rank")
+    return "".join(parts)
+
+
+@register(
+    "sim_mmr_topk",
+    _mmr_oracle(k=10, pool=30),
+    doc=(
+        "Maximal-marginal-relevance rerank: greedy top-10 from the "
+        "cosine top-30 pool maximizing 0.7*rel - 0.3*max_sim(selected) "
+        "— keeps a retrieval context from filling with near-duplicates."
+    ),
+)
+def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import mmr_topk
+
+    return mmr_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, pool=30)
