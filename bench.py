@@ -138,8 +138,6 @@ _SHORT_WHOLE = {
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmix_temp",
     "sim_ivf_recall": "sm_ivf_rec",
-    "sim_ivf_recall_batch": "sm_ivf_rec_b",
-    "sim_truncation_recall": "sm_trunc_rec",
     "sim_pq_recall": "sm_pq_rec",
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
@@ -154,6 +152,28 @@ _SHORT_WHOLE = {
     "quality_logit": "qlogit",
     "text_perplexity_buckets": "tx_ppl",
     "dsir_weights": "dsir",
+    # r5 tightening so ALL entries fit the 1900-char stdout cap with six
+    # more queries registered; renames from the r4 line, old -> new:
+    "sim_ivf_recall_batch": "sm_ivfrb",      # sm_ivf_rec_b
+    "sim_truncation_recall": "sm_trunc",     # sm_trunc_rec
+    "multimodal_audio_windows": "mm_aud",    # mm_audio_windows
+    "multimodal_video_frames": "mm_vid",     # mm_video_frames
+    "multimodal_features": "mm_feat",        # mm_features
+    "sim_near_dup_lsh": "sm_ndl",            # sm_near_dup_lsh
+    "sim_cosine_topk": "sm_cos",             # sm_cosine_topk
+    "sim_ivf_topk": "sm_ivf",                # sm_ivf_topk
+    "sim_knn_join": "sm_knn",                # sm_knn_join
+    "sim_lsh_topk": "sm_lsh",                # sm_lsh_topk
+    "sim_mmr_topk": "sm_mmr",                # (new in r5)
+    "text_fingerprint": "tx_fp",             # tx_fingerprint
+    "text_token_count": "tx_tok",            # tx_token_count
+    "text_repetition": "tx_rep",             # tx_repetition
+    "text_pii_scrub": "tx_pii",              # tx_pii_scrub
+    "embed_norm_stats": "em_norm",           # em_norm_stats
+    "embed_centroids": "em_cent",            # em_centroids
+    "sample_rebalanced": "sp_rebal",         # sp_rebalanced
+    "dedup_canonical": "dd_canon",           # dd_canonical
+    "dedup_substring": "dd_substr",          # dd_substring
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
