@@ -36,6 +36,8 @@ BNLJ_OK = {
     "sim_ivf_recall_batch",  # broadcast of the bounded query-vector batch
     "sim_pq_recall",  # single broadcast query vector (both rankings)
     "q85_histogram_quantile",  # broadcast of the 2-row quantile list
+    "dsir_weights",  # broadcast of the ONE totals row into the 256-row model
+    "text_perplexity_buckets",  # broadcast of the ONE learned-cutoffs row
 }
 
 
