@@ -136,9 +136,9 @@ _SHORT_WHOLE = {
     "hybrid_rank_rrf": "rrf",
     "pack_sequences": "pack",
     "domain_mix": "dmix",
-    "domain_mix_temperature": "dmix_temp",
-    "sim_ivf_recall": "sm_ivf_rec",
-    "sim_pq_recall": "sm_pq_rec",
+    "domain_mix_temperature": "dmixt",
+    "sim_ivf_recall": "sm_ivfr",
+    "sim_pq_recall": "sm_pqr",
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
     "multimodal_wav_roundtrip": "mm_wav",
@@ -146,7 +146,7 @@ _SHORT_WHOLE = {
     "text_quality_filter": "tx_qual",
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "dd_mhlsh",
-    "text_unigram_logprob": "tx_unigram",
+    "text_unigram_logprob": "tx_uni",
     "text_zipf_slope": "tx_zipf",
     "bpe_pair_counts": "bpe",
     "quality_logit": "qlogit",
@@ -173,7 +173,19 @@ _SHORT_WHOLE = {
     "embed_centroids": "em_cent",            # em_centroids
     "sample_rebalanced": "sp_rebal",         # sp_rebalanced
     "dedup_canonical": "dd_canon",           # dd_canonical
-    "dedup_substring": "dd_substr",          # dd_substring
+    "dedup_substring": "dd_sub",             # dd_substr
+    "dedup_semantic": "dd_sem",              # (new in r5)
+    "sample_stratified": "sp_strat",         # sp_stratified
+    "dedup_clusters": "dd_clus",             # dd_clusters
+    "dedup_jaccard": "dd_jac",               # dd_jaccard
+    "dedup_simhash": "dd_sim",               # dd_simhash
+    "text_entropy": "tx_ent",                # tx_entropy
+    "text_bigrams": "tx_bigr",               # tx_bigrams
+    "text_lang_id": "tx_lang",               # tx_lang_id
+    "text_winnow": "tx_win",                 # tx_winnow
+    "corpus_profile": "co_prof",             # co_profile
+    "corpus_shuffle": "co_shuf",             # co_shuffle
+    "multimodal_frames": "mm_frm",           # mm_frames
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

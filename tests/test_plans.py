@@ -38,6 +38,7 @@ BNLJ_OK = {
     "q85_histogram_quantile",  # broadcast of the 2-row quantile list
     "dsir_weights",  # broadcast of the ONE totals row into the 256-row model
     "text_perplexity_buckets",  # broadcast of the ONE learned-cutoffs row
+    "q86_seasonal_baseline",  # broadcast of the ONE last-day horizon row
 }
 
 

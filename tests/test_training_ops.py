@@ -124,3 +124,38 @@ def test_mmr_is_pool_bounded_and_plan_flat(spark, sf_dir):
     assert len({r.vec_id for r in rows}) == 5
     # greedy scores are computed over rounded sims; ranks strictly ordered
     assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+
+def test_semantic_dedup_drops_near_dup_keeps_anchor(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0] + [0.0] * 60, 0),
+        (1, [0.99, 0.001, 0.0, 0.0] + [0.0] * 60, 0),  # near-dup of 0
+        (2, [-1.0, 0.0, 0.0, 0.0] + [0.0] * 60, 0),  # opposite bucket
+    ]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    from yamon_spark.operators.similarity import semantic_dedup
+
+    out = {r.vec_id: r for r in semantic_dedup(embs, threshold=0.95).collect()}
+    assert out[0].keep == 1 and out[0].canon_id == 0  # anchor of its bucket
+    assert out[1].keep == 0 and out[1].canon_id == 0  # dropped against anchor
+    assert out[1].cos_to_canon >= 0.95
+    assert out[2].keep == 1  # alone in the complementary bucket
+    assert out[2].bucket != out[0].bucket
+
+
+def test_seasonal_baseline_flags_consistent(spark, sf_dir):
+    from yamon_spark.queries import all_queries
+
+    out = all_queries()["q86_seasonal_baseline"].build(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert ((out.ratio - out.current_avg / out.baseline_avg).abs() < 1e-12).all()
+    assert (out.anomalous == ((out.ratio - 1.0).abs() > 0.2).astype(int)).all()
+
+
+def test_level_shift_partitions_each_series(spark, sf_dir):
+    from yamon_spark.queries import all_queries, table
+
+    out = all_queries()["q87_level_shift"].build(spark, sf_dir).toPandas()
+    total = table(spark, sf_dir, "events").count()
+    assert (out.n_before + out.n_after).sum() == total
+    assert ((out["shift"] - (out.mean_after - out.mean_before)).abs() < 1e-12).all()

@@ -521,3 +521,41 @@ def mmr_topk(
         )
         selected = selected.unionAll(nxt).localCheckpoint()
     return selected.orderBy("rank")
+
+
+def semantic_dedup(
+    embeddings: DataFrame, threshold: float = 0.95, n_planes: int = 6, dim: int = 64
+) -> DataFrame:
+    """SemDeDup-style semantic dedup DECISION operator (Abbas et al.
+    2023): cluster embeddings (here: deterministic hyperplane buckets —
+    the no-training path; at scale, KMeans cells work identically),
+    anchor each cluster at its min-vec_id member, and DROP members whose
+    cosine to the anchor clears `threshold`. Where near-dup ops report
+    pairs, this emits the per-item keep/drop verdict a curation pipeline
+    applies directly.
+
+    Scale shape: bucket assignment is a scan-only projection; anchors
+    are one partial-agg groupBy to <= 2^n_planes rows, joined back
+    BROADCAST; scoring is one map-side cosine per row. No pairwise
+    term anywhere — cost is linear in corpus size."""
+    planes = lsh_hyperplanes(n_planes, dim)
+    bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+    anchors = bucketed.groupBy("bucket").agg(F.min("vec_id").alias("canon_id"))
+    anchor_emb = anchors.join(
+        bucketed.select(F.col("vec_id").alias("canon_id"), F.col("embedding").alias("canon_emb")),
+        "canon_id",
+    )
+    cos = F.round(cosine_sim(F.col("embedding"), F.col("canon_emb")), 4)
+    return (
+        bucketed.join(F.broadcast(anchor_emb), "bucket")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "canon_id",
+            cos.alias("cos_to_canon"),
+            (
+                (F.col("vec_id") == F.col("canon_id")) | (cos < F.lit(threshold))
+            ).cast("int").alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

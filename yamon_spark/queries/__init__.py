@@ -171,6 +171,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         functions_scalar,
         joins,
         training_ops,
+        analytics_ext4,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}

@@ -1,0 +1,177 @@
+"""Fourth extension batch: the remaining scheduled-alerting queries a
+monitoring engine runs over its event tables — seasonal (hour-of-day)
+baseline deviation and change-point (level-shift) detection. Both are
+the batch twins of alert rules the reference delegates to dashboards on
+top of ClickHouse (res/schema.sql's rollup tables exist to make exactly
+these queries cheap).
+
+Scale shapes: q86 is two partial-agg groupBys over (type, hour) cells
+(bounded by |types|*24) + one 1-row horizon broadcast; q87 is two
+partial-agg groupBys over |types| rows with an equi-join between them.
+Determinism: values quantize to integer cents (floor(v*100 + 0.5), the
+engine-portable half-up) BEFORE aggregation, so the cross-partition sums
+are exact integers (order-independent) and the derived means are
+bit-identical on both engines — a float-sum average here measurably
+straddles a round-4 tie at sf0.01, and the tie itself (an EXACT .00005
+mean: 359518 cents / 80 rows) splits Spark's BigDecimal HALF_UP from
+DuckDB's float-scaling round. So means are emitted UNROUNDED (exact
+integer sum / count: one IEEE division, identical on both engines), and
+ratios/differences/flags derive from those identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yamon_spark.queries import register, table
+
+
+@register(
+    "q86_seasonal_baseline",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    m AS (SELECT max(day) AS last_day FROM d),
+    base AS (
+      SELECT event_type, hr, sum(vc) / (100.0 * count(*)) AS baseline_avg
+      FROM d CROSS JOIN m WHERE d.day < m.last_day GROUP BY event_type, hr
+    ),
+    cur AS (
+      SELECT event_type, hr, sum(vc) / (100.0 * count(*)) AS current_avg
+      FROM d CROSS JOIN m WHERE d.day = m.last_day GROUP BY event_type, hr
+    )
+    SELECT c.event_type, c.hr, b.baseline_avg, c.current_avg,
+           c.current_avg / b.baseline_avg AS ratio,
+           CAST(CASE WHEN abs(c.current_avg / b.baseline_avg - 1.0) > 0.2
+                THEN 1 ELSE 0 END AS INT) AS anomalous
+    FROM cur c JOIN base b ON c.event_type = b.event_type AND c.hr = b.hr
+    ORDER BY c.event_type, c.hr
+    """,
+    doc=(
+        "Seasonal baseline deviation: the last day's per-(type, hour) "
+        "average vs the hour-of-day baseline learned from all prior days "
+        "— the 'is today abnormal for 3am' alert every monitoring stack "
+        "schedules. Baseline cells bounded by |types|*24; assignment is "
+        "one equi-join."
+    ),
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    m = d.agg(F.max("day").alias("last_day"))
+    j = d.crossJoin(F.broadcast(m))
+
+    def cents_avg(alias: str):
+        # UNROUNDED: exact integer sum / (100*count) is one IEEE division,
+        # bit-identical on both engines (rounding it can hit exact ties)
+        return (F.sum("vc") / (F.lit(100.0) * F.count(F.lit(1)))).alias(alias)
+
+    base = (
+        j.where(F.col("day") < F.col("last_day"))
+        .groupBy("event_type", "hr")
+        .agg(cents_avg("baseline_avg"))
+    )
+    cur = (
+        j.where(F.col("day") == F.col("last_day"))
+        .groupBy("event_type", "hr")
+        .agg(cents_avg("current_avg"))
+    )
+    ratio = F.col("current_avg") / F.col("baseline_avg")
+    return (
+        cur.join(base, ["event_type", "hr"])
+        .select(
+            "event_type",
+            "hr",
+            "baseline_avg",
+            "current_avg",
+            ratio.alias("ratio"),
+            (F.abs(ratio - F.lit(1.0)) > 0.2).cast("int").alias("anomalous"),
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
+    "q87_level_shift",
+    """
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    rng AS (
+      SELECT event_type, (min(us) + max(us)) // 2 AS mid_us FROM s GROUP BY event_type
+    ),
+    h AS (
+      SELECT s.event_type,
+             sum(CASE WHEN s.us <= rng.mid_us THEN vc ELSE 0 END)
+                   / (100.0 * sum(CASE WHEN s.us <= rng.mid_us THEN 1 ELSE 0 END)) AS mean_before,
+             sum(CASE WHEN s.us > rng.mid_us THEN vc ELSE 0 END)
+                   / (100.0 * sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END)) AS mean_after,
+             CAST(sum(CASE WHEN s.us <= rng.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+             CAST(sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+      FROM s JOIN rng ON s.event_type = rng.event_type
+      GROUP BY s.event_type
+    )
+    SELECT event_type, n_before, n_after, mean_before, mean_after,
+           mean_after - mean_before AS shift,
+           CAST(CASE WHEN abs(mean_after - mean_before) > 1.0
+                THEN 1 ELSE 0 END AS INT) AS shifted
+    FROM h ORDER BY event_type
+    """,
+    doc=(
+        "Change-point (level-shift) detection per series: mean value in "
+        "the first vs second half of each series' time range (midpoint = "
+        "exact integer-µs halfway), flagged past a shift threshold — the "
+        "CUSUM-style 'did this metric move' scheduled check. Two "
+        "partial-agg groupBys to |types| rows + one equi-join."
+    ),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    rng = s.groupBy("event_type").agg(
+        F.expr("(min(us) + max(us)) DIV 2").alias("mid_us")
+    )
+    is_before = F.col("us") <= F.col("mid_us")
+    n_before = F.sum(is_before.cast("long"))
+    n_after = F.sum((~is_before).cast("long"))
+    h = (
+        s.join(rng, "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(is_before, F.col("vc")).otherwise(F.lit(0)))
+                / (F.lit(100.0) * n_before)
+            ).alias("mean_before"),
+            (
+                F.sum(F.when(~is_before, F.col("vc")).otherwise(F.lit(0)))
+                / (F.lit(100.0) * n_after)
+            ).alias("mean_after"),
+            n_before.cast("bigint").alias("n_before"),
+            n_after.cast("bigint").alias("n_after"),
+        )
+    )
+    shift = F.col("mean_after") - F.col("mean_before")
+    return h.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        "mean_before",
+        "mean_after",
+        shift.alias("shift"),
+        (F.abs(shift) > 1.0).cast("int").alias("shifted"),
+    ).orderBy("event_type")

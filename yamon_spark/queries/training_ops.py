@@ -258,3 +258,53 @@ def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import mmr_topk
 
     return mmr_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, pool=30)
+
+
+def _semantic_dedup_oracle(threshold: float = 0.95, n_planes: int = 6, dim: int = 64) -> str:
+    from yamon_spark.operators.similarity import lsh_hyperplanes
+
+    planes = lsh_hyperplanes(n_planes, dim)
+    plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
+    bucket_terms = " + ".join(
+        f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
+             i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
+             THEN {2 ** j} ELSE 0 END)"""
+        for j, h in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings),
+    c AS (SELECT bucket, min(vec_id) AS canon_id FROM b GROUP BY bucket),
+    ce AS (
+      SELECT c.bucket, c.canon_id, b.embedding AS canon_emb
+      FROM c JOIN b ON b.vec_id = c.canon_id
+    ),
+    s AS (
+      SELECT b.vec_id, CAST(b.bucket AS BIGINT) AS bucket, ce.canon_id,
+        list_reduce(list_transform(range(1, len(b.embedding) + 1),
+          ix -> CAST(b.embedding[ix] AS DOUBLE) * CAST(ce.canon_emb[ix] AS DOUBLE)), (x, y) -> x + y) AS dot,
+        list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
+        list_reduce(list_transform(ce.canon_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM b JOIN ce ON b.bucket = ce.bucket
+    )
+    SELECT vec_id, bucket, canon_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_to_canon,
+           CAST(CASE WHEN vec_id = canon_id
+                       OR round(dot / (sqrt(na) * sqrt(nb)), 4) < {threshold}
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM s ORDER BY vec_id
+    """
+
+
+@register(
+    "dedup_semantic",
+    _semantic_dedup_oracle(),
+    doc=(
+        "SemDeDup-style keep/drop verdict: hyperplane-bucket clusters, "
+        "min-vec_id anchor per cluster, drop members with cosine >= 0.95 "
+        "to their anchor. Linear cost — no pairwise term."
+    ),
+)
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(table(spark, sf_dir, "embeddings"), threshold=0.95, n_planes=6)
