@@ -175,6 +175,9 @@ _SHORT_WHOLE = {
     "dedup_canonical": "dd_canon",           # dd_canonical
     "dedup_substring": "dd_sub",             # dd_substr
     "dedup_semantic": "dd_sem",              # (new in r5)
+    "sq8_codes": "sq8",                      # (new in r5)
+    "sim_sq8_topk": "sm_sq8",                # (new in r5)
+    "sim_sq8_recall": "sm_sq8r",             # (new in r5)
     "sample_stratified": "sp_strat",         # sp_stratified
     "dedup_clusters": "dd_clus",             # dd_clusters
     "dedup_jaccard": "dd_jac",               # dd_jaccard

@@ -53,7 +53,7 @@ def synthesize(spark, base: str, out_dir: str, factor: int) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
     for name in os.listdir(base):
-        if name not in ("documents.parquet", "embeddings.parquet"):
+        if name not in ("documents.parquet", "embeddings.parquet", "events.parquet"):
             os.symlink(os.path.join(base, name), os.path.join(out_dir, name))
 
     docs = spark.read.parquet(os.path.join(base, "documents.parquet"))
@@ -77,6 +77,23 @@ def synthesize(spark, base: str, out_dir: str, factor: int) -> None:
     emb.crossJoin(F.broadcast(reps)).select(
         (F.col("vec_id") + F.col("rep") * m).alias("vec_id"), "embedding", "label"
     ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+
+    # events: replica i = distinct users on the same timeline, so per-series
+    # cardinality grows with the factor while each series keeps the
+    # original time shape (the realistic more-hosts-same-window growth)
+    from yamon_spark.queries import table as load_table
+
+    ev = load_table(spark, base, "events")
+    ne = ev.agg(F.max("event_id")).first()[0] + 1
+    nu = ev.agg(F.max("user_id")).first()[0] + 1
+    ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * ne).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("rep") * nu).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    ).repartition(32).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
 
 
 def time_op(build, spark, sf_dir: str, runs: int = 2) -> float:

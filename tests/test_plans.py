@@ -39,6 +39,9 @@ BNLJ_OK = {
     "dsir_weights",  # broadcast of the ONE totals row into the 256-row model
     "text_perplexity_buckets",  # broadcast of the ONE learned-cutoffs row
     "q86_seasonal_baseline",  # broadcast of the ONE last-day horizon row
+    "sq8_codes",  # broadcast of the ONE per-dim min/max stats row
+    "sim_sq8_topk",  # stats row + single query vector broadcasts
+    "sim_sq8_recall",  # stats row + single query vector (both rankings)
 }
 
 

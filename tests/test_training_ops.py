@@ -159,3 +159,28 @@ def test_level_shift_partitions_each_series(spark, sf_dir):
     total = table(spark, sf_dir, "events").count()
     assert (out.n_before + out.n_after).sum() == total
     assert ((out["shift"] - (out.mean_after - out.mean_before)).abs() < 1e-12).all()
+
+
+def test_sq8_roundtrip_preserves_direction(spark, sf_dir):
+    from yamon_spark.operators.similarity import sq8_fidelity, sq8_recall
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    fid = sq8_fidelity(embs).toPandas()
+    assert len(fid) == embs.count()
+    # 8-bit per-dim quantization keeps direction almost exactly
+    assert fid.recon_cos.min() > 0.999
+    rec = sq8_recall(embs).collect()[0]
+    assert rec.recall_at_10 >= 0.9
+
+
+def test_sq8_codes_are_byte_range_and_deterministic(spark):
+    from yamon_spark.operators.similarity import sq8_frame
+
+    rows = [(i, [float(i), -float(i), 0.5] + [0.0] * 61, 0) for i in range(4)]
+    embs = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = sq8_frame(embs).select("vec_id", "codes").collect()
+    for r in out:
+        assert all(0 <= c <= 255 for c in r.codes)
+    by_id = {r.vec_id: r.codes for r in out}
+    assert by_id[0][0] == 0 and by_id[3][0] == 255  # min/max of dim 0
+    assert by_id[0][2] == 0  # constant dim -> code 0 guard

@@ -308,3 +308,127 @@ def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import semantic_dedup
 
     return semantic_dedup(table(spark, sf_dir, "embeddings"), threshold=0.95, n_planes=6)
+
+
+_SQ8_STATS = """
+    ex AS (
+      SELECT CAST(d AS INT) AS dim, CAST(embedding[d] AS DOUBLE) AS v
+      FROM embeddings, range(1, 65) t(d)
+    ),
+    st AS MATERIALIZED (
+      SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs
+      FROM (SELECT dim, min(v) AS mn, max(v) AS mx FROM ex GROUP BY dim)
+    ),
+    enc AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+        list_transform(range(1, len(e.embedding) + 1), i ->
+          CASE WHEN st.maxs[i] = st.mins[i] THEN 0
+               ELSE CAST(least(255.0, greatest(0.0,
+                    floor((CAST(e.embedding[i] AS DOUBLE) - st.mins[i])
+                          / (st.maxs[i] - st.mins[i]) * 255.0 + 0.5))) AS INTEGER)
+          END) AS codes
+      FROM embeddings e CROSS JOIN st
+    ),
+    dec AS MATERIALIZED (
+      SELECT enc.vec_id, enc.embedding, enc.codes,
+        list_transform(range(1, len(enc.codes) + 1), i ->
+          st.mins[i] + CAST(enc.codes[i] AS DOUBLE) / 255.0 * (st.maxs[i] - st.mins[i])) AS recon
+      FROM enc CROSS JOIN st
+    )
+"""
+
+
+@register(
+    "sq8_codes",
+    f"""
+    WITH {_SQ8_STATS},
+    f AS (
+      SELECT vec_id,
+        list_reduce(list_transform(codes, c -> CAST(c AS BIGINT)), (a, b) -> a + b) AS code_sum,
+        list_reduce(list_transform(range(1, len(recon) + 1),
+          ix -> recon[ix] * CAST(embedding[ix] AS DOUBLE)), (x, y) -> x + y) AS dot,
+        list_reduce(list_transform(recon, x -> x * x), (x, y) -> x + y) AS na,
+        list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM dec
+    )
+    SELECT vec_id, code_sum, round(dot / (sqrt(na) * sqrt(nb)), 4) AS recon_cos
+    FROM f ORDER BY vec_id
+    """,
+    doc=(
+        "SQ8 scalar quantization round-trip: per-dim min/max learned from "
+        "the corpus (one broadcast row), int8-range codes, reconstruction "
+        "cosine per vector — the 4x-compression encode check."
+    ),
+)
+def sq8_codes_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import sq8_fidelity
+
+    return sq8_fidelity(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "sim_sq8_topk",
+    f"""
+    WITH {_SQ8_STATS},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    s AS (
+      SELECT d.vec_id,
+        list_reduce(list_transform(range(1, len(d.recon) + 1),
+          ix -> d.recon[ix] * CAST(q.q_emb[ix] AS DOUBLE)), (x, y) -> x + y) AS dot,
+        list_reduce(list_transform(d.recon, x -> x * x), (x, y) -> x + y) AS na,
+        list_reduce(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM dec d CROSS JOIN q WHERE d.vec_id <> 0
+    )
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM s ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc=(
+        "ANN top-10 in SQ8-decoded space: full-precision query against "
+        "the 4x-compressed corpus (asymmetric scoring, pq_topk's ADC "
+        "shape with a scalar codebook)."
+    ),
+)
+def sim_sq8_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import sq8_topk
+
+    return sq8_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "sim_sq8_recall",
+    f"""
+    WITH {_SQ8_STATS},
+    q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sb AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM sb)
+      ORDER BY cs DESC, vec_id LIMIT 10
+    ),
+    sa AS (
+      SELECT d.vec_id,
+        list_reduce(list_transform(range(1, len(d.recon) + 1),
+          ix -> d.recon[ix] * CAST(q.q_emb[ix] AS DOUBLE)), (x, y) -> x + y) AS dot,
+        list_reduce(list_transform(d.recon, x -> x * x), (x, y) -> x + y) AS na,
+        list_reduce(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM dec d CROSS JOIN q WHERE d.vec_id <> 0
+    ),
+    appr AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM sa)
+      ORDER BY cs DESC, vec_id LIMIT 10
+    )
+    SELECT count(*) / 10.0 AS recall_at_10 FROM truth JOIN appr USING (vec_id)
+    """,
+    doc=(
+        "recall@10 of the SQ8 index vs full-precision brute force — the "
+        "self-evaluation gate (sibling of sim_ivf_recall/sim_pq_recall)."
+    ),
+)
+def sim_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import sq8_recall
+
+    return sq8_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
