@@ -42,6 +42,12 @@ BNLJ_OK = {
     "sq8_codes",  # broadcast of the ONE per-dim min/max stats row
     "sim_sq8_topk",  # stats row + single query vector broadcasts
     "sim_sq8_recall",  # stats row + single query vector (both rankings)
+    # sim_mmr_topk builds EAGERLY (localCheckpoint per greedy step), so its
+    # candidate crossJoin(broadcast(q)) and 30x30 pairs join execute during
+    # build() and never appear in the final inspected plan; listed here so
+    # the gate applies if the implementation ever turns lazy. Boundedness is
+    # pinned separately by test_training_ops.test_mmr_is_pool_bounded*.
+    "sim_mmr_topk",
 }
 
 

@@ -571,7 +571,9 @@ def quality_logit(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.round(score, 4).alias("quality_score"),
-        (F.round(score, 4) >= 0.5).cast("int").alias("keep"),
+        # when/otherwise (not bool.cast) so a NULL feature row flags 0,
+        # matching the oracle's CASE ... ELSE 0
+        F.when(F.round(score, 4) >= 0.5, 1).otherwise(0).alias("keep"),
     ).orderBy("doc_id")
 
 

@@ -520,6 +520,10 @@ def mmr_topk(
             .limit(1)
         )
         selected = selected.unionAll(nxt).localCheckpoint()
+    # the final selection is checkpoint-materialized; release the
+    # pool-bounded scratch frames instead of pinning them per invocation
+    cand.unpersist()
+    pairs.unpersist()
     return selected.orderBy("rank")
 
 
@@ -553,9 +557,11 @@ def semantic_dedup(
             F.col("bucket").cast("bigint").alias("bucket"),
             "canon_id",
             cos.alias("cos_to_canon"),
-            (
-                (F.col("vec_id") == F.col("canon_id")) | (cos < F.lit(threshold))
-            ).cast("int").alias("keep"),
+            # when/otherwise so a NULL cosine (zero-norm vector) flags 0,
+            # matching the oracle's CASE ... ELSE 0
+            F.when(
+                (F.col("vec_id") == F.col("canon_id")) | (cos < F.lit(threshold)), 1
+            ).otherwise(0).alias("keep"),
         )
         .orderBy("vec_id")
     )

@@ -94,7 +94,7 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
             "baseline_avg",
             "current_avg",
             ratio.alias("ratio"),
-            (F.abs(ratio - F.lit(1.0)) > 0.2).cast("int").alias("anomalous"),
+            F.when(F.abs(ratio - F.lit(1.0)) > 0.2, 1).otherwise(0).alias("anomalous"),
         )
         .orderBy("event_type", "hr")
     )
@@ -173,5 +173,5 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_before",
         "mean_after",
         shift.alias("shift"),
-        (F.abs(shift) > 1.0).cast("int").alias("shifted"),
+        F.when(F.abs(shift) > 1.0, 1).otherwise(0).alias("shifted"),
     ).orderBy("event_type")

@@ -134,16 +134,7 @@ def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
-    from yamon_spark.operators.similarity import lsh_hyperplanes
-
-    plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
-    return " + ".join(
-        f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
-             i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
-             THEN {2 ** j} ELSE 0 END)"""
-        for j, h in enumerate(lsh_hyperplanes(n_planes, dim))
-    )
+from yamon_spark.queries.pipeline_ops import lsh_bucket_sql as _bucket_sql
 
 
 @register(

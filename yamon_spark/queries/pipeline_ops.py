@@ -220,17 +220,26 @@ def sim_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-def _lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+def lsh_bucket_sql(n_planes: int = 4, dim: int = 64) -> str:
+    """The SQL twin of operators.similarity.lsh_bucket — bit j = sign of
+    embedding . plane_j, planes shared as literals. ONE generator for
+    every oracle that buckets (sim_lsh_topk, sim_near_dup_lsh,
+    dedup_semantic): the sign convention and %g literal formatting must
+    stay byte-identical to the Spark side, so no oracle carries its own
+    copy."""
     from yamon_spark.operators.similarity import lsh_hyperplanes
 
-    planes = lsh_hyperplanes(n_planes, dim)
     plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
-    bucket_terms = " + ".join(
+    return " + ".join(
         f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
              i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
              THEN {2 ** j} ELSE 0 END)"""
-        for j, h in enumerate(planes)
+        for j, h in enumerate(lsh_hyperplanes(n_planes, dim))
     )
+
+
+def _lsh_oracle(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    bucket_terms = lsh_bucket_sql(n_planes, dim)
     return f"""
     WITH b AS (SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings),
     q AS (SELECT embedding AS q_emb, bucket AS q_bucket FROM b WHERE vec_id = 0),

@@ -261,16 +261,9 @@ def mmr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semantic_dedup_oracle(threshold: float = 0.95, n_planes: int = 6, dim: int = 64) -> str:
-    from yamon_spark.operators.similarity import lsh_hyperplanes
+    from yamon_spark.queries.pipeline_ops import lsh_bucket_sql
 
-    planes = lsh_hyperplanes(n_planes, dim)
-    plane_sql = lambda h: "[" + ", ".join(f"{x:g}" for x in h) + "]"  # noqa: E731
-    bucket_terms = " + ".join(
-        f"""(CASE WHEN list_reduce(list_transform(range(1, {dim + 1}),
-             i -> CAST(embedding[i] AS DOUBLE) * ({plane_sql(h)}::DOUBLE[])[i]), (a, b) -> a + b) >= 0
-             THEN {2 ** j} ELSE 0 END)"""
-        for j, h in enumerate(planes)
-    )
+    bucket_terms = lsh_bucket_sql(n_planes, dim)
     return f"""
     WITH b AS (SELECT vec_id, embedding, {bucket_terms} AS bucket FROM embeddings),
     c AS (SELECT bucket, min(vec_id) AS canon_id FROM b GROUP BY bucket),
