@@ -106,21 +106,21 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q36_dist_windows": 1, "q37_histogram": 1, "q38_approx_quantile": 1,
     "q39_cond_aggs": 1, "q44_union_all": 1, "q45_scalar_subquery": 1,
     "q46_in_subquery": 1, "q47_exists_correlated": 1, "q48_cte_reuse": 1,
-    "q49_first_last_window": 1, "q50_string_funcs": 1, "q51_datetime_funcs": 1,
-    "q52_math_funcs": 1, "q53_json_extract": 1, "q54_map_tag_ops": 1,
-    "q55_array_funcs": 1, "q56_struct_ops": 1, "q57_conditionals": 1,
-    "q58_regex_funcs": 1, "q65_interval_join": 1, "q73_unpivot": 1,
-    "q74_lateral_explode": 1, "q75_bitmap_distinct": 1, "q76_zip_with": 1,
-    "q77_cube_grouping": 1, "q78_median_stats": 1, "q79_fuzzy_match": 1,
-    "text_bigrams": 1, "text_search": 1,
+    "q49_first_last_window": 1, "q50_string_funcs": 1,
+    "q51_datetime_funcs": 1, "q52_math_funcs": 1, "q53_json_extract": 1,
+    "q54_map_tag_ops": 1, "q55_array_funcs": 1, "q56_struct_ops": 1,
+    "q57_conditionals": 1, "q58_regex_funcs": 1, "q65_interval_join": 1,
+    "q73_unpivot": 1, "q74_lateral_explode": 1, "q75_bitmap_distinct": 1,
+    "q76_zip_with": 1, "q77_cube_grouping": 1, "q78_median_stats": 1,
+    "q79_fuzzy_match": 1, "text_bigrams": 1, "text_search": 1,
     # r2-vintage
     "ann_range_search": 2, "dedup_canonical": 2, "dedup_clusters": 2,
     "domain_mix": 2, "embed_centroids": 2, "embed_norm_stats": 2,
     "pack_sequences": 2, "pq_codes": 2, "vocab_coverage": 2,
     # r3-vintage
-    "contamination_ngram": 3, "corpus_profile": 3, "domain_mix_temperature": 3,
-    "pq_topk": 3, "q66_hll_rollup_merge": 3, "q67_funnel": 3,
-    "q68_cohort_retention": 3, "q72_grouped_agg_udaf": 3,
+    "contamination_ngram": 3, "corpus_profile": 3,
+    "domain_mix_temperature": 3, "pq_topk": 3, "q66_hll_rollup_merge": 3,
+    "q67_funnel": 3, "q68_cohort_retention": 3, "q72_grouped_agg_udaf": 3,
     "q80_runtime_filter": 3, "sample_rebalanced": 3, "sample_stratified": 3,
     "sim_near_dup_lsh": 3, "text_pii_scrub": 3, "text_quality_filter": 3,
     "text_repetition": 3, "text_winnow": 3,
@@ -130,18 +130,19 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "hybrid_rank_rrf": 4, "multimodal_audio_windows": 4,
     "multimodal_features": 4, "multimodal_frames": 4, "multimodal_meta": 4,
     "multimodal_video_frames": 4, "q01_filter_project": 4,
-    "q02_pushdown_predicates": 4, "q03_distinct": 4, "q30_topk_per_group": 4,
-    "q31_counter_delta": 4, "q32_moving_avg": 4, "q33_running_sum": 4,
-    "q34_counter_rate": 4, "q40_global_topk": 4, "q41_union_distinct": 4,
-    "q42_intersect": 4, "q43_except": 4, "q60_tumbling_window": 4,
-    "q61_sliding_window": 4, "q62_session_window": 4,
-    "q63_watermark_late_drop": 4, "q64_stateful_dedup": 4,
-    "q69_time_range_window": 4, "q70_scalar_pandas_udf": 4,
-    "q71_grouped_map_zscore": 4, "q81_asof_tolerance": 4, "q82_deadman": 4,
-    "q83_event_transitions": 4, "sim_cosine_topk": 4, "sim_ivf_recall": 4,
-    "sim_ivf_recall_batch": 4, "sim_ivf_topk": 4, "sim_knn_join": 4,
-    "sim_lsh_topk": 4, "sim_near_dup_pairs": 4, "sim_truncation_recall": 4,
-    "text_bm25": 4, "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
+    "q02_pushdown_predicates": 4, "q03_distinct": 4,
+    "q30_topk_per_group": 4, "q31_counter_delta": 4, "q32_moving_avg": 4,
+    "q33_running_sum": 4, "q34_counter_rate": 4, "q40_global_topk": 4,
+    "q41_union_distinct": 4, "q42_intersect": 4, "q43_except": 4,
+    "q60_tumbling_window": 4, "q61_sliding_window": 4,
+    "q62_session_window": 4, "q63_watermark_late_drop": 4,
+    "q64_stateful_dedup": 4, "q69_time_range_window": 4,
+    "q70_scalar_pandas_udf": 4, "q71_grouped_map_zscore": 4,
+    "q81_asof_tolerance": 4, "q82_deadman": 4, "q83_event_transitions": 4,
+    "sim_cosine_topk": 4, "sim_ivf_recall": 4, "sim_ivf_recall_batch": 4,
+    "sim_ivf_topk": 4, "sim_knn_join": 4, "sim_lsh_topk": 4,
+    "sim_near_dup_pairs": 4, "sim_truncation_recall": 4, "text_bm25": 4,
+    "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
     "text_stats": 4, "text_token_count": 4, "text_unigram_logprob": 4,
 }
 
