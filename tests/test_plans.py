@@ -48,6 +48,7 @@ BNLJ_OK = {
     # the gate applies if the implementation ever turns lazy. Boundedness is
     # pinned separately by test_training_ops.test_mmr_is_pool_bounded*.
     "sim_mmr_topk",
+    "dedup_funnel",  # three 1-row stage-count broadcasts assemble the report
 }
 
 

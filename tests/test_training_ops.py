@@ -184,3 +184,22 @@ def test_sq8_codes_are_byte_range_and_deterministic(spark):
     by_id = {r.vec_id: r.codes for r in out}
     assert by_id[0][0] == 0 and by_id[3][0] == 255  # min/max of dim 0
     assert by_id[0][2] == 0  # constant dim -> code 0 guard
+
+
+def test_dedup_funnel_attrition_is_consistent(spark):
+    # 2 exact copies of A, near-dup pair B~B', distinct C
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven eight nine ten"
+    b2 = "one two three four five six seven eight nine eleven"
+    docs = _docs(spark, [(a, "s"), (a, "s"), (b, "s"), (b2, "s"), ("unique words here now", "s")])
+    from yamon_spark.operators.curation import dedup_funnel
+
+    rows = dedup_funnel(docs, ngram=3, threshold=0.5).collect()
+    assert [r.stage for r in rows] == ["raw", "exact", "near_dup"]
+    raw, exact, near = rows
+    assert raw.n_docs == 5 and raw.removed == 0
+    assert exact.n_docs == 4 and exact.removed == 1  # one exact copy gone
+    assert near.n_docs == 3 and near.removed == 1  # B' folded into B
+    # invariant: n_docs[k] == n_docs[k-1] - removed[k]
+    assert exact.n_docs == raw.n_docs - exact.removed
+    assert near.n_docs == exact.n_docs - near.removed

@@ -663,3 +663,43 @@ def dsir_weights(docs: DataFrame, target_source: str = "src0", n_buckets: int = 
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_funnel(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The end-to-end dedup funnel a 100 TB curation pass runs, as one
+    attrition report: raw -> exact (content-digest keep-min) -> near-dup
+    (connected components over n-gram Jaccard edges among the exact
+    survivors, keep one per component). One row per stage with surviving
+    and removed doc counts — the numbers a pipeline owner watches to
+    know each stage is pulling its weight.
+
+    Scale shape: composes the already-scale-shaped stages (digest
+    groupBy; posting-list Jaccard + O(log diameter) CC) and reduces each
+    to a 1-row count; the final report assembles 1-row broadcasts."""
+    from yamon_spark.operators.dedup import exact_dedup
+
+    n_raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    surv = docs.join(exact_dedup(docs).select("doc_id"), "doc_id")
+    n_exact = surv.agg(F.count(F.lit(1)).alias("n_exact"))
+    members = dedup_clusters(surv, ngram=ngram, threshold=threshold)
+    m = members.agg(
+        F.count(F.lit(1)).alias("members"),
+        F.countDistinct("cluster_id").alias("comps"),
+    )
+    c = n_raw.crossJoin(F.broadcast(n_exact)).crossJoin(F.broadcast(m))
+
+    def stage(no: int, name: str, n_docs, removed):
+        return c.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            n_docs.cast("bigint").alias("n_docs"),
+            removed.cast("bigint").alias("removed"),
+        )
+
+    after_near = F.col("n_exact") - F.col("members") + F.col("comps")
+    return (
+        stage(0, "raw", F.col("n_raw"), F.lit(0))
+        .unionAll(stage(1, "exact", F.col("n_exact"), F.col("n_raw") - F.col("n_exact")))
+        .unionAll(stage(2, "near_dup", after_near, F.col("members") - F.col("comps")))
+        .orderBy("stage_no")
+    )

@@ -425,3 +425,78 @@ def sim_sq8_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import sq8_recall
 
     return sq8_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "dedup_funnel",
+    f"""
+    WITH RECURSIVE surv AS (
+      SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    sdocs AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len({_WORDS}) - 2, 1) + 1),
+        i -> array_to_string(({_WORDS})[i:i+2], ' ')))) AS shingle
+      FROM sdocs
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b,
+               round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b) t
+      WHERE jaccard >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT s, d FROM edges
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    labels AS (
+      SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+    ),
+    mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS members,
+             CAST(count(DISTINCT cluster_id) AS BIGINT) AS comps
+      FROM labels
+    ),
+    c AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_raw,
+             (SELECT CAST(count(*) AS BIGINT) FROM surv) AS n_exact,
+             members, comps
+      FROM mm
+    )
+    SELECT stage_no, stage, n_docs, removed FROM (
+      SELECT CAST(0 AS INT) AS stage_no, 'raw' AS stage,
+             n_raw AS n_docs, CAST(0 AS BIGINT) AS removed FROM c
+      UNION ALL
+      SELECT CAST(1 AS INT), 'exact', n_exact, n_raw - n_exact FROM c
+      UNION ALL
+      SELECT CAST(2 AS INT), 'near_dup', n_exact - members + comps,
+             members - comps FROM c
+    ) ORDER BY stage_no
+    """,
+    doc=(
+        "End-to-end dedup funnel with per-stage attrition: raw -> exact "
+        "digest keep-min -> connected-component near-dup keep-one — the "
+        "numbers a curation-pipeline owner watches per run."
+    ),
+)
+def dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import dedup_funnel
+
+    return dedup_funnel(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
