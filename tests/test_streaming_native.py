@@ -319,3 +319,76 @@ def test_streaming_deadman_fires_on_silence(spark, tmp_path):
         assert rows[0].last_when == dt.datetime(2024, 5, 1, 10, 0, 40)
     finally:
         q.stop()
+
+
+def test_streaming_heavy_hitters_space_saving_bounds(spark, tmp_path):
+    """Live heavy hitters (streaming twin of q29): fixed-capacity
+    space-saving table per name; cnt upper-bounds and cnt-err
+    lower-bounds the true count, and every key with true frequency
+    > n/capacity survives eviction."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.topk import heavy_hitters_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # batch 1: h1 x6, h2 x3, h3 x1 (capacity 3 -> no eviction yet)
+    t = "2024-05-01T10:00:{:02d}"
+    rows1 = (
+        [{"when": t.format(i), "host": "h1", "name": "cpu", "value": 1.0} for i in range(6)]
+        + [{"when": t.format(10 + i), "host": "h2", "name": "cpu", "value": 1.0} for i in range(3)]
+        + [{"when": t.format(20), "host": "h3", "name": "cpu", "value": 1.0}]
+    )
+    land(rows1)
+    stream = spark.readStream.schema(schema).json(str(src))
+    top = heavy_hitters_live(stream, capacity=3)
+    q = (
+        top.writeStream.format("memory")
+        .queryName("hh_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.host: r for r in spark.sql("SELECT * FROM hh_live").collect()}
+        assert first["h1"].cnt == 6 and first["h1"].err == 0
+        assert first["h2"].cnt == 3 and first["h3"].cnt == 1
+
+        # batch 2: newcomer h4 x4 must evict the minimum (h3, cnt 1)
+        # and inherit err=1; h1 keeps growing
+        rows2 = (
+            [{"when": t.format(30 + i), "host": "h4", "name": "cpu", "value": 1.0} for i in range(4)]
+            + [{"when": t.format(40), "host": "h1", "name": "cpu", "value": 1.0}]
+        )
+        land(rows2)
+        q.processAllAvailable()
+        # memory sink in update mode appends emissions; take the LATEST
+        # emission = max rank-1 group per host via insertion order
+        rows = spark.sql("SELECT * FROM hh_live").collect()
+        latest = {}
+        for r in rows:  # later emissions come later in the sink
+            latest[r.host] = r
+        assert set(latest["h4"].__fields__) >= {"cnt", "err"}
+        assert latest["h1"].cnt == 7 and latest["h1"].err == 0
+        assert latest["h4"].cnt == 1 + 1 + 3 and latest["h4"].err == 1  # inherited min
+        # guarantees: upper/lower bounds on the true count (h4 true = 4)
+        assert latest["h4"].cnt >= 4 >= latest["h4"].cnt - latest["h4"].err
+        # ranked descending, rank 1 = h1
+        assert latest["h1"].rank == 1
+    finally:
+        q.stop()
