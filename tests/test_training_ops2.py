@@ -1,0 +1,116 @@
+"""Batch-three training-data operators: semantics on crafted micro-data.
+
+Oracle parity runs in test_oracle.py via the registry; these pin the
+behaviors an oracle diff can't see (the bit layout of the sign sketch,
+Hamming's identity/complement extremes, hard negatives never sharing the
+query's label, chunk overlap arithmetic, containment catching a strict
+substring that Jaccard misses, the BPE merge actually collapsing the top
+pair into one symbol).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from yamon_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+from yamon_spark.operators.similarity import (
+    binary_sketch,
+    hamming_topk,
+    hard_negative_mining,
+)
+from yamon_spark.operators.text import BPE_MERGE_MARKER, bpe_merge_step, chunk_windows
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+EMB_SCHEMA = "vec_id bigint, embedding array<float>, label int"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)], DOC_SCHEMA
+    )
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def _vec(signs):
+    # 64-dim vector from a short sign prefix (rest -1 -> bit clear)
+    out = [-1.0] * 64
+    for i, s in enumerate(signs):
+        out[i] = float(s)
+    return out
+
+
+def test_binary_sketch_bit_layout(spark):
+    # dim 1 -> lo bit 0, dim 33 -> hi bit 0, dim 64 -> hi bit 31
+    emb = [-1.0] * 64
+    emb[0] = 1.0
+    emb[32] = 1.0
+    emb[63] = 1.0
+    row = binary_sketch(_embs(spark, [(0, emb, 0)])).collect()[0]
+    assert row.lo == 1
+    assert row.hi == 1 | (1 << 31)
+
+
+def test_binary_sketch_zero_is_not_positive(spark):
+    row = binary_sketch(_embs(spark, [(0, [0.0] * 64, 0)])).collect()[0]
+    assert (row.lo, row.hi) == (0, 0)
+
+
+def test_hamming_identity_and_complement(spark):
+    a = _vec([1] * 8)
+    rows = hamming_topk(
+        _embs(spark, [(0, a, 0), (1, a, 0), (2, [-x for x in a], 0)]), 0, k=2
+    ).collect()
+    got = {r.vec_id: r.hamming for r in rows}
+    assert got[1] == 0  # identical signs
+    assert got[2] == 64  # negation flips every sign bit
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    rows = [(0, _vec([1, 1, 1]), 7)] + [
+        (i, _vec([1, 1, 1]), 7 if i % 2 else 3) for i in range(1, 9)
+    ]
+    out = hard_negative_mining(_embs(spark, rows), query_mod=97, k=3).collect()
+    assert out, "query 0 must yield negatives"
+    assert all(r.q_id == 0 for r in out)
+    # only label!=7 candidates (even ids) may appear
+    assert all(r.vec_id % 2 == 0 for r in out)
+
+
+def test_chunk_windows_overlap_arithmetic(spark):
+    # 100 tokens, size 64 stride 48 -> starts 1, 49, 97: sizes 64, 52, 4
+    docs = _docs(spark, [(" ".join(f"t{i}" for i in range(100)), "s")])
+    rows = chunk_windows(docs, size=64, stride=48).collect()
+    assert [(r.chunk_idx, r.n_tok) for r in rows] == [(0, 64), (1, 52), (2, 4)]
+    # overlap: chunk 1 starts at token 49 (0-based 48), inside chunk 0
+    assert len({r.chunk_hash for r in rows}) == 3
+
+
+def test_chunk_windows_short_doc_single_chunk(spark):
+    rows = chunk_windows(_docs(spark, [("a b c", "s")]), size=64, stride=48).collect()
+    assert [(r.chunk_idx, r.n_tok) for r in rows] == [(0, 3)]
+
+
+def test_containment_catches_substring_jaccard_misses(spark):
+    short = "x1 x2 x3 x4 x5"
+    long = short + " " + " ".join(f"y{i}" for i in range(40))
+    docs = _docs(spark, [(short, "s"), (long, "s")])
+    cont = ngram_containment_pairs(docs, ngram=3, threshold=0.7).collect()
+    assert [(r.doc_a, r.doc_b) for r in cont] == [(0, 1)]
+    assert cont[0].containment == 1.0  # every 3-gram of the short doc is in the long
+    jacc = ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).collect()
+    assert jacc == []  # union-diluted below threshold
+
+
+def test_bpe_merge_collapses_top_pair(spark):
+    # 'ab' dominates; after the merge no 'ab' pair survives and marker
+    # pairs appear instead
+    docs = _docs(spark, [("abab abab abab abc", "s")])
+    merged = {r.pair: r.n for r in bpe_merge_step(docs, top_n=50).collect()}
+    assert "ab" not in merged
+    marker_pairs = [p for p in merged if BPE_MERGE_MARKER in p]
+    assert marker_pairs, "merged symbol must participate in new pairs"
+    # 'abab' -> [Ƶ, Ƶ] contributes the ƵƵ pair 3 times
+    assert merged[BPE_MERGE_MARKER * 2] == 3

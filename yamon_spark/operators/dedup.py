@@ -342,3 +342,25 @@ def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataF
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.7, max_doc_freq: int | None = None
+) -> DataFrame:
+    """Asymmetric near-dup: n-gram containment |A ∩ B| / min(|A|, |B|)
+    (doc_a < doc_b, containment >= threshold). Catches the pair Jaccard
+    structurally misses — a short document wholly embedded in a long one
+    (boilerplate inclusion, quote-expansion, page-wrapping), where the
+    union term dilutes Jaccard below any usable threshold.
+
+    Same single-shuffle posting-list plan as ngram_jaccard_pairs (the
+    inverted index and pair expansion are shared code); only the final
+    score expression differs, so the 100 TB bounds are identical —
+    candidate space capped by max_doc_freq, never all-pairs."""
+    inter = _pair_counts(shingle_table(docs, ngram), max_doc_freq)
+    cont = F.col("n_inter").cast("double") / F.least("na", "nb")
+    return (
+        inter.select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+        .where(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )

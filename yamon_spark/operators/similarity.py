@@ -656,3 +656,106 @@ def sq8_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> Dat
     return truth.join(approx, "vec_id", "semi").agg(
         (F.count(F.lit(1)) / float(k)).alias("recall_at_10")
     )
+
+
+# Binary sign sketch (Hamming ANN) ---------------------------------------
+#
+# The most aggressive embedding compression in the family: 1 bit per
+# dimension (sign), so a 64-dim float vector becomes two BIGINT words —
+# 32x smaller than float32, 8x smaller than SQ8. Distance is Hamming
+# (popcount of XOR), which is INTEGER-exact: unlike every float-scored
+# index here, ranking needs no rounding contract at all. At 100 TB this
+# is the candidate-generation tier a cascade retrieval runs first
+# (hamming scan -> rerank survivors with exact cosine); reference has no
+# vector surface (ClickHouse-delegated, res/schema.sql) — this extends
+# the training-data pipeline inventory.
+
+
+def _sign_word(offset: int) -> Column:
+    """Pack dims [offset+1, offset+32] of `embedding` into one BIGINT
+    (bit j set iff embedding[offset+j+1] > 0). SQL expr because
+    shiftleft's Python binding takes only a literal shift amount."""
+    return F.expr(
+        "aggregate(sequence(0, 31), 0L, (acc, i) -> acc | "
+        f"IF(element_at(embedding, i + {offset + 1}) > CAST(0 AS FLOAT), "
+        "shiftleft(1L, i), 0L))"
+    )
+
+
+def binary_sketch(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, lo, hi): 64 sign bits packed into two BIGINT words.
+
+    Map-side projection, shuffle-free; the sketch table is what ships to
+    the search tier (16 bytes/vector + id)."""
+    return embeddings.select(
+        "vec_id", _sign_word(0).alias("lo"), _sign_word(32).alias("hi")
+    )
+
+
+def hamming_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k nearest by Hamming distance over the sign sketch.
+
+    Scale shape: 1-row query sketch broadcasts; the scan is bit_count over
+    two longs per row (whole-stage codegen, no floats anywhere); the
+    top-k is TakeOrderedAndProject — no full sort, no shuffle of the
+    corpus. Distances are integers, so cross-engine determinism is free."""
+    bits = binary_sketch(embeddings)
+    q = bits.where(F.col("vec_id") == query_vec_id).select(
+        F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("q_lo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("q_hi")))
+    ).cast("int")
+    return (
+        bits.where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(k)
+    )
+
+
+def hamming_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """recall@k of the 1-bit sketch against exact cosine brute force —
+    the same measure-don't-guess gate the IVF/PQ/SQ8 indexes ship with,
+    quantifying what 32x compression costs THIS corpus."""
+    truth = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    approx = hamming_topk(embeddings, query_vec_id, k).select("vec_id")
+    return truth.join(approx, "vec_id", "semi").agg(
+        (F.count(F.lit(1)) / float(k)).alias("recall_at_10")
+    )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, query_mod: int = 97, k: int = 3
+) -> DataFrame:
+    """Per sampled query vector: the k candidates MOST similar to it with
+    a DIFFERENT label — contrastive-training hard-negative mining (the
+    batch retrieval pass a training-data pipeline runs to build triplet /
+    InfoNCE batches). knn_join's shape with a label-inequality gate.
+
+    Scale shape: query batch (bounded by query_mod sampling) broadcasts
+    with its labels; scoring + label filter are map-side over the
+    candidate scan; the only shuffle is the per-query top-k window."""
+    from pyspark.sql import Window
+
+    q = embeddings.where(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = embeddings.where(F.col("vec_id") % query_mod != 0)
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .where(F.col("label") != F.col("q_label"))
+        .select("q_id", "vec_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos_sim", "rank")
+        .orderBy("q_id", "rank")
+    )

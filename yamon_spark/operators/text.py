@@ -305,3 +305,72 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 50) -> DataFrame:
         .agg(F.sum("cnt").cast("bigint").alias("n"))
     )
     return pairs.orderBy(F.col("n").desc(), F.col("pair")).limit(top_n)
+
+
+def chunk_windows(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Sliding token-window chunking — the pretokenization pass that turns
+    variable-length documents into fixed-size training windows with
+    overlap (size - stride tokens of context carry across boundaries).
+
+    Output: (doc_id, chunk_idx, n_tok, chunk_hash) — one row per window,
+    chunk_hash = first 8 hex of md5 of the space-rejoined window (stable
+    content id for window-level dedup downstream).
+
+    Scale shape: split once, one Generate (posexplode) per doc, no
+    shuffle at all — chunking is embarrassingly parallel and this plan
+    keeps it that way; output order is imposed only at the end."""
+    words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size("w"), F.lit(1)), F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("w"), s, size))
+    ex = words.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("chunk").cast("bigint").alias("n_tok"),
+        F.substring(F.md5(F.concat_ws(" ", "chunk")), 1, 8).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# reserved merge marker for bpe_merge_step: a codepoint the tokenizer's
+# [a-z0-9 ] corpus can never contain, so a merged pair stays one symbol
+BPE_MERGE_MARKER = "Ƶ"  # 'Ƶ'
+
+
+def bpe_merge_step(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """One iteration of BPE training past the pair-count statistic: take
+    the corpus-weighted top adjacent character pair (bpe_pair_counts
+    rank 1), apply the merge to every distinct word (left-to-right
+    non-overlapping replace, merged pair -> one reserved marker symbol),
+    and recount adjacent pairs over the merged symbol sequences. The
+    re-ranked table is exactly the candidate list the NEXT merge would
+    choose from — demonstrating the iterative loop's step as a bounded
+    two-shuffle pass (word-frequency groupBy + pair groupBy).
+
+    Scale shape: the top-1 merge is a 1-row broadcast; the replace is
+    map-side over the distinct-word table (vocabulary-sized, not
+    corpus-sized — the same compression bpe_pair_counts exploits)."""
+    def pair_counts(wc: DataFrame) -> DataFrame:
+        return (
+            wc.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                ).alias("pair"),
+                F.col("cnt"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+
+    words = docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    top = (
+        pair_counts(wc)
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("top_pair"))
+    )
+    merged = wc.crossJoin(F.broadcast(top)).select(
+        F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_MERGE_MARKER)).alias("w"), "cnt"
+    )
+    return pair_counts(merged).orderBy(F.col("n").desc(), "pair").limit(top_n)

@@ -173,6 +173,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         joins,
         training_ops,
         analytics_ext4,
+        training_ops2,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}

@@ -175,3 +175,151 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
         shift.alias("shift"),
         F.when(F.abs(shift) > 1.0, 1).otherwise(0).alias("shifted"),
     ).orderBy("event_type")
+
+
+# q88: lag-1 autocorrelation from exact-integer moments. The five sums
+# are exact BIGINTs (cents <= ~56k, squares <= 3.2e9 — no overflow until
+# ~2.9e9 rows/series), each cast to DOUBLE once; the Pearson formula then
+# runs on bit-identical doubles in the same order on both engines, so the
+# output needs no rounding contract (same policy as q86's unrounded means).
+@register(
+    "q88_autocorr",
+    """
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, vc,
+             lag(vc) OVER (PARTITION BY event_type ORDER BY us, event_id) AS vl
+      FROM s
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(vc) AS DOUBLE) AS sx, CAST(sum(vl) AS DOUBLE) AS sy,
+             CAST(sum(vc * vc) AS DOUBLE) AS sxx,
+             CAST(sum(vl * vl) AS DOUBLE) AS syy,
+             CAST(sum(vc * vl) AS DOUBLE) AS sxy,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM l WHERE vl IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_1
+    FROM g ORDER BY event_type
+    """,
+    doc=(
+        "Lag-1 autocorrelation per series: is this metric momentum-y or "
+        "white noise — the statistic that calibrates alert debouncing "
+        "(an autocorrelated series needs sustained-breach rules; a noisy "
+        "one needs wider bands). One window shuffle on the series key + "
+        "one partial-agg groupBy to |types| rows of exact-integer "
+        "moments; Pearson assembled from identical doubles."
+    ),
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagged = s.withColumn("vl", F.lag("vc").over(w)).where(F.col("vl").isNotNull())
+    g = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("vc").cast("double").alias("sx"),
+        F.sum("vl").cast("double").alias("sy"),
+        F.sum(F.col("vc") * F.col("vc")).cast("double").alias("sxx"),
+        F.sum(F.col("vl") * F.col("vl")).cast("double").alias("syy"),
+        F.sum(F.col("vc") * F.col("vl")).cast("double").alias("sxy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return (
+        g.select("event_type", "n_pairs", (num / den).alias("autocorr_1"))
+        .orderBy("event_type")
+    )
+
+
+# q89: EWMA smoothing, alpha=0.25 over an 8-tap truncated kernel. The
+# weighted sum is generated ONCE as a SQL fragment over lag columns
+# l0..l7 (BIGINT cents) and evaluated verbatim by both engines — same
+# literals, same left-associative fold order, so the per-row double
+# arithmetic is bit-identical and the output ships unrounded.
+_EWMA_ALPHA = 0.25
+_EWMA_TAPS = 8
+_EWMA_WEIGHTS = [_EWMA_ALPHA * (1 - _EWMA_ALPHA) ** j for j in range(_EWMA_TAPS)]
+_EWMA_NORM = sum(_EWMA_WEIGHTS)
+_EWMA_NUM = " + ".join(
+    f"CAST({w!r} AS DOUBLE) * l{j}" for j, w in enumerate(_EWMA_WEIGHTS)
+)
+_EWMA_EXPR = f"({_EWMA_NUM}) / (CAST(100.0 AS DOUBLE) * CAST({_EWMA_NORM!r} AS DOUBLE))"
+
+
+@register(
+    "q89_ewma",
+    f"""
+    WITH s AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      FROM events
+    ),
+    l AS (
+      SELECT event_type, event_id, vc,
+             {", ".join(f"lag(vc, {j}) OVER (PARTITION BY event_type ORDER BY us, event_id) AS l{j}" for j in range(_EWMA_TAPS))}
+      FROM s
+    )
+    SELECT event_type, event_id,
+           CAST(vc AS DOUBLE) / 100.0 AS cur,
+           {_EWMA_EXPR} AS ewma
+    FROM l
+    WHERE l{_EWMA_TAPS - 1} IS NOT NULL AND event_id % 101 = 0
+    ORDER BY event_type, event_id
+    """,
+    doc=(
+        "EWMA smoothing (alpha=0.25, 8-tap truncated kernel) per series "
+        "— the smoothed line every dashboard draws and the baseline "
+        "EWMA-band alerts compare against. One window shuffle on the "
+        "series key; the kernel is a fixed-order per-row projection "
+        "shared verbatim between engines (truncation error < (1-a)^8 = "
+        "10% of mass, renormalized away)."
+    ),
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    lagged = s.select(
+        "event_type",
+        "event_id",
+        "vc",
+        *[F.lag("vc", j).over(w).alias(f"l{j}") for j in range(_EWMA_TAPS)],
+    )
+    return (
+        lagged.where(
+            F.col(f"l{_EWMA_TAPS - 1}").isNotNull() & (F.col("event_id") % 101 == 0)
+        )
+        .select(
+            "event_type",
+            "event_id",
+            (F.col("vc").cast("double") / 100.0).alias("cur"),
+            F.expr(_EWMA_EXPR).alias("ewma"),
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -1,0 +1,231 @@
+"""Training-data batch three: binary-sign Hamming ANN (+ its recall
+gate), contrastive hard-negative mining, sliding-window chunking,
+asymmetric containment dedup, and the iterative BPE merge step.
+
+These extend the 'beyond the reference' pipeline inventory (SURVEY §2.7
+/ the LLM-data-pipeline suite); the reference's query surface is
+ClickHouse-delegated (res/schema.sql) and has no vector or corpus
+operators, so parity citations are to the sibling operators here.
+
+Determinism: the Hamming family is INTEGER-exact end-to-end (the one
+index in the suite needing no rounding contract); cosine scores round
+to 4dp before ranking (FIXTURES.md contract); chunk hashes are md5
+prefixes, identical on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from yamon_spark.queries import register, table
+from yamon_spark.queries.pipeline_ops import _COS_EXPRS, _WORDS
+from yamon_spark.queries.pipeline_ops import _shingle_cte
+
+_WORDS_LC = r"regexp_split_to_array(trim(lower(text)), '\s+')"
+
+# sign-bit packing: dims 1-32 -> lo word, 33-64 -> hi word; embeds the
+# same bit layout as operators.similarity._sign_word
+_BITS_CTE = """
+    bits AS (
+      SELECT vec_id,
+        list_reduce(list_transform(range(1, 33),
+          i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+                    ELSE 0::BIGINT END), (a, b) -> a | b) AS lo,
+        list_reduce(list_transform(range(33, 65),
+          i -> CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+                    ELSE 0::BIGINT END), (a, b) -> a | b) AS hi
+      FROM embeddings
+    )
+"""
+
+_HAMMING = "CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS INTEGER)"
+
+
+@register(
+    "sim_hamming_topk",
+    f"""
+    WITH {_BITS_CTE},
+    q AS (SELECT lo AS q_lo, hi AS q_hi FROM bits WHERE vec_id = 0)
+    SELECT vec_id, {_HAMMING} AS hamming
+    FROM bits b CROSS JOIN q WHERE vec_id <> 0
+    ORDER BY hamming, vec_id LIMIT 10
+    """,
+    doc=(
+        "1-bit-per-dimension sign sketch top-10 by Hamming distance: two "
+        "BIGINT words per vector (32x smaller than float32), popcount-of-"
+        "XOR scoring, TakeOrderedAndProject — the candidate-generation "
+        "tier of a cascade retrieval, and the only index whose ranking "
+        "is integer-exact (no rounding contract needed)."
+    ),
+)
+def hamming_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import hamming_topk
+
+    return hamming_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "sim_hamming_recall",
+    f"""
+    WITH {_BITS_CTE},
+    q AS (SELECT lo AS q_lo, hi AS q_hi FROM bits WHERE vec_id = 0),
+    hr AS (
+      SELECT vec_id FROM bits b CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY {_HAMMING}, vec_id LIMIT 10
+    ),
+    qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sx AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN qe q WHERE e.vec_id <> 0
+    ),
+    ex AS (
+      SELECT vec_id FROM (
+        SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sx) t
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM hr))
+                AS DOUBLE) / 10.0 AS recall_at_10
+    """,
+    doc=(
+        "recall@10 of the 1-bit Hamming sketch vs exact cosine brute "
+        "force — the measure-don't-guess gate every compressed index in "
+        "the suite ships with (sibling of sim_ivf/pq/sq8_recall), "
+        "quantifying what 32x compression costs this corpus."
+    ),
+)
+def hamming_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import hamming_recall
+
+    return hamming_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
+      FROM embeddings WHERE vec_id % 97 = 0
+    ), s AS (
+      SELECT q.q_id, e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id % 97 <> 0 AND e.label <> q.q_label
+    ), r AS (
+      SELECT q_id, vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s
+    ), rk AS (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM r
+    )
+    SELECT q_id, vec_id, cos_sim, rank FROM rk WHERE rank <= 3 ORDER BY q_id, rank
+    """,
+    doc=(
+        "Contrastive hard-negative mining: for every sampled query, the "
+        "3 most-similar vectors with a DIFFERENT label — the batch "
+        "retrieval pass that builds triplet/InfoNCE training batches. "
+        "knn_join's broadcast+map-side-score plan with a label gate."
+    ),
+)
+def hard_negative_mining_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import hard_negative_mining
+
+    return hard_negative_mining(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w), 1) + 1, 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(w, start, start + 63)) AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(list_slice(w, start, start + 63), ' ')), 1, 8)
+             AS chunk_hash
+    FROM s ORDER BY doc_id, chunk_idx
+    """,
+    doc=(
+        "Sliding token-window chunking (size 64, stride 48): documents "
+        "-> fixed-size training windows with 16 tokens of overlap, each "
+        "with a stable md5-prefix content id for window-level dedup. "
+        "Split once, one Generate, zero shuffles."
+    ),
+)
+def chunk_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import chunk_windows
+
+    return chunk_windows(table(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register(
+    "dedup_containment",
+    "WITH "
+    + _shingle_cte(3)
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, containment FROM (
+      SELECT doc_a, doc_b,
+             round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b) t
+    WHERE containment >= 0.7 ORDER BY doc_a, doc_b
+    """,
+    doc=(
+        "Asymmetric near-dup: 3-gram containment |A∩B| / min(|A|,|B|) — "
+        "catches a short doc wholly embedded in a long one, which the "
+        "union term hides from Jaccard. Shares dedup_jaccard's single-"
+        "shuffle posting-list plan; only the score expression differs."
+    ),
+)
+def containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(table(spark, sf_dir, "documents"), ngram=3, threshold=0.7)
+
+
+@register(
+    "bpe_merge_step",
+    f"""
+    WITH w AS (SELECT unnest({_WORDS_LC}) AS w FROM documents),
+    wc AS (SELECT w, count(*) AS cnt FROM w GROUP BY w),
+    p AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, cnt
+      FROM wc WHERE length(w) >= 2
+    ),
+    top AS (
+      SELECT pair FROM (SELECT pair, sum(cnt) AS n FROM p GROUP BY pair) t
+      ORDER BY n DESC, pair LIMIT 1
+    ),
+    m AS (SELECT replace(w, (SELECT pair FROM top), 'Ƶ') AS w, cnt FROM wc),
+    p2 AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               i -> substr(w, CAST(i AS INTEGER), 2))) AS pair, cnt
+      FROM m WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM p2 GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc=(
+        "One BPE training iteration past the pair statistic: apply the "
+        "corpus-weighted top-1 merge (left-to-right non-overlapping "
+        "replace; merged pair becomes the reserved marker symbol Ƶ) to "
+        "the distinct-word frequency table and re-rank adjacent pairs — "
+        "the candidate list the NEXT merge chooses from. 1-row merge "
+        "broadcast; both passes run over vocab rows, not the corpus."
+    ),
+)
+def bpe_merge_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import bpe_merge_step
+
+    return bpe_merge_step(table(spark, sf_dir, "documents"), top_n=20)
