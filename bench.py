@@ -105,17 +105,24 @@ def main() -> None:
         json.dump(result, f, indent=1)
     short = {_short_name(n): t for n, t in timings.items()}
     assert len(short) == len(timings), "short-name collision; fix _short_name"
-    line = dict(result, queries=short, ingest={"rows_per_sec": ingest["rows_per_sec"], "hosts": ingest["hosts"]})
+    # stdout line drops the constant hosts=50 (kept in bench_out.json) and
+    # uses the shorter metric id; value/unit/queries/sf are unchanged
+    line = dict(
+        result,
+        metric="total_wall",
+        queries=short,
+        ingest={"rows_per_sec": ingest["rows_per_sec"]},
+    )
     # Hard cap: stay under the tail capture no matter how many queries are
     # registered — fold the CHEAPEST timings into one "_rest" bucket until
     # the encoded line fits (heavy hitters stay named; full detail is in
     # bench_out.json regardless).
     encoded = json.dumps(line, separators=(",", ":"))
-    if len(encoded) > 1900:
+    if len(encoded) > 1950:
         # failed queries (sentinel -1.0) stay named — never fold a failure
         by_cost = sorted((n for n in short if short[n] >= 0), key=short.get)
         folded = 0.0
-        while len(encoded) > 1900 and by_cost:
+        while len(encoded) > 1950 and by_cost:
             folded += short.pop(by_cost.pop(0))
             line["queries"] = dict(short, _rest=round(folded, 2))
             encoded = json.dumps(line, separators=(",", ":"))
@@ -125,7 +132,7 @@ def main() -> None:
 # stdout-line name compression. Deterministic, documented, and bijective
 # over the registry (asserted at emit time); bench_out.json always carries
 # the full names, so the mapping only needs to be stable round-to-round:
-#   qNN_*         -> qNN          (unique numeric prefixes)
+#   qNN_*         -> NN           (bare digits; unique numeric prefixes)
 #   multimodal_*  -> mm_*         dedup_*  -> dd_*      text_* -> tx_*
 #   sample_*      -> sp_*         embed_*  -> em_*      corpus_* -> co_*
 #   domain_mix[_*]-> dmix[_*]
@@ -145,17 +152,18 @@ _SHORT_WHOLE = {
     "sim_near_dup_pairs": "sm_ndp",
     "text_quality_filter": "tx_qual",
     "ann_range_search": "annr",
-    "dedup_minhash_lsh": "dd_mhlsh",
+    "dedup_minhash_lsh": "mhlsh",
     "text_unigram_logprob": "tx_uni",
     "text_zipf_slope": "tx_zipf",
     "bpe_pair_counts": "bpe",
     "quality_logit": "qlogit",
     "text_perplexity_buckets": "tx_ppl",
     "dsir_weights": "dsir",
-    # r5 tightening so ALL entries fit the 1900-char stdout cap with six
+    # r5 tightening so ALL entries fit the stdout cap (1950, under the
+    # driver's 2000-char tail capture) with six
     # more queries registered; renames from the r4 line, old -> new:
-    "sim_ivf_recall_batch": "sm_ivfrb",      # sm_ivf_rec_b
-    "sim_truncation_recall": "sm_trunc",     # sm_trunc_rec
+    "sim_ivf_recall_batch": "ivfrb",      # sm_ivf_rec_b
+    "sim_truncation_recall": "trunc",     # sm_trunc_rec
     "multimodal_audio_windows": "mm_aud",    # mm_audio_windows
     "multimodal_video_frames": "mm_vid",     # mm_video_frames
     "multimodal_features": "mm_feat",        # mm_features
@@ -189,6 +197,17 @@ _SHORT_WHOLE = {
     "corpus_profile": "co_prof",             # co_profile
     "corpus_shuffle": "co_shuf",             # co_shuffle
     "multimodal_frames": "mm_frm",           # mm_frames
+    # batch-three ops (new in r5)
+    "sim_hamming_topk": "ham",
+    "sim_hamming_recall": "hamr",
+    "hard_negative_mining": "hneg",
+    "text_chunk_windows": "chunk",
+    "dedup_containment": "cont",
+    "bpe_merge_step": "bpe2",
+    "sim_cascade_topk": "casc",
+    "sim_cascade_recall": "cascr",
+    "chunk_dup_groups": "chdup",
+    "vocab_growth": "vgrow",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
@@ -198,8 +217,10 @@ _SHORT_PREFIX = [
 
 
 def _short_name(n: str) -> str:
+    # qNN_* -> bare NN (the digits are unique; ~1 char x 75 queries is the
+    # difference between folding and not at 150+ registered entries)
     if n[0] == "q" and n[1:2].isdigit():
-        return n.split("_", 1)[0]
+        return n.split("_", 1)[0][1:]
     if n in _SHORT_WHOLE:
         return _SHORT_WHOLE[n]
     for pre, rep in _SHORT_PREFIX:

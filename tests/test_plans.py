@@ -49,6 +49,13 @@ BNLJ_OK = {
     # pinned separately by test_training_ops.test_mmr_is_pool_bounded*.
     "sim_mmr_topk",
     "dedup_funnel",  # three 1-row stage-count broadcasts assemble the report
+    "sim_hamming_topk",  # single broadcast query sketch (two BIGINT words)
+    "sim_hamming_recall",  # query sketch + query vector (both rankings)
+    "sim_cascade_topk",  # query sketch + query vector + 100-row shortlist
+    "sim_cascade_recall",  # same cascade broadcasts (both rankings)
+    "hard_negative_mining",  # broadcast of the bounded query-vector batch
+    "bpe_merge_step",  # broadcast of the ONE top-pair row
+    "vocab_growth",  # broadcast of the ONE max-doc-id row
 }
 
 

@@ -114,3 +114,66 @@ def test_bpe_merge_collapses_top_pair(spark):
     assert marker_pairs, "merged symbol must participate in new pairs"
     # 'abab' -> [Ƶ, Ƶ] contributes the ƵƵ pair 3 times
     assert merged[BPE_MERGE_MARKER * 2] == 3
+
+
+def test_cascade_equals_exact_when_shortlist_covers_all(spark):
+    # with shortlist >= corpus, tier 2 IS brute force -> recall 1.0
+    from yamon_spark.operators.similarity import cascade_recall
+
+    rows = [(i, _vec([1 if (i >> b) & 1 else -1 for b in range(6)]), 0) for i in range(20)]
+    r = cascade_recall(_embs(spark, rows), query_vec_id=0, k=5, shortlist=100).collect()[0]
+    assert r.recall_at_10 == 1.0
+
+
+def test_cascade_rerank_orders_by_cosine_not_hamming(spark):
+    from yamon_spark.operators.similarity import cascade_topk
+
+    # vec 1: same signs as query but tiny magnitudes on dims 1-3 -> hamming 0
+    # vec 2: one sign flipped but otherwise identical -> hamming 1, higher cosine
+    q = _vec([1, 1, 1, 1])
+    v1 = [0.01] * 4 + [-1.0] * 60
+    v2 = _vec([1, 1, 1, -1])
+    v2[3] = -0.01  # near-zero flip: cosine stays close to q's
+    out = cascade_topk(
+        _embs(spark, [(0, q, 0), (1, v1, 0), (2, v2, 0)]), 0, k=2, shortlist=10
+    ).collect()
+    assert [r.vec_id for r in out] == sorted(
+        [1, 2], key=lambda i: -{r.vec_id: r.cos_sim for r in out}[i]
+    )
+    # rerank must rank by cosine even though v1 wins on hamming
+    sims = {r.vec_id: r.cos_sim for r in out}
+    assert sims[2] > sims[1]
+
+
+def test_chunk_dup_groups_finds_shared_window(spark):
+    shared = " ".join(f"w{i}" for i in range(64))
+    docs = _docs(
+        spark,
+        [
+            (shared + " tail one", "s"),
+            (shared + " other ending", "s"),
+            ("completely different words " * 16, "s"),
+        ],
+    )
+    from yamon_spark.operators.text import chunk_dup_groups
+
+    rows = chunk_dup_groups(docs, size=64, stride=48).collect()
+    # the shared full 64-token first window appears in docs 0 and 1
+    assert any(r.n_docs == 2 and r.first_doc == 0 for r in rows)
+
+
+def test_vocab_growth_monotone_and_exact(spark):
+    from yamon_spark.operators.text import vocab_growth
+
+    docs = _docs(
+        spark,
+        [("a b", "s"), ("a c", "s"), ("d e f", "s"), ("a b c d e f g h", "s")],
+    )
+    rows = {r.frac: r for r in vocab_growth(docs).collect()}
+    # max_id=3: cutoffs 0, 0, 1, 3
+    assert rows[1.0].vocab_size == 8 and rows[1.0].n_tokens == 15
+    assert rows[0.5].vocab_size == 3  # docs 0-1: {a,b,c}
+    assert rows[0.1].vocab_size == 2  # doc 0 only: {a,b}
+    assert rows[0.1].n_tokens == 2
+    vs = [rows[f].vocab_size for f in (0.1, 0.25, 0.5, 1.0)]
+    assert vs == sorted(vs)

@@ -759,3 +759,43 @@ def hard_negative_mining(
         .select("q_id", "vec_id", "cos_sim", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+def cascade_topk(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, shortlist: int = 100
+) -> DataFrame:
+    """Two-tier cascade retrieval: Hamming sign-sketch shortlist, exact
+    cosine rerank — the production ANN shape (cheap integer scan touches
+    every vector; float math touches only `shortlist` survivors).
+
+    Scale shape: tier 1 is hamming_topk's popcount scan + TakeOrdered
+    (the ONLY full pass over the corpus); tier 2 fetches the shortlist's
+    float vectors via a broadcast semi-join (shortlist rows, bounded by
+    construction) and reranks them against the broadcast query. At
+    100 TB the float index is never scanned."""
+    short = hamming_topk(embeddings, query_vec_id, k=shortlist).select("vec_id")
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    return (
+        embeddings.join(F.broadcast(short), "vec_id", "semi")
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def cascade_recall(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, shortlist: int = 100
+) -> DataFrame:
+    """recall@k of the cascade vs exact brute force. By construction
+    >= the raw sketch's recall (the rerank can only fix tier-1 ordering
+    mistakes within the shortlist, never introduce new ones) — the gate
+    that justifies shipping the two-tier index over the sketch alone."""
+    truth = cosine_topk(embeddings, query_vec_id, k).select("vec_id")
+    approx = cascade_topk(embeddings, query_vec_id, k, shortlist).select("vec_id")
+    return truth.join(approx, "vec_id", "semi").agg(
+        (F.count(F.lit(1)) / float(k)).alias("recall_at_10")
+    )

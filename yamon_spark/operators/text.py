@@ -374,3 +374,64 @@ def bpe_merge_step(docs: DataFrame, top_n: int = 20) -> DataFrame:
         F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_MERGE_MARKER)).alias("w"), "cnt"
     )
     return pair_counts(merged).orderBy(F.col("n").desc(), "pair").limit(top_n)
+
+
+def chunk_dup_groups(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Cross-document shared training windows: chunk every doc
+    (chunk_windows) and group by window content hash, keeping hashes that
+    appear in >= 2 DISTINCT documents — substring duplication at window
+    granularity, the unit that actually matters for train-set leakage
+    (a memorized 64-token span, not a whole-doc match).
+
+    Scale shape: chunking is shuffle-free; the one shuffle is the
+    groupBy on chunk_hash (uniform md5 keys — no skew by construction);
+    groups are bounded by true duplication, not corpus size."""
+    ch = chunk_windows(docs, size, stride)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    )
+
+
+VOCAB_GROWTH_FRACS = [0.1, 0.25, 0.5, 1.0]
+
+
+def vocab_growth(docs: DataFrame) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct-word count and token
+    count over nested corpus prefixes (docs with doc_id <= frac *
+    max_doc_id) — the statistic that sizes a tokenizer vocabulary and
+    predicts how much new data keeps paying off.
+
+    Scale shape: ONE pass builds word -> first_doc (min doc_id per word,
+    a partial-agg groupBy to |vocab| rows); each frac is then a flag
+    over vocab rows (explode by |fracs|), so the curve costs one corpus
+    scan regardless of how many points it has. Counts are exact
+    integers — no rounding contract needed."""
+    fracs = F.array(*[F.lit(f) for f in VOCAB_GROWTH_FRACS])
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("word"))
+    minw = words.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    cutoff = F.floor(F.col("frac") * F.col("max_id")).cast("bigint")
+    v = (
+        minw.select("first_doc", F.explode(fracs).alias("frac"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy("frac")
+        .agg(
+            F.max(cutoff).alias("cutoff"),
+            F.sum((F.col("first_doc") <= cutoff).cast("long")).alias("vocab_size"),
+        )
+    )
+    tc = docs.select("doc_id", F.size(words_col(F.col("text"))).cast("long").alias("n"))
+    tk = (
+        tc.select("doc_id", "n", F.explode(fracs).alias("frac"))
+        .crossJoin(F.broadcast(mx))
+        .groupBy("frac")
+        .agg(F.sum(F.when(F.col("doc_id") <= cutoff, F.col("n")).otherwise(F.lit(0))).alias("n_tokens"))
+    )
+    return v.join(tk, "frac").select("frac", "cutoff", "vocab_size", "n_tokens").orderBy("frac")

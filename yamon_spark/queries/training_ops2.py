@@ -229,3 +229,148 @@ def bpe_merge_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.text import bpe_merge_step
 
     return bpe_merge_step(table(spark, sf_dir, "documents"), top_n=20)
+
+
+@register(
+    "sim_cascade_topk",
+    f"""
+    WITH {_BITS_CTE},
+    q AS (SELECT lo AS q_lo, hi AS q_hi FROM bits WHERE vec_id = 0),
+    short AS (
+      SELECT vec_id FROM bits b CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY {_HAMMING}, vec_id LIMIT 100
+    ),
+    qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sx AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qe q
+    )
+    SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim
+    FROM sx ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    doc=(
+        "Two-tier cascade retrieval: Hamming sign-sketch shortlist "
+        "(top-100, integer popcount scan — the only full corpus pass), "
+        "exact cosine rerank of the 100 survivors via broadcast "
+        "semi-join. The production ANN shape: float vectors are touched "
+        "for 100 rows, never scanned."
+    ),
+)
+def cascade_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import cascade_topk
+
+    return cascade_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, shortlist=100)
+
+
+@register(
+    "sim_cascade_recall",
+    f"""
+    WITH {_BITS_CTE},
+    q AS (SELECT lo AS q_lo, hi AS q_hi FROM bits WHERE vec_id = 0),
+    short AS (
+      SELECT vec_id FROM bits b CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY {_HAMMING}, vec_id LIMIT 100
+    ),
+    qe AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+    sx AS (
+      SELECT e.vec_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN qe q WHERE e.vec_id <> 0
+    ),
+    scored AS (
+      SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM sx
+    ),
+    casc AS (
+      SELECT s.vec_id FROM scored s JOIN short USING (vec_id)
+      ORDER BY cos_sim DESC, vec_id LIMIT 10
+    ),
+    ex AS (SELECT vec_id FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10)
+    SELECT CAST((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM casc))
+                AS DOUBLE) / 10.0 AS recall_at_10
+    """,
+    doc=(
+        "recall@10 of the cascade (Hamming shortlist-100 + exact rerank) "
+        "vs brute force — >= the raw sketch's recall by construction; "
+        "the gate that justifies the two-tier index over the sketch "
+        "alone, and the number that tunes the shortlist width."
+    ),
+)
+def cascade_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import cascade_recall
+
+    return cascade_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, shortlist=100)
+
+
+@register(
+    "chunk_dup_groups",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    s AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w), 1) + 1, 48)) AS start
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             substr(md5(array_to_string(list_slice(w, start, start + 63), ' ')), 1, 8)
+               AS chunk_hash
+      FROM s
+    )
+    SELECT chunk_hash,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS first_doc
+    FROM ch GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_hash
+    """,
+    doc=(
+        "Cross-document shared training windows: 64-token chunk hashes "
+        "appearing in >= 2 distinct docs — substring duplication at the "
+        "granularity that matters for train-set leakage (a memorized "
+        "span, not a whole-doc match). One uniform-key groupBy shuffle."
+    ),
+)
+def chunk_dup_groups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import chunk_dup_groups
+
+    return chunk_dup_groups(table(spark, sf_dir, "documents"), size=64, stride=48)
+
+
+@register(
+    "vocab_growth",
+    f"""
+    WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+    w AS (SELECT doc_id, unnest({_WORDS}) AS word FROM documents),
+    minw AS (SELECT word, min(doc_id) AS first_doc FROM w GROUP BY word),
+    fr AS (SELECT unnest([0.1, 0.25, 0.5, 1.0]) AS frac),
+    cut AS (
+      SELECT frac, CAST(floor(frac * max_id) AS BIGINT) AS cutoff
+      FROM fr CROSS JOIN mx
+    ),
+    v AS (
+      SELECT frac, max(cutoff) AS cutoff,
+             CAST(sum(CASE WHEN first_doc <= cutoff THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_size
+      FROM minw CROSS JOIN cut GROUP BY frac
+    ),
+    t AS (SELECT doc_id, CAST(len({_WORDS}) AS BIGINT) AS n FROM documents),
+    tk AS (
+      SELECT frac,
+             CAST(sum(CASE WHEN doc_id <= cutoff THEN n ELSE 0 END) AS BIGINT)
+               AS n_tokens
+      FROM t CROSS JOIN cut GROUP BY frac
+    )
+    SELECT v.frac, v.cutoff, v.vocab_size, tk.n_tokens
+    FROM v JOIN tk USING (frac) ORDER BY frac
+    """,
+    doc=(
+        "Heaps'-law vocabulary growth: distinct words + tokens over "
+        "nested corpus prefixes (10/25/50/100% by doc_id) — sizes the "
+        "tokenizer vocab and predicts marginal value of more data. One "
+        "corpus scan builds word->first_doc; every curve point is a flag "
+        "over vocab rows. Integer-exact."
+    ),
+)
+def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import vocab_growth
+
+    return vocab_growth(table(spark, sf_dir, "documents"))
