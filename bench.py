@@ -207,6 +207,8 @@ _SHORT_WHOLE = {
     "sim_cascade_topk": "casc",
     "sim_cascade_recall": "cascr",
     "chunk_dup_groups": "chdup",
+    "sim_ivfpq_topk": "ivfpq",
+    "sim_ivfpq_recall": "ivfpqr",
     "vocab_growth": "vgrow",
 }
 _SHORT_PREFIX = [

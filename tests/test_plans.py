@@ -56,6 +56,8 @@ BNLJ_OK = {
     "hard_negative_mining",  # broadcast of the bounded query-vector batch
     "bpe_merge_step",  # broadcast of the ONE top-pair row
     "vocab_growth",  # broadcast of the ONE max-doc-id row
+    "sim_ivfpq_topk",  # 1-row cell probe + query vector broadcasts (pq_topk shape)
+    "sim_ivfpq_recall",  # same broadcasts, both rankings
 }
 
 

@@ -177,3 +177,25 @@ def test_vocab_growth_monotone_and_exact(spark):
     assert rows[0.1].n_tokens == 2
     vs = [rows[f].vocab_size for f in (0.1, 0.25, 0.5, 1.0)]
     assert vs == sorted(vs)
+
+
+def test_ivfpq_single_cell_equals_pq(spark):
+    # one coarse cell (all labels equal) -> the probe is the whole corpus
+    # and IVF+PQ must reproduce plain PQ exactly
+    from yamon_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    rows = [(i, _vec([1 if (i >> b) & 1 else -1 for b in range(5)]), 0) for i in range(16)]
+    emb = _embs(spark, rows)
+    got = [(r.vec_id, r.pq_dist) for r in ivfpq_topk(emb, 0, topk=5).collect()]
+    want = [(r.vec_id, r.pq_dist) for r in pq_topk(emb, 0, topk=5).collect()]
+    assert got == want
+
+
+def test_ivfpq_probes_only_query_cell(spark):
+    # candidates in other cells must never appear, even if closer
+    from yamon_spark.operators.similarity import ivfpq_topk
+
+    q = _vec([1, 1, 1, 1])
+    rows = [(0, q, 7), (1, q, 7), (2, q, 3), (3, _vec([1, 1]), 7)]
+    out = ivfpq_topk(_embs(spark, rows), 0, topk=4).collect()
+    assert {r.vec_id for r in out} == {1, 3}  # label-7 cell only

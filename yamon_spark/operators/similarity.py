@@ -799,3 +799,52 @@ def cascade_recall(
     return truth.join(approx, "vec_id", "semi").agg(
         (F.count(F.lit(1)) / float(k)).alias("recall_at_10")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    m: int = 8,
+    k: int = 16,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """IVF+PQ composed index — the standard billion-scale ANN layout:
+    a coarse quantizer prunes the corpus to the query's cell, PQ
+    asymmetric distance ranks inside it. Here the coarse cell is the
+    `label` column (the same determinization sim_ivf_topk uses; the
+    KMeans path lives in ivf_build/ivf_search).
+
+    Scale shape: at 100 TB the index is partitioned BY the coarse cell
+    (ivf_build's partitionBy), so the probe is a partition-pruned read
+    touching 1/|cells| of the data, and inside the cell the scan reads
+    m code bytes per vector instead of the float array — the two
+    compressions multiply."""
+    q = embeddings.where(F.col("vec_id") == query_vec_id).select(
+        F.col("label").alias("q_label")
+    )
+    probed = (
+        embeddings.crossJoin(F.broadcast(q))
+        .where((F.col("label") == F.col("q_label")) | (F.col("vec_id") == query_vec_id))
+        .select("vec_id", "embedding")
+    )
+    return pq_topk(probed, query_vec_id, topk, m, k, sub_dim)
+
+
+def ivfpq_recall(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k_at: int = 10,
+    m: int = 8,
+    k: int = 16,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """recall@k of IVF+PQ against exact squared-L2 brute force over the
+    WHOLE corpus — so the gate charges both error sources at once
+    (cell-miss from the coarse probe, quantization from PQ), matching
+    how sim_pq_recall gates PQ alone."""
+    truth = l2_topk(embeddings, query_vec_id, k_at).select("vec_id")
+    approx = ivfpq_topk(embeddings, query_vec_id, k_at, m, k, sub_dim).select("vec_id")
+    return truth.join(approx, "vec_id", "semi").agg(
+        (F.count(F.lit(1)) / float(k_at)).alias("recall_at_10")
+    )

@@ -432,3 +432,59 @@ def domain_mix_temp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("natural_share", 4).alias("natural_share"),
         F.round(powed / F.sum(powed).over(wall), 4).alias("temp_share"),
     ).orderBy("source")
+
+
+@register(
+    "sim_ivfpq_topk",
+    _CODES_CTE
+    + f"""
+    , q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0)
+    SELECT c.vec_id, round({_pq_dist_sql()}, 4) AS pq_dist
+    FROM codes c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN q
+    WHERE c.vec_id <> 0 AND e.label = q.q_label
+    ORDER BY pq_dist, c.vec_id LIMIT 10
+    """,
+    doc=(
+        "IVF+PQ composed index (the billion-scale ANN layout): coarse "
+        "cell probe prunes the corpus to the query's cell, PQ "
+        "asymmetric distance ranks inside it — at scale the cell is the "
+        "partition key (partition-pruned read) and the scan touches m "
+        "code bytes per vector; the two compressions multiply."
+    ),
+)
+def ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(table(spark, sf_dir, "embeddings"), query_vec_id=0, topk=10, m=_M, k=_K, sub_dim=_SUB)
+
+
+@register(
+    "sim_ivfpq_recall",
+    _CODES_CTE
+    + f"""
+    , q AS (SELECT embedding AS q_emb, label AS q_label FROM embeddings WHERE vec_id = 0),
+    ipq AS (
+      SELECT c.vec_id FROM codes c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN q
+      WHERE c.vec_id <> 0 AND e.label = q.q_label
+      ORDER BY round({_pq_dist_sql()}, 4), c.vec_id LIMIT 10
+    ),
+    ex AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id, {_L2_EXPR} AS d
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0) t
+      ORDER BY d, vec_id LIMIT 10
+    )
+    SELECT CAST((SELECT count(*) FROM ex WHERE vec_id IN (SELECT vec_id FROM ipq))
+                AS DOUBLE) / 10.0 AS recall_at_10
+    """,
+    doc=(
+        "recall@10 of IVF+PQ vs exact squared-L2 over the WHOLE corpus "
+        "— charges cell-miss and quantization error together, the "
+        "honest gate for the composed index (completes the measured "
+        "shelf: brute/IVF/LSH/PQ/SQ8/Hamming/cascade/IVF+PQ)."
+    ),
+)
+def ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import ivfpq_recall
+
+    return ivfpq_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k_at=10, m=_M, k=_K, sub_dim=_SUB)
