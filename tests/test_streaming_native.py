@@ -392,3 +392,59 @@ def test_streaming_heavy_hitters_space_saving_bounds(spark, tmp_path):
         assert latest["h1"].rank == 1
     finally:
         q.stop()
+
+
+def test_streaming_ewma_recursion_carries_across_batches(spark, tmp_path):
+    """Live EWMA (streaming twin of q89): exact recursion, O(1) state per
+    series, seeded by the first observation and carried across
+    micro-batches through the state store."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.smooth import ewma_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    t = "2024-05-01T10:00:{:02d}"
+    # batch 1 (deliberately out of order inside the batch: 3 then 1):
+    # sorted -> seed 1.0, then 0.5*3 + 0.5*1 = 2.0
+    land(
+        [
+            {"when": t.format(5), "host": "h1", "name": "cpu", "value": 3.0},
+            {"when": t.format(1), "host": "h1", "name": "cpu", "value": 1.0},
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        ewma_live(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM ewma_live").collect()[-1]
+        assert first.ewma == 2.0 and first.n == 2 and first.value == 3.0
+
+        # batch 2: 6.0 folds into the CARRIED state -> 0.5*6 + 0.5*2 = 4.0
+        land([{"when": t.format(9), "host": "h1", "name": "cpu", "value": 6.0}])
+        q.processAllAvailable()
+        latest = spark.sql("SELECT * FROM ewma_live").collect()[-1]
+        assert latest.ewma == 4.0 and latest.n == 3
+    finally:
+        q.stop()
