@@ -1,0 +1,86 @@
+"""Plan-shape audit over the whole declared-query registry.
+
+SCALE.md argues each operator's 100 TB story from its physical plan;
+this script makes that argument machine-checkable: for every registered
+query it records the executed plan's shuffle count (Exchange), join
+strategies (broadcast-hash / sort-merge / broadcast-nested-loop),
+Python execution nodes (Arrow-batched vs row-at-a-time), scan pushdown
+(PushedFilters non-empty), and whole-stage-codegen span count — then
+writes PLAN_AUDIT.json and prints the aggregate.
+
+The per-query rows let a reviewer answer, without rereading the code:
+which queries shuffle more than twice? which joins fell back to
+sort-merge? did any Python sneak into a hot path row-at-a-time?
+
+Usage: python scripts/plan_audit.py [sf_dir]   (default sf0.001)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def audit_plan(plan: str) -> dict:
+    return {
+        "exchanges": plan.count("Exchange "),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+        "arrow_python": sum(plan.count(t) for t in (
+            "ArrowEvalPython", "MapInArrow", "FlatMapGroupsInArrow",
+            "MapInPandas", "FlatMapGroupsInPandas", "AggregateInPandas",
+        )),
+        "row_python": plan.count("BatchEvalPython"),
+        "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
+        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+    }
+
+
+def main() -> None:
+    from yamon_spark.queries import all_queries
+    from yamon_spark.session import get_spark
+
+    spark = get_spark("yamon-plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows: dict[str, dict] = {}
+    errors: dict[str, str] = {}
+    for name, dq in sorted(all_queries().items()):
+        try:
+            plan = dq.build(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:160]
+            continue
+        rows[name] = audit_plan(plan)
+
+    n = len(rows)
+    summary = {
+        "queries": n,
+        "errors": len(errors),
+        "row_python_total": sum(r["row_python"] for r in rows.values()),
+        "max_exchanges": max((r["exchanges"] for r in rows.values()), default=0),
+        "over_3_exchanges": sorted(
+            k for k, r in rows.items() if r["exchanges"] > 3
+        ),
+        "sort_merge_joins": sorted(k for k, r in rows.items() if r["sort_merge_joins"]),
+        "bnl_joins": sorted(k for k, r in rows.items() if r["bnl_joins"]),
+    }
+    out = {"sf_dir": SF, "summary": summary, "per_query": rows}
+    if errors:
+        out["build_errors"] = errors
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLAN_AUDIT.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps(summary, indent=1))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -61,6 +61,12 @@ BNLJ_OK = {
 }
 
 
+# no declared query should ever fall back to a sort-merge join: every join
+# in the registry is either dimension-broadcast or a bounded ranked-list
+# join (verified empty by scripts/plan_audit.py; empty set = the invariant)
+SMJ_OK: set[str] = set()
+
+
 def _plan(spark, sf_dir, name):
     return all_queries()[name].build(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
 
@@ -76,6 +82,8 @@ def test_no_row_python_no_cartesian(spark, sf_dir):
             flags.append("cartesian product")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             flags.append("unexpected nested-loop join")
+        if "SortMergeJoin" in plan and name not in SMJ_OK:
+            flags.append("sort-merge join fallback")
         if flags:
             bad[name] = flags
     assert not bad, f"plan red flags: {bad}"

@@ -413,12 +413,18 @@ def _register_hybrid_rrf() -> None:
             F.row_number().over(Window.orderBy(F.col("cos_sim").desc(), "doc_id")).cast("bigint"),
         ).select("doc_id", "r_cos")
 
-        fused = bmr.join(csr, "doc_id", "full").select(
-            "doc_id",
-            (
-                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm")), F.lit(0.0))
-                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
-            ).alias("rrf"),
+        # fusion as union + groupBy-sum rather than a FULL OUTER join:
+        # full outer can't broadcast (Spark falls back to sort-merge), and
+        # union-of-contributions is the shape that stays a single tiny
+        # shuffle however many rankers are fused (<= 2 addends per doc, so
+        # the float sum is order-independent)
+        fused = (
+            bmr.select("doc_id", (F.lit(1.0) / (F.lit(60) + F.col("r_bm"))).alias("c"))
+            .unionByName(
+                csr.select("doc_id", (F.lit(1.0) / (F.lit(60) + F.col("r_cos"))).alias("c"))
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("c").alias("rrf"))
         )
         return (
             fused.select("doc_id", F.round("rrf", 6).alias("rrf"))

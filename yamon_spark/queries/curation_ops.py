@@ -616,7 +616,9 @@ def ivf_recall_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = (
         full_rank.join(
-            ivf_rank,
+            # |queries| x 10 rows, bounded by the sampled batch — broadcast
+            # so the hit-check never falls back to a sort-merge join
+            F.broadcast(ivf_rank),
             (F.col("q_id") == F.col("i_qid")) & (F.col("vec_id") == F.col("i_vid")),
             "left",
         )
