@@ -448,3 +448,79 @@ def test_streaming_ewma_recursion_carries_across_batches(spark, tmp_path):
         assert latest.ewma == 4.0 and latest.n == 3
     finally:
         q.stop()
+
+
+def test_streaming_autocorr_matches_batch_moments(spark, tmp_path):
+    """Live lag-1 autocorrelation (streaming twin of q88): mergeable
+    integer moments, O(1) state, exact against an offline Pearson of the
+    same quantized series — including pairs that straddle micro-batches."""
+    from math import sqrt
+
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.stats import autocorr_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    t = "2024-05-01T10:00:{:02d}"
+    vals1 = [1.0, 2.0, 4.0, 3.0]
+    vals2 = [5.0, 2.5]
+    land(
+        [
+            {"when": t.format(i), "host": "h", "name": "cpu", "value": v}
+            for i, v in enumerate(vals1)
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        autocorr_live(stream)
+        .writeStream.format("memory")
+        .queryName("ac_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+
+    def pearson(vs):
+        cs = [int(v * 100 + 0.5) for v in vs]
+        pairs = list(zip(cs[1:], cs[:-1]))
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs); sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs); syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        return (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM ac_live").collect()[-1]
+        assert first.n_pairs == 3
+        assert abs(first.autocorr_1 - pearson(vals1)) < 1e-12
+
+        # second batch: the (5.0, prev=3.0) pair straddles the batch
+        # boundary — state must carry prev across micro-batches
+        land(
+            [
+                {"when": t.format(10 + i), "host": "h", "name": "cpu", "value": v}
+                for i, v in enumerate(vals2)
+            ]
+        )
+        q.processAllAvailable()
+        latest = spark.sql("SELECT * FROM ac_live").collect()[-1]
+        assert latest.n_pairs == 5
+        assert abs(latest.autocorr_1 - pearson(vals1 + vals2)) < 1e-12
+    finally:
+        q.stop()

@@ -1,0 +1,78 @@
+"""Live lag-1 autocorrelation: the streaming twin of q88_autocorr.
+
+The batch form (queries/analytics_ext4.q88) materializes the lagged
+series with a window function; the streaming form needs neither the lag
+column nor the history — the Pearson moments over (v_t, v_{t-1}) pairs
+are all MERGEABLE sums, so per-series state is eight numbers: the
+previous value plus (n, sx, sy, sxx, syy, sxy). Each event extends the
+pair set by one and the state by O(1); the emitted autocorrelation is
+exact over the stream so far (same integer-cents quantization as the
+batch twin, so the sums stay exact integers).
+
+Scale shape: groupBy on the series key (hash-uniform), state O(1) per
+live series, emission one row per touched series per micro-batch.
+Event-time order is imposed within each batch; cross-batch reordering
+is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from math import sqrt
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+AUTOCORR_SCHEMA = "name string, n_pairs bigint, autocorr_1 double"
+_STATE_SCHEMA = (
+    "prev long, has_prev boolean, n long, "
+    "sx long, sy long, sxx long, syy long, sxy long"
+)
+
+
+def autocorr_live(metrics: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """Per-name running lag-1 autocorrelation over the metrics stream.
+    Values quantize to integer cents (floor(v*100 + 0.5), matching q88)
+    so every moment is an exact integer sum; the Pearson assembly runs
+    once per emission. Emits NULL autocorr until the series has >= 2
+    pairs and nonzero variance on both sides."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev, has_prev, n, sx, sy, sxx, syy, sxy = state.get
+        else:
+            prev, has_prev, n, sx, sy, sxx, syy, sxy = 0, False, 0, 0, 0, 0, 0, 0
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("when")
+        for v in batch["value"]:
+            vc = int((float(v) * 100 + 0.5) // 1)
+            if has_prev:
+                n += 1
+                sx += vc
+                sy += prev
+                sxx += vc * vc
+                syy += prev * prev
+                sxy += vc * prev
+            prev, has_prev = vc, True
+        state.update((int(prev), bool(has_prev), int(n), int(sx), int(sy), int(sxx), int(syy), int(sxy)))
+        ac = None
+        if n >= 2:
+            den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+            if den > 0:
+                ac = (n * sxy - sx * sy) / den
+        yield pd.DataFrame({"name": [key[0]], "n_pairs": [n], "autocorr_1": [ac]})
+
+    return (
+        metrics.withWatermark("when", watermark)
+        .groupBy("name")
+        .applyInPandasWithState(
+            track,
+            outputStructType=AUTOCORR_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
