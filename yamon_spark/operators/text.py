@@ -46,7 +46,11 @@ def text_stats(docs: DataFrame) -> DataFrame:
         F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double")) / n_words, 4
     )
     stop_ratio = F.round(n_stop.cast("double") / n_words, 4)
-    punct_ratio = F.round(n_punct.cast("double") / n_chars, 4)
+    # empty document -> NULL ratio (not a crash: ANSI division by zero
+    # aborts the whole job on a single zero-length text); n_words is >= 1
+    # by construction (split of "" yields [""]), so only n_chars needs the
+    # guard. quality inherits the NULL.
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct.cast("double") / n_chars, 4))
     # simple quality heuristic: long enough, low punct, some stopwords
     quality = F.round(
         F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * (1.0 - punct_ratio) * (0.5 + stop_ratio),

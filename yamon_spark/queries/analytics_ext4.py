@@ -115,8 +115,9 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.event_type,
              sum(CASE WHEN s.us <= rng.mid_us THEN vc ELSE 0 END)
                    / (100.0 * sum(CASE WHEN s.us <= rng.mid_us THEN 1 ELSE 0 END)) AS mean_before,
-             sum(CASE WHEN s.us > rng.mid_us THEN vc ELSE 0 END)
-                   / (100.0 * sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END)) AS mean_after,
+             CASE WHEN sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END) = 0 THEN NULL
+                  ELSE sum(CASE WHEN s.us > rng.mid_us THEN vc ELSE 0 END)
+                       / (100.0 * sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END)) END AS mean_after,
              CAST(sum(CASE WHEN s.us <= rng.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
              CAST(sum(CASE WHEN s.us > rng.mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_after
       FROM s JOIN rng ON s.event_type = rng.event_type
@@ -157,9 +158,10 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(is_before, F.col("vc")).otherwise(F.lit(0)))
                 / (F.lit(100.0) * n_before)
             ).alias("mean_before"),
-            (
+            F.when(
+                n_after > 0,
                 F.sum(F.when(~is_before, F.col("vc")).otherwise(F.lit(0)))
-                / (F.lit(100.0) * n_after)
+                / (F.lit(100.0) * n_after),
             ).alias("mean_after"),
             n_before.cast("bigint").alias("n_before"),
             n_after.cast("bigint").alias("n_after"),
@@ -198,16 +200,19 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (
       SELECT event_type,
              CAST(count(*) AS DOUBLE) AS n,
-             CAST(sum(vc) AS DOUBLE) AS sx, CAST(sum(vl) AS DOUBLE) AS sy,
-             CAST(sum(vc * vc) AS DOUBLE) AS sxx,
-             CAST(sum(vl * vl) AS DOUBLE) AS syy,
-             CAST(sum(vc * vl) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(vc AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(vl AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(vc AS DECIMAL(18,0)) * CAST(vc AS DECIMAL(18,0))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(vl AS DECIMAL(18,0)) * CAST(vl AS DECIMAL(18,0))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(vc AS DECIMAL(18,0)) * CAST(vl AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
              CAST(count(*) AS BIGINT) AS n_pairs
       FROM l WHERE vl IS NOT NULL GROUP BY event_type
     )
     SELECT event_type, n_pairs,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS autocorr_1
+           CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+                THEN (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                ELSE NULL END AS autocorr_1
     FROM g ORDER BY event_type
     """,
     doc=(
@@ -231,21 +236,29 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("event_type").orderBy("us", "event_id")
     lagged = s.withColumn("vl", F.lag("vc").over(w)).where(F.col("vl").isNotNull())
+    # moments accumulate in DECIMAL, not BIGINT: squares of extreme values
+    # (|v| ~ 1e9 -> cents^2 ~ 1e22) overflow a long, which under ANSI
+    # aborts the job. DECIMAL keeps the sums exact (the determinism
+    # contract) with 38 digits of headroom on both engines.
+    vcd = F.col("vc").cast("decimal(18,0)")
+    vld = F.col("vl").cast("decimal(18,0)")
     g = lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum("vc").cast("double").alias("sx"),
-        F.sum("vl").cast("double").alias("sy"),
-        F.sum(F.col("vc") * F.col("vc")).cast("double").alias("sxx"),
-        F.sum(F.col("vl") * F.col("vl")).cast("double").alias("syy"),
-        F.sum(F.col("vc") * F.col("vl")).cast("double").alias("sxy"),
+        F.sum(vcd).cast("double").alias("sx"),
+        F.sum(vld).cast("double").alias("sy"),
+        F.sum(vcd * vcd).cast("double").alias("sxx"),
+        F.sum(vld * vld).cast("double").alias("syy"),
+        F.sum(vcd * vld).cast("double").alias("sxy"),
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
         F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
     )
+    # zero variance on either side (single pair / constant series) has no
+    # defined correlation: NULL, not a divide-by-zero abort
     return (
-        g.select("event_type", "n_pairs", (num / den).alias("autocorr_1"))
+        g.select("event_type", "n_pairs", F.when(den > 0, num / den).alias("autocorr_1"))
         .orderBy("event_type")
     )
 

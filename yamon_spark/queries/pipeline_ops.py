@@ -304,8 +304,9 @@ _STOP_SQL = "(x = 'the' OR x = 'a' OR x = 'of' OR x = 'and' OR x = 'in')"
         CAST(len(w) AS BIGINT) AS n_words,
         round(list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
               / len(w), 4) AS avg_word_len,
-        round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-              / length(text), 4) AS punct_ratio,
+        CASE WHEN length(text) = 0 THEN NULL
+             ELSE round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / length(text), 4) END AS punct_ratio,
         round(CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w), 4) AS stop_ratio
       FROM t
     )
