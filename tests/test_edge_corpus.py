@@ -32,7 +32,7 @@ def edge_dir(spark, tmp_path_factory):
     import shutil
 
     for name in os.listdir(SRC):
-        if name not in ("documents.parquet", "events.parquet"):
+        if name not in ("documents.parquet", "events.parquet", "embeddings.parquet"):
             # unchanged tables: copy through (symlinks confuse some readers)
             shutil.copytree(os.path.join(SRC, name), os.path.join(out, name)) if os.path.isdir(
                 os.path.join(SRC, name)
@@ -66,6 +66,19 @@ def edge_dir(spark, tmp_path_factory):
         schema=ev.schema,
     )
     ev.unionByName(eedge).repartition(4).write.parquet(f"{out}/events.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    vbase = emb.agg(F.max("vec_id")).first()[0] + 1
+    eedge_v = spark.createDataFrame(
+        [
+            (vbase + 0, [0.0] * 64, 0),  # zero norm: cosine undefined -> NULL, never a crash
+            (vbase + 1, [1e-30] * 64, 1),  # denormal-scale norm
+            (vbase + 2, [1e30] * 64, 2),  # huge magnitudes (norm overflow-adjacent)
+            (vbase + 3, [-1e30] + [0.0] * 63, 3),
+        ],
+        schema=emb.schema,
+    )
+    emb.unionByName(eedge_v).repartition(4).write.parquet(f"{out}/embeddings.parquet")
     return str(out)
 
 

@@ -26,12 +26,20 @@ def _fold_sum(arr: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity of two array<float> columns (double math)."""
+    """Cosine similarity of two array<float> columns (double math).
+
+    A zero-norm vector has no defined cosine: the kernel yields NULL for
+    it instead of letting ANSI mode abort the whole job on one bad row
+    (testdata-drift shield; real embedding tables have no zero vectors,
+    so on normal data the guard is never taken and plans/values are
+    unchanged). NULL rows then lose every `>= threshold` filter and
+    rank last in similarity-descending top-k on both engines."""
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     dot = _fold_sum(prod)
     na = _fold_sum(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
     nb = _fold_sum(F.transform(b, lambda x: x.cast("double") * x.cast("double")))
-    return dot / (F.sqrt(na) * F.sqrt(nb))
+    den = F.sqrt(na) * F.sqrt(nb)
+    return F.when(den != 0, dot / den)
 
 
 def cosine_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
