@@ -688,8 +688,13 @@ def dedup_funnel(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> Dat
     )
     c = n_raw.crossJoin(F.broadcast(n_exact)).crossJoin(F.broadcast(m))
 
+    # ONE stage-array explode off the single 1-row counts frame instead of
+    # a three-way union of selects over `c`: the union arms shared the
+    # expensive subtree only because dedup_clusters checkpoints eagerly —
+    # this shape does not depend on that accident (and keeps the exact
+    # dedup + count aggregations single-execution by construction)
     def stage(no: int, name: str, n_docs, removed):
-        return c.select(
+        return F.struct(
             F.lit(no).alias("stage_no"),
             F.lit(name).alias("stage"),
             n_docs.cast("bigint").alias("n_docs"),
@@ -697,9 +702,9 @@ def dedup_funnel(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> Dat
         )
 
     after_near = F.col("n_exact") - F.col("members") + F.col("comps")
-    return (
-        stage(0, "raw", F.col("n_raw"), F.lit(0))
-        .unionAll(stage(1, "exact", F.col("n_exact"), F.col("n_raw") - F.col("n_exact")))
-        .unionAll(stage(2, "near_dup", after_near, F.col("members") - F.col("comps")))
-        .orderBy("stage_no")
+    stages = F.array(
+        stage(0, "raw", F.col("n_raw"), F.lit(0)),
+        stage(1, "exact", F.col("n_exact"), F.col("n_raw") - F.col("n_exact")),
+        stage(2, "near_dup", after_near, F.col("members") - F.col("comps")),
     )
+    return c.select(F.explode(stages).alias("s")).select("s.*").orderBy("stage_no")
