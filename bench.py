@@ -210,6 +210,8 @@ _SHORT_WHOLE = {
     "sim_ivfpq_topk": "ivfpq",
     "sim_ivfpq_recall": "ivfpqr",
     "vocab_growth": "vgrow",
+    "lang_id_confusion": "langc",
+    "embed_label_metrics": "elabel",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

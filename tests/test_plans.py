@@ -58,6 +58,7 @@ BNLJ_OK = {
     "vocab_growth",  # broadcast of the ONE max-doc-id row
     "sim_ivfpq_topk",  # 1-row cell probe + query vector broadcasts (pq_topk shape)
     "sim_ivfpq_recall",  # same broadcasts, both rankings
+    "embed_label_metrics",  # broadcast of the ONE global-centroid row
 }
 
 

@@ -199,3 +199,20 @@ def test_ivfpq_probes_only_query_cell(spark):
     rows = [(0, q, 7), (1, q, 7), (2, q, 3), (3, _vec([1, 1]), 7)]
     out = ivfpq_topk(_embs(spark, rows), 0, topk=4).collect()
     assert {r.vec_id for r in out} == {1, 3}  # label-7 cell only
+
+
+def test_label_separation_cohesion_positive_for_clustered_labels(spark):
+    # two well-separated clusters: own-centroid cosine must beat
+    # global-centroid cosine for both labels
+    from yamon_spark.operators.similarity import label_separation
+
+    rows = [(i, _vec([1, 1, 1, 1]), 0) for i in range(5)] + [
+        (10 + i, [-1.0] * 32 + [1.0] * 32, 1) for i in range(5)
+    ]
+    out = {r.label: r for r in label_separation(_embs(spark, rows)).collect()}
+    assert out[0].n_vecs == 5 and out[1].n_vecs == 5
+    for lbl in (0, 1):
+        assert out[lbl].avg_intra_cos > out[lbl].avg_global_cos
+        assert abs(out[lbl].cohesion - (out[lbl].avg_intra_cos - out[lbl].avg_global_cos)) < 1e-12
+    # identical vectors within each label -> intra cosine is exactly 1
+    assert out[0].avg_intra_cos == 1.0

@@ -856,3 +856,56 @@ def ivfpq_recall(
     return truth.join(approx, "vec_id", "semi").agg(
         (F.count(F.lit(1)) / float(k_at)).alias("recall_at_10")
     )
+
+
+def label_separation(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding cohesion: average cosine of each vector to its
+    OWN label centroid vs to the GLOBAL centroid, plus the gap — the
+    one-number check that label structure exists in the embedding space
+    (it is what makes semantic_dedup's clusters and ivf_topk's cells
+    meaningful). Centroids follow the embedding_centroids contract
+    (per-dim round(avg, 4), cross-engine identical); per-vector cosines
+    round to 4dp then quantize to exact 1e-4 integer units so the label
+    sums are exact and the averages are single int/int divisions.
+
+    Scale shape: one posexplode partial-agg to |labels|×dim centroid
+    cells; the centroid tables broadcast (|labels| rows / 1 row); the
+    scan scores map-side; one final groupBy to |labels| rows."""
+
+    def to_arr(cents: DataFrame, out: str) -> DataFrame:
+        return (
+            cents.groupBy("label")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "centroid"))).alias("cs"))
+            .select("label", F.transform("cs", lambda s: s["centroid"]).alias(out))
+        )
+
+    cent = to_arr(embedding_centroids(embeddings), "cent")
+    glob = to_arr(
+        embedding_centroids(embeddings.withColumn("label", F.lit(-1))), "gcent"
+    ).drop("label")
+
+    def quant(cos: Column) -> Column:
+        return F.floor(F.round(cos, 4) * 10000 + F.lit(0.5)).cast("bigint")
+
+    scored = (
+        embeddings.join(F.broadcast(cent), "label")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "label",
+            quant(cosine_sim(F.col("embedding"), F.col("cent"))).alias("icq"),
+            quant(cosine_sim(F.col("embedding"), F.col("gcent"))).alias("gcq"),
+        )
+    )
+    n = F.count(F.lit(1))
+    intra = F.sum("icq") / (F.lit(10000.0) * n)
+    glob_avg = F.sum("gcq") / (F.lit(10000.0) * n)
+    return (
+        scored.groupBy("label")
+        .agg(
+            n.cast("bigint").alias("n_vecs"),
+            intra.alias("avg_intra_cos"),
+            glob_avg.alias("avg_global_cos"),
+            (intra - glob_avg).alias("cohesion"),
+        )
+        .orderBy("label")
+    )

@@ -174,6 +174,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         training_ops,
         analytics_ext4,
         training_ops2,
+        eval_ops,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}

@@ -1,0 +1,132 @@
+"""Model/data-quality EVAL queries: the measurement layer a curation
+pipeline runs on its own classifiers and embeddings.
+
+- lang_id_confusion: confusion matrix of the marker-word language-ID
+  heuristic against the labeled `lang` column — the eval every
+  classifier-gated filter needs before its verdicts drive dropping.
+- embed_label_metrics: per-label embedding cohesion — average cosine of
+  each vector to its own label centroid vs to the global centroid. The
+  gap (cohesion) is the one-number health check that label structure
+  actually exists in the embedding space (it gates semantic dedup and
+  IVF cell quality).
+
+Determinism: centroids are per-dim round(avg, 4) (the embed_centroids
+contract — identical on both engines); per-vector cosines round to 4dp
+and then quantize to exact 1e-4 integer units, so the per-label sums
+are exact integers and the emitted averages are single int/int IEEE
+divisions (FIXTURES.md integer-cents rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from yamon_spark.queries import register, table
+from yamon_spark.queries.pipeline_ops import _WORDS
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
+    c AS (
+      SELECT doc_id, lang,
+        CAST(len(list_filter(w, x -> x = 'the')) AS BIGINT) AS n_en,
+        CAST(len(list_filter(w, x -> x = 'la')) AS BIGINT) AS n_es,
+        CAST(len(list_filter(w, x -> x = 'der')) AS BIGINT) AS n_de,
+        CAST(len(list_filter(w, x -> x = 'le')) AS BIGINT) AS n_fr,
+        CAST(len(list_filter(w, x -> x = '的')) AS BIGINT) AS n_zh
+      FROM t
+    ),
+    p AS (
+      SELECT lang,
+        CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
+             WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
+             WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
+             WHEN n_fr >= n_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang
+      FROM c
+    )
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS INT) AS correct
+    FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+    """,
+    doc=(
+        "Language-ID confusion matrix: heuristic prediction vs labeled "
+        "lang, one partial-agg groupBy over |langs|² cells — the eval "
+        "gate a classifier-driven filter ships with."
+    ),
+)
+def lang_id_confusion_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import lang_id
+
+    pred = lang_id(table(spark, sf_dir, "documents")).select("lang", "pred_lang")
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.when(F.col("lang") == F.col("pred_lang"), 1).otherwise(0).cast("int").alias("correct"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_CENT_COS = """
+      list_reduce(list_transform(range(1, 65),
+        i -> CAST(e.embedding[i] AS DOUBLE) * {cent}[i]), (a, b) -> a + b)
+      / (sqrt(list_reduce(list_transform(e.embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+         * sqrt(list_reduce(list_transform({cent},
+             x -> x * x), (a, b) -> a + b)))
+"""
+
+
+@register(
+    "embed_label_metrics",
+    f"""
+    WITH cd AS (
+      SELECT label, CAST(d - 1 AS INT) AS dim,
+             round(avg(CAST(embedding[d] AS DOUBLE)), 4) AS c
+      FROM embeddings, range(1, 65) t(d) GROUP BY label, dim
+    ),
+    cent AS (SELECT label, list(c ORDER BY dim) AS cent FROM cd GROUP BY label),
+    gd AS (
+      SELECT CAST(d - 1 AS INT) AS dim,
+             round(avg(CAST(embedding[d] AS DOUBLE)), 4) AS c
+      FROM embeddings, range(1, 65) t(d) GROUP BY dim
+    ),
+    g AS (SELECT list(c ORDER BY dim) AS gcent FROM gd),
+    s AS (
+      SELECT e.label,
+             {_CENT_COS.format(cent="cent.cent")} AS ic,
+             {_CENT_COS.format(cent="g.gcent")} AS gc
+      FROM embeddings e JOIN cent USING (label) CROSS JOIN g
+    ),
+    q AS (
+      SELECT label,
+             CAST(floor(round(ic, 4) * 10000 + 0.5) AS BIGINT) AS icq,
+             CAST(floor(round(gc, 4) * 10000 + 0.5) AS BIGINT) AS gcq
+      FROM s
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           sum(icq) / (10000.0 * count(*)) AS avg_intra_cos,
+           sum(gcq) / (10000.0 * count(*)) AS avg_global_cos,
+           sum(icq) / (10000.0 * count(*)) - sum(gcq) / (10000.0 * count(*)) AS cohesion
+    FROM q GROUP BY label ORDER BY label
+    """,
+    doc=(
+        "Embedding-space label cohesion: avg cosine to own-label centroid "
+        "vs to the global centroid, per label — the health check that "
+        "label structure exists (gates semantic dedup / IVF cells). One "
+        "posexplode agg to |labels|×dim cells + a broadcast centroid join; "
+        "per-label sums are exact 1e-4-unit integers."
+    ),
+)
+def embed_label_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import label_separation
+
+    return label_separation(table(spark, sf_dir, "embeddings"))
