@@ -524,3 +524,58 @@ def test_streaming_autocorr_matches_batch_moments(spark, tmp_path):
         assert abs(latest.autocorr_1 - pearson(vals1 + vals2)) < 1e-12
     finally:
         q.stop()
+
+
+def test_streaming_ewma_state_survives_query_restart(spark, tmp_path):
+    """The EWMA state store must survive a full query restart: run to
+    completion, STOP the query, start a NEW incarnation on the same
+    checkpoint, feed one more batch — the recursion continues from the
+    persisted (ewma, n), it does not reseed."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.smooth import ewma_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+    out = tmp_path / "out"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            ewma_live(stream, alpha=0.5)
+            .writeStream.foreachBatch(
+                lambda df, _eid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    t = "2024-05-01T10:00:{:02d}"
+    land(
+        [
+            {"when": t.format(1), "host": "h1", "name": "cpu", "value": 1.0},
+            {"when": t.format(2), "host": "h1", "name": "cpu", "value": 3.0},
+        ]
+    )
+    run_once()  # seed 1.0 -> 0.5*3 + 0.5*1 = 2.0, n=2
+
+    land([{"when": t.format(9), "host": "h1", "name": "cpu", "value": 6.0}])
+    run_once()  # NEW query incarnation; state must carry: 0.5*6 + 0.5*2 = 4.0
+
+    rows = sorted(spark.read.parquet(str(out)).collect(), key=lambda r: r.n)
+    assert [(r.n, r.ewma) for r in rows] == [(2, 2.0), (3, 4.0)]
