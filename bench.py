@@ -144,49 +144,49 @@ _SHORT_WHOLE = {
     "pack_sequences": "pack",
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmixt",
-    "sim_ivf_recall": "sm_ivfr",
-    "sim_pq_recall": "sm_pqr",
+    "sim_ivf_recall": "ivfr",
+    "sim_pq_recall": "pqr",
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
     "multimodal_wav_roundtrip": "mm_wav",
-    "sim_near_dup_pairs": "sm_ndp",
-    "text_quality_filter": "tx_qual",
+    "sim_near_dup_pairs": "ndp",
+    "text_quality_filter": "qual",
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "mhlsh",
-    "text_unigram_logprob": "tx_uni",
-    "text_zipf_slope": "tx_zipf",
+    "text_unigram_logprob": "uni",
+    "text_zipf_slope": "zipf",
     "bpe_pair_counts": "bpe",
     "quality_logit": "qlogit",
-    "text_perplexity_buckets": "tx_ppl",
+    "text_perplexity_buckets": "ppl",
     "dsir_weights": "dsir",
     # r5 tightening so ALL entries fit the stdout cap (1950, under the
     # driver's 2000-char tail capture) with six
     # more queries registered; renames from the r4 line, old -> new:
     "sim_ivf_recall_batch": "ivfrb",      # sm_ivf_rec_b
     "sim_truncation_recall": "trunc",     # sm_trunc_rec
-    "multimodal_audio_windows": "mm_aud",    # mm_audio_windows
-    "multimodal_video_frames": "mm_vid",     # mm_video_frames
-    "multimodal_features": "mm_feat",        # mm_features
-    "sim_near_dup_lsh": "sm_ndl",            # sm_near_dup_lsh
-    "sim_cosine_topk": "sm_cos",             # sm_cosine_topk
-    "sim_ivf_topk": "sm_ivf",                # sm_ivf_topk
-    "sim_knn_join": "sm_knn",                # sm_knn_join
-    "sim_lsh_topk": "sm_lsh",                # sm_lsh_topk
-    "sim_mmr_topk": "sm_mmr",                # (new in r5)
+    "multimodal_audio_windows": "aud",    # mm_audio_windows
+    "multimodal_video_frames": "vid",     # mm_video_frames
+    "multimodal_features": "feat",        # mm_features
+    "sim_near_dup_lsh": "ndl",            # sm_near_dup_lsh
+    "sim_cosine_topk": "cos",             # sm_cosine_topk
+    "sim_ivf_topk": "ivf",                # sm_ivf_topk
+    "sim_knn_join": "knn",                # sm_knn_join
+    "sim_lsh_topk": "lsh",                # sm_lsh_topk
+    "sim_mmr_topk": "mmr",                # (new in r5)
     "text_fingerprint": "tx_fp",             # tx_fingerprint
     "text_token_count": "tx_tok",            # tx_token_count
     "text_repetition": "tx_rep",             # tx_repetition
     "text_pii_scrub": "tx_pii",              # tx_pii_scrub
     "embed_norm_stats": "em_norm",           # em_norm_stats
     "embed_centroids": "em_cent",            # em_centroids
-    "sample_rebalanced": "sp_rebal",         # sp_rebalanced
+    "sample_rebalanced": "rebal",         # sp_rebalanced
     "dedup_canonical": "dd_canon",           # dd_canonical
     "dedup_substring": "dd_sub",             # dd_substr
     "dedup_semantic": "dd_sem",              # (new in r5)
     "sq8_codes": "sq8",                      # (new in r5)
-    "sim_sq8_topk": "sm_sq8",                # (new in r5)
-    "sim_sq8_recall": "sm_sq8r",             # (new in r5)
-    "sample_stratified": "sp_strat",         # sp_stratified
+    "sim_sq8_topk": "sq8t",                # (new in r5)
+    "sim_sq8_recall": "sq8r",             # (new in r5)
+    "sample_stratified": "strat",         # sp_stratified
     "dedup_clusters": "dd_clus",             # dd_clusters
     "dedup_jaccard": "dd_jac",               # dd_jaccard
     "dedup_simhash": "dd_sim",               # dd_simhash

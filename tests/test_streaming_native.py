@@ -579,3 +579,79 @@ def test_streaming_ewma_state_survives_query_restart(spark, tmp_path):
 
     rows = sorted(spark.read.parquet(str(out)).collect(), key=lambda r: r.n)
     assert [(r.n, r.ewma) for r in rows] == [(2, 2.0), (3, 4.0)]
+
+
+def test_streaming_quantile_matches_batch_interpolation(spark, tmp_path):
+    """Live histogram quantiles (streaming twin of q85): mergeable bucket
+    counts per series; after two micro-batches the emitted p50/p95 equal
+    the batch interpolation over the union of both batches' values."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.stats import quantile_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def batch_quantile(vals, q, width=5.0):
+        table = {}
+        for v in vals:
+            b = int(v // width)
+            table[b] = table.get(b, 0) + 1
+        thresh = q * len(vals)
+        cum = 0
+        for b, c in sorted(table.items()):
+            if cum + c >= thresh:
+                return b * width + width * (thresh - cum) / c
+            cum += c
+
+    t = "2024-05-01T10:00:{:02d}"
+    vals1 = [1.0, 2.0, 7.0, 12.0]
+    vals2 = [3.0, 22.0]
+    land(
+        [
+            {"when": t.format(i), "host": "h", "name": "cpu", "value": v}
+            for i, v in enumerate(vals1)
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        quantile_live(stream, width=5.0)
+        .writeStream.format("memory")
+        .queryName("ql_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.sql("SELECT * FROM ql_live").collect()[-1]
+        assert first.total == 4
+        assert first.p50 == batch_quantile(vals1, 0.5)
+        assert first.p95 == batch_quantile(vals1, 0.95)
+
+        land(
+            [
+                {"when": t.format(10 + i), "host": "h", "name": "cpu", "value": v}
+                for i, v in enumerate(vals2)
+            ]
+        )
+        q.processAllAvailable()
+        latest = spark.sql("SELECT * FROM ql_live").collect()[-1]
+        assert latest.total == 6
+        assert latest.p50 == batch_quantile(vals1 + vals2, 0.5)
+        assert latest.p95 == batch_quantile(vals1 + vals2, 0.95)
+    finally:
+        q.stop()

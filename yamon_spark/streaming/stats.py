@@ -76,3 +76,69 @@ def autocorr_live(metrics: DataFrame, watermark: str = "10 seconds") -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+QUANTILE_SCHEMA = "name string, total bigint, p50 double, p95 double"
+_Q_STATE_SCHEMA = "bkts array<long>, cnts array<long>"
+
+
+def quantile_live(
+    metrics: DataFrame, width: float = 5.0, watermark: str = "10 seconds"
+) -> DataFrame:
+    """Live histogram quantiles: the streaming twin of
+    q85_histogram_quantile. Same mergeable-bucket-count design — state
+    per series is a sparse (bucket -> count) table with fixed
+    `width`-unit bins; each batch increments counts and re-emits
+    p50/p95 by linear interpolation inside the bucket where the
+    cumulative count crosses q*total, exactly like the batch form.
+
+    Scale shape: state grows with the VALUE RANGE (|buckets|), not the
+    stream length; the groupBy key is the series name. This is why the
+    monitoring-native quantile beats a value-buffer sketch online: the
+    state is already an aggregate and two emissions merge by addition."""
+
+    def track(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bkts, cnts = state.get
+            table = dict(zip(bkts, cnts))
+        else:
+            table = {}
+        for pdf in pdfs:
+            for v in pdf["value"]:
+                b = int(float(v) // width)
+                table[b] = table.get(b, 0) + 1
+        items = sorted(table.items())
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        total = sum(c for _, c in items)
+
+        def interp(q: float) -> float:
+            thresh = q * total
+            cum = 0
+            for b, c in items:
+                if cum + c >= thresh:
+                    return b * width + width * (thresh - cum) / c
+                cum += c
+            return items[-1][0] * width + width  # numeric-noise fallback
+
+        yield pd.DataFrame(
+            {
+                "name": [key[0]],
+                "total": [total],
+                "p50": [interp(0.5)],
+                "p95": [interp(0.95)],
+            }
+        )
+
+    return (
+        metrics.withWatermark("when", watermark)
+        .groupBy("name")
+        .applyInPandasWithState(
+            track,
+            outputStructType=QUANTILE_SCHEMA,
+            stateStructType=_Q_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
