@@ -29,7 +29,9 @@ SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 def audit_plan(plan: str) -> dict:
     return {
-        "exchanges": plan.count("Exchange "),
+        # negative lookbehind: "BroadcastExchange" must not count as a
+        # shuffle — only hash/range/single-partition exchanges move data
+        "exchanges": len(re.findall(r"(?<!Broadcast)Exchange ", plan)),
         "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
@@ -39,7 +41,8 @@ def audit_plan(plan: str) -> dict:
         )),
         "row_python": plan.count("BatchEvalPython"),
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
-        "codegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        # executedPlan().toString() renders codegen regions as "*(N)" prefixes
+        "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
     }
 
 

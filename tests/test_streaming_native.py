@@ -655,3 +655,117 @@ def test_streaming_quantile_matches_batch_interpolation(spark, tmp_path):
         assert latest.p95 == batch_quantile(vals1 + vals2, 0.95)
     finally:
         q.stop()
+
+
+def test_streaming_autocorr_survives_extreme_values(spark, tmp_path):
+    """Regression: squared cents of |v| ~ 1e9 are ~1e22 per pair — far
+    past int64. The decimal state columns must carry them exactly."""
+    from math import sqrt
+
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.stats import autocorr_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+    src.mkdir(parents=True)
+    t = "2024-05-01T10:00:{:02d}"
+    vals = [1e9, -1e9, 5e8, 1e9]
+    (src / "m0.jsonl").write_text(
+        "\n".join(
+            json.dumps({"when": t.format(i), "host": "h", "name": "big", "value": v})
+            for i, v in enumerate(vals)
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        autocorr_live(stream)
+        .writeStream.format("memory")
+        .queryName("ac_big")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        row = spark.sql("SELECT * FROM ac_big").collect()[-1]
+        from math import floor
+
+        cs = [int(floor(v * 100 + 0.5)) for v in vals]
+        pairs = list(zip(cs[1:], cs[:-1]))
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs); sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs); syy = sum(b * b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        want = (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+        assert row.n_pairs == 3
+        assert abs(row.autocorr_1 - want) < 1e-9
+    finally:
+        q.stop()
+
+
+def test_streaming_ewma_drops_late_rows_past_watermark(spark, tmp_path):
+    """With EventTimeTimeout the stateful operator filters rows older
+    than the watermark BEFORE the function sees them: a straggler from
+    far in the past must not fold into the recursion."""
+    from pyspark.sql.types import StructField, StructType
+
+    from yamon_spark.streaming.smooth import ewma_live
+
+    schema = StructType(
+        [
+            StructField("when", TimestampType()),
+            StructField("host", StringType()),
+            StructField("name", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = tmp_path / "metrics"
+
+    def land(rows):
+        src.mkdir(parents=True, exist_ok=True)
+        f = src / f"m{len(list(src.iterdir()))}.jsonl"
+        f.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    # batch 1 advances event time to 10:10; watermark = 10:10 - 10s
+    land(
+        [
+            {"when": "2024-05-01T10:10:00", "host": "h", "name": "cpu", "value": 2.0},
+        ]
+    )
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        ewma_live(stream, alpha=0.5, watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("ewma_late")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one straggler far past the watermark + one fresh row
+        land(
+            [
+                {"when": "2024-05-01T10:00:00", "host": "h", "name": "cpu", "value": 100.0},
+                {"when": "2024-05-01T10:10:05", "host": "h", "name": "cpu", "value": 4.0},
+            ]
+        )
+        q.processAllAvailable()
+        latest = spark.sql("SELECT * FROM ewma_late").collect()[-1]
+        # straggler dropped: n=2 (not 3) and ewma = 0.5*4 + 0.5*2 = 3.0,
+        # untouched by the 100.0
+        assert latest.n == 2
+        assert latest.ewma == 3.0
+    finally:
+        q.stop()

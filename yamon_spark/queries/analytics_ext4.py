@@ -179,9 +179,9 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# q88: lag-1 autocorrelation from exact-integer moments. The five sums
-# are exact BIGINTs (cents <= ~56k, squares <= 3.2e9 — no overflow until
-# ~2.9e9 rows/series), each cast to DOUBLE once; the Pearson formula then
+# q88: lag-1 autocorrelation from exact-integer moments, accumulated in
+# DECIMAL(38,0) (squared cents of extreme values — |v| ~ 1e9 -> ~1e22 —
+# overflow a BIGINT), each cast to DOUBLE once; the Pearson formula then
 # runs on bit-identical doubles in the same order on both engines, so the
 # output needs no rounding contract (same policy as q86's unrounded means).
 @register(

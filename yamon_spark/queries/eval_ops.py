@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from yamon_spark.queries import register, table
-from yamon_spark.queries.pipeline_ops import _WORDS
+from yamon_spark.queries.pipeline_ops import _WORDS, lang_id_sql_parts
+
+# counts + tie-break CASE generated from operators.text.LANG_MARKERS —
+# the same fragment text_lang_id's oracle uses, so the confusion matrix
+# can never drift from the classifier it evaluates
+_LANG_COUNTS, _, _LANG_CASE = lang_id_sql_parts()
 
 
 @register(
@@ -32,20 +37,12 @@ from yamon_spark.queries.pipeline_ops import _WORDS
     WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
     c AS (
       SELECT doc_id, lang,
-        CAST(len(list_filter(w, x -> x = 'the')) AS BIGINT) AS n_en,
-        CAST(len(list_filter(w, x -> x = 'la')) AS BIGINT) AS n_es,
-        CAST(len(list_filter(w, x -> x = 'der')) AS BIGINT) AS n_de,
-        CAST(len(list_filter(w, x -> x = 'le')) AS BIGINT) AS n_fr,
-        CAST(len(list_filter(w, x -> x = '的')) AS BIGINT) AS n_zh
+        {_LANG_COUNTS}
       FROM t
     ),
     p AS (
       SELECT lang,
-        CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
-             WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
-             WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
-             WHEN n_fr >= n_zh THEN 'fr'
-             ELSE 'zh' END AS pred_lang
+        {_LANG_CASE} AS pred_lang
       FROM c
     )
     SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,

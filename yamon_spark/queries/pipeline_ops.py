@@ -359,25 +359,43 @@ def text_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(table(spark, sf_dir, "documents"))
 
 
+def lang_id_sql_parts() -> tuple[str, str, str]:
+    """(count-select-list, count-column-list, pred CASE expr) generated
+    from operators.text.LANG_MARKERS — the ONE source of truth for the
+    marker words and the earlier-wins tie-break, shared by text_lang_id
+    and eval_ops.lang_id_confusion (same generator pattern as
+    _minhash_sig_sql: constants live in the operator, SQL derives)."""
+    from yamon_spark.operators.text import LANG_MARKERS
+
+    counts = ",\n        ".join(
+        f"CAST(len(list_filter(w, x -> x = '{m}')) AS BIGINT) AS n_{lang}"
+        for lang, m in LANG_MARKERS
+    )
+    langs = [lang for lang, _ in LANG_MARKERS]
+    branches = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"n_{lang} >= n_{o}" for o in langs[i + 1 :])
+        branches.append(f"WHEN {conds} THEN '{lang}'")
+    case = (
+        "CASE " + "\n           ".join(branches) + f"\n           ELSE '{langs[-1]}' END"
+    )
+    return counts, ", ".join(f"n_{lang}" for lang in langs), case
+
+
+_LANG_COUNTS, _LANG_COLS, _LANG_CASE = lang_id_sql_parts()
+
+
 @register(
     "text_lang_id",
     f"""
     WITH t AS (SELECT doc_id, lang, {_WORDS} AS w FROM documents),
     c AS (
       SELECT doc_id, lang,
-        CAST(len(list_filter(w, x -> x = 'the')) AS BIGINT) AS n_en,
-        CAST(len(list_filter(w, x -> x = 'la')) AS BIGINT) AS n_es,
-        CAST(len(list_filter(w, x -> x = 'der')) AS BIGINT) AS n_de,
-        CAST(len(list_filter(w, x -> x = 'le')) AS BIGINT) AS n_fr,
-        CAST(len(list_filter(w, x -> x = '的')) AS BIGINT) AS n_zh
+        {_LANG_COUNTS}
       FROM t
     )
-    SELECT doc_id, n_en, n_es, n_de, n_fr, n_zh,
-      CASE WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr AND n_en >= n_zh THEN 'en'
-           WHEN n_es >= n_de AND n_es >= n_fr AND n_es >= n_zh THEN 'es'
-           WHEN n_de >= n_fr AND n_de >= n_zh THEN 'de'
-           WHEN n_fr >= n_zh THEN 'fr'
-           ELSE 'zh' END AS pred_lang,
+    SELECT doc_id, {_LANG_COLS},
+      {_LANG_CASE} AS pred_lang,
       lang
     FROM c ORDER BY doc_id
     """,

@@ -18,8 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from yamon_spark.queries import register, table
-from yamon_spark.queries.pipeline_ops import _COS_EXPRS, _WORDS
-from yamon_spark.queries.pipeline_ops import _shingle_cte
+from yamon_spark.queries.pipeline_ops import _COS_EXPRS, _WORDS, _shingle_cte
 
 _WORDS_LC = r"regexp_split_to_array(trim(lower(text)), '\s+')"
 

@@ -10,9 +10,15 @@ size O(1) per series regardless of stream length.
 Scale shape: the groupBy key is the same (host, name) series key the
 rollups shuffle on (hash-uniform); state is two scalars per live
 series; emission is one row per touched series per micro-batch (update
-mode). Event-time order is imposed within each batch (sort by `when`);
-cross-batch reordering is bounded by the watermark, which drops
-later-than-watermark arrivals before they can fold in out of order.
+mode). Event-time order is imposed within each batch (stable sort on
+(`when`, `value`) — the deterministic tie rule); cross-batch
+reordering is bounded by the watermark: the query runs with
+EventTimeTimeout, the ONE timeout mode in which Spark's stateful
+operator actually filters later-than-watermark rows before they reach
+the function (with NoTimeout it does not — verified against the
+FlatMapGroupsWithState late-event predicate), so a straggler can never
+fold into the recursion out of order. No timeout timestamps are ever
+registered, so no timeout invocations occur.
 
 Reference analogue: the reference delegates smoothing to dashboards
 over ClickHouse rollups (res/schema.sql); this is the engine-side
@@ -41,7 +47,14 @@ def ewma_live(metrics: DataFrame, alpha: float = 0.25, watermark: str = "10 seco
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ewma, n = state.get if state.exists else (0.0, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("when")
+        frames = list(pdfs)
+        if not frames:  # defensive: only reachable via a timeout invocation
+            return
+        # stable mergesort on (when, value): equal-timestamp rows fold in a
+        # deterministic order (pandas' default quicksort is unstable)
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["when", "value"], kind="mergesort"
+        )
         last_when = None
         last_v = None
         for when, v in zip(batch["when"], batch["value"]):
@@ -69,6 +82,8 @@ def ewma_live(metrics: DataFrame, alpha: float = 0.25, watermark: str = "10 seco
             outputStructType=EWMA_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            # EventTimeTimeout (with no timeouts registered) is what turns
+            # on the operator's late-row filter; see module docstring
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -11,8 +11,13 @@ batch twin, so the sums stay exact integers).
 
 Scale shape: groupBy on the series key (hash-uniform), state O(1) per
 live series, emission one row per touched series per micro-batch.
-Event-time order is imposed within each batch; cross-batch reordering
-is bounded by the watermark.
+Event-time order is imposed within each batch (stable sort with a
+(`when`, `value`) tie rule); autocorr_live runs with EventTimeTimeout —
+the one timeout mode in which Spark's stateful operator filters
+later-than-watermark rows before they reach the function — so a
+straggler cannot corrupt the order-dependent prev-chain. quantile_live
+keeps NoTimeout deliberately: bucket counts are order-independent, so a
+late-but-valid value is better counted than dropped.
 """
 
 from __future__ import annotations
@@ -26,9 +31,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 AUTOCORR_SCHEMA = "name string, n_pairs bigint, autocorr_1 double"
+# moments live in DECIMAL(38,0) state, not long: squared cents of
+# |v| ~ 1e9 are ~1e22 per PAIR, far past int64 — the exact overflow the
+# batch twin q88 moved to DECIMAL accumulation to avoid. Python-side the
+# arithmetic is unbounded int; the state column just has to hold it.
 _STATE_SCHEMA = (
     "prev long, has_prev boolean, n long, "
-    "sx long, sy long, sxx long, syy long, sxy long"
+    "sx decimal(38,0), sy decimal(38,0), sxx decimal(38,0), "
+    "syy decimal(38,0), sxy decimal(38,0)"
 )
 
 
@@ -44,9 +54,15 @@ def autocorr_live(metrics: DataFrame, watermark: str = "10 seconds") -> DataFram
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             prev, has_prev, n, sx, sy, sxx, syy, sxy = state.get
+            sx, sy, sxx, syy, sxy = (int(x) for x in (sx, sy, sxx, syy, sxy))
         else:
             prev, has_prev, n, sx, sy, sxx, syy, sxy = 0, False, 0, 0, 0, 0, 0, 0
-        batch = pd.concat(list(pdfs), ignore_index=True).sort_values("when")
+        frames = list(pdfs)
+        if not frames:  # defensive: only reachable via a timeout invocation
+            return
+        batch = pd.concat(frames, ignore_index=True).sort_values(
+            ["when", "value"], kind="mergesort"
+        )
         for v in batch["value"]:
             vc = int((float(v) * 100 + 0.5) // 1)
             if has_prev:
@@ -57,7 +73,12 @@ def autocorr_live(metrics: DataFrame, watermark: str = "10 seconds") -> DataFram
                 syy += prev * prev
                 sxy += vc * prev
             prev, has_prev = vc, True
-        state.update((int(prev), bool(has_prev), int(n), int(sx), int(sy), int(sxx), int(syy), int(sxy)))
+        from decimal import Decimal
+
+        state.update((
+            int(prev), bool(has_prev), int(n),
+            Decimal(sx), Decimal(sy), Decimal(sxx), Decimal(syy), Decimal(sxy),
+        ))
         ac = None
         if n >= 2:
             den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
@@ -73,7 +94,9 @@ def autocorr_live(metrics: DataFrame, watermark: str = "10 seconds") -> DataFram
             outputStructType=AUTOCORR_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            # EventTimeTimeout (no timeouts registered) enables the
+            # operator's late-row filter; see module docstring
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
