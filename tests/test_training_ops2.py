@@ -216,3 +216,30 @@ def test_label_separation_cohesion_positive_for_clustered_labels(spark):
         assert abs(out[lbl].cohesion - (out[lbl].avg_intra_cos - out[lbl].avg_global_cos)) < 1e-12
     # identical vectors within each label -> intra cosine is exactly 1
     assert out[0].avg_intra_cos == 1.0
+
+
+def test_hamming_search_on_persisted_sketch_reads_no_floats(spark, tmp_path):
+    """The shipped-index path: write the sign sketch to parquet, search
+    FROM the sketch table, and assert (a) results equal the inline form
+    and (b) the scan's ReadSchema touches only (vec_id, lo, hi) — the
+    16-byte index, never the float embeddings."""
+    from yamon_spark.operators.similarity import (
+        binary_sketch,
+        hamming_search,
+        hamming_topk,
+    )
+
+    rows = [(i, _vec([1 if (i >> b) & 1 else -1 for b in range(6)]), 0) for i in range(20)]
+    emb = _embs(spark, rows)
+    path = str(tmp_path / "sketch")
+    binary_sketch(emb).write.parquet(path)
+
+    persisted = hamming_search(spark.read.parquet(path), 0, k=5)
+    inline = hamming_topk(emb, 0, k=5)
+    assert [tuple(r) for r in persisted.collect()] == [tuple(r) for r in inline.collect()]
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
+    assert schemas and all("embedding" not in s for s in schemas)

@@ -700,14 +700,14 @@ def binary_sketch(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def hamming_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
-    """Top-k nearest by Hamming distance over the sign sketch.
-
-    Scale shape: 1-row query sketch broadcasts; the scan is bit_count over
-    two longs per row (whole-stage codegen, no floats anywhere); the
-    top-k is TakeOrderedAndProject — no full sort, no shuffle of the
-    corpus. Distances are integers, so cross-engine determinism is free."""
-    bits = binary_sketch(embeddings)
+def hamming_search(bits: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k by Hamming distance over an ALREADY-BUILT sign-sketch table
+    (vec_id, lo, hi) — the persisted-index path: at 100 TB the sketch is
+    written once (16 bytes + id per vector) and every search scans THAT
+    table, never the float embeddings. The scan is bit_count over two
+    longs per row (whole-stage codegen, no floats anywhere); top-k is
+    TakeOrderedAndProject — no full sort, no corpus shuffle. Distances
+    are integers, so cross-engine determinism is free."""
     q = bits.where(F.col("vec_id") == query_vec_id).select(
         F.col("lo").alias("q_lo"), F.col("hi").alias("q_hi")
     )
@@ -722,6 +722,13 @@ def hamming_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> D
         .orderBy("hamming", "vec_id")
         .limit(k)
     )
+
+
+def hamming_topk(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Top-k nearest by Hamming distance, sketching inline from the
+    embeddings table (the build-and-search-in-one-pass form; see
+    hamming_search for the persisted-index path)."""
+    return hamming_search(binary_sketch(embeddings), query_vec_id, k)
 
 
 def hamming_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
