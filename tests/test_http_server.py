@@ -398,3 +398,95 @@ def test_concurrent_posts_land_atomically(spark, tmp_path, server):
     metrics = parse_batch(spark.read.text(str(tmp_path / "landing" / "submit_batch")))["metrics"]
     assert metrics.count() == 100
     assert metrics.select("host").distinct().count() == 20
+
+
+def test_scalar_json_rejected_not_swallowed(tmp_path, server):
+    # '[1,2,3]' / '42' parse as JSON but can never produce rows in the
+    # struct-typed wire parsers: 400 + dead-letter, like the reference
+    # (whose unmarshal-into-struct fails) — never a 204 into a void
+    import os
+
+    assert _post(server.port, "/v1/submit-batch", b"[1,2,3]") == 400
+    assert _post(server.port, "/v1/data", b"42") == 400
+    rejects = os.path.join(str(tmp_path / "landing"), "rejects")
+    assert len(os.listdir(rejects)) == 2
+
+
+def test_routing_ignores_query_string(tmp_path, server):
+    # the reference's chi router matches the path only; a proxy-appended
+    # query parameter must not turn an intake POST into a 404
+    assert _post(server.port, "/v1/data?src=proxy", json.dumps(BATCH).encode()) == 204
+
+
+def test_non_ascii_auth_rejected_not_crashed(tmp_path):
+    # hmac.compare_digest raises TypeError on non-ASCII str; the handler
+    # must 401 a latin-1-decoded weird header, not 500/drop the connection
+    srv = IngestHTTPServer(str(tmp_path / "landing"), keys={"agent": "k"}).start()
+    try:
+        code = _post(
+            srv.port,
+            "/v1/submit-batch",
+            json.dumps(BATCH).encode(),
+            {"Authorization": "agent:k\xe9y"},
+        )
+        assert code == 401
+        # and the well-formed key still authenticates
+        assert (
+            _post(srv.port, "/v1/submit-batch", json.dumps(BATCH).encode(), {"Authorization": "agent:k"})
+            == 204
+        )
+    finally:
+        srv.stop()
+
+
+def test_documents_survive_u2028_in_json_strings(tmp_path, server):
+    # U+2028 is legal raw inside a JSON string; splitlines() would shear
+    # the line in two and reject a valid document
+    import os
+
+    doc = json.dumps({"doc_id": 1, "text": "a b", "lang": "en", "source": "s"}, ensure_ascii=False)
+    assert _post(server.port, "/v1/documents", doc.encode("utf-8")) == 204
+    docs_dir = os.path.join(str(tmp_path / "landing"), "documents")
+    landed = open(os.path.join(docs_dir, os.listdir(docs_dir)[0])).read()
+    assert json.loads(landed)["text"] == "a b"
+
+
+def test_engine_serve_consumes_post_data_and_webhook(spark, tmp_path):
+    """Every endpoint the receiver 204-acknowledges must have a consumer:
+    serve() runs a second post-format pipeline over the post_data landing,
+    so /v1/data metrics and /v1/webhook events reach the tables too."""
+    from yamon_spark.engine import serve
+
+    receiver, queries, engine = serve(
+        spark,
+        data_dir=str(tmp_path / "store"),
+        landing_dir=str(tmp_path / "landing"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger={"processingTime": "1 second"},
+    )
+    try:
+        push = {
+            "metrics": [
+                {"t": "2024-05-01T10:00:05Z", "m": "gauge", "h": "hp", "n": "disk.free", "v": 3.0}
+            ]
+        }
+        assert _post(receiver.port, "/v1/data", json.dumps(push).encode()) == 204
+        assert (
+            _post(
+                receiver.port,
+                "/v1/webhook",
+                b'{"alert": "disk"}',
+                {"Content-Type": "application/json"},
+            )
+            == 204
+        )
+        for q in queries:
+            q.processAllAvailable()
+        m = engine.table("metrics").where("host = 'hp'").collect()
+        assert len(m) == 1 and m[0].value == 3.0
+        ev = engine.table("events").where("type = 'yamon-agent.webhook'").collect()
+        assert len(ev) == 1 and "disk" in ev[0].data
+    finally:
+        receiver.stop()
+        for q in queries:
+            q.stop()

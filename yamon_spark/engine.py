@@ -141,26 +141,38 @@ class Engine:
     # --- counter analytics --------------------------------------------------
 
     @staticmethod
+    def _series_window():
+        """The ONE series-key window (name, host, canonical tags) ordered
+        by event time — shared by delta() and rate() so the series
+        identity and reset convention can never diverge between them."""
+        return Window.partitionBy(
+            "name", "host", canon_tags(F.col("tags")).alias("tg")
+        ).orderBy("when")
+
+    @staticmethod
+    def _clamped_increase(prev):
+        """Counter increase with the standard reset convention: a value
+        drop clamps to the new value (counter restarted)."""
+        return F.when(F.col("value") >= prev, F.col("value") - prev).otherwise(F.col("value"))
+
+    @staticmethod
     def delta(metrics: DataFrame) -> DataFrame:
         """Per-series counter increase between consecutive samples.
         Monotonic-counter resets (value drops) clamp to the new value,
         the standard counter-rate convention. One shuffle (series key)."""
-        w = Window.partitionBy("name", "host", canon_tags(F.col("tags")).alias("tg")).orderBy("when")
-        prev = F.lag("value").over(w)
-        d = F.when(prev.isNull(), None).when(F.col("value") >= prev, F.col("value") - prev).otherwise(
-            F.col("value")
-        )
+        prev = F.lag("value").over(Engine._series_window())
+        d = F.when(prev.isNull(), None).otherwise(Engine._clamped_increase(prev))
         return metrics.withColumn("delta", d)
 
     @staticmethod
     def rate(metrics: DataFrame) -> DataFrame:
-        """Per-series per-second rate: delta / seconds-elapsed."""
-        key = ["name", "host"]
-        w = Window.partitionBy(*key, canon_tags(F.col("tags")).alias("tg")).orderBy("when")
+        """Per-series per-second rate: delta / seconds-elapsed (same
+        window + reset clamp as delta(), by construction)."""
+        w = Engine._series_window()
         prev_v = F.lag("value").over(w)
         prev_t = F.lag("when").over(w)
         secs = F.unix_timestamp("when") - F.unix_timestamp(prev_t)
-        d = F.when(F.col("value") >= prev_v, F.col("value") - prev_v).otherwise(F.col("value"))
+        d = Engine._clamped_increase(prev_v)
         return metrics.withColumn(
             "rate", F.when(prev_v.isNull() | (secs <= 0), None).otherwise(d / secs)
         )
@@ -172,11 +184,24 @@ class Engine:
         ttl_days: dict[str, int] | None = None,
         target_file_bytes: int = 128 << 20,
         today=None,
+        force: bool = False,
     ) -> dict[str, dict]:
         """One scheduled-maintenance pass over every pipeline table:
         TTL partition drops (MergeTree ttl_only_drop_parts analogue),
         then small-file compaction with each table's sort order restored
-        so min/max pruning and tag blooms stay effective."""
+        so min/max pruning and tag blooms stay effective.
+
+        Refuses to run while this session has ACTIVE streaming queries
+        (pass ``force=True`` to override): compaction's partition
+        dir-swap would delete any micro-batch file a live writer appends
+        between the rewrite's read and the rename — run maintenance in a
+        window, exactly like ClickHouse OPTIMIZE on a paused ingest."""
+        if not force and self.spark.streams.active:
+            raise RuntimeError(
+                "maintain() with active streaming queries would race the "
+                "compaction dir-swap and lose freshly-appended files; stop "
+                "the pipeline first or pass force=True"
+            )
         import os as _os
 
         from yamon_spark.plans.compaction import compact_table
@@ -243,7 +268,10 @@ def serve(
     from yamon_spark.sources.http_server import SUBMIT_BATCH_DIR, IngestHTTPServer
     from yamon_spark.streaming.pipeline import PipelineConfig, start_pipeline, stream_landing
 
+    from yamon_spark.sources.http_server import POST_DATA_DIR
+
     receiver = IngestHTTPServer(landing_dir, keys=keys, host=host, port=port).start()
+    queries: list = []
     try:
         cfg = PipelineConfig(
             landing_dir=os.path.join(landing_dir, SUBMIT_BATCH_DIR),
@@ -252,9 +280,24 @@ def serve(
             trigger=trigger or {"processingTime": "5 seconds"},
             hot_tag_keys=hot_tag_keys,
         )
-        # the file source needs the directory to exist before the stream starts
+        # ONE pipeline per wire format the receiver lands: submit-batch
+        # (forward server) AND long-form pushes (/v1/data + /v1/webhook,
+        # which land as post_data) — every 204-acknowledged body has a
+        # consumer. Separate checkpoint roots; both append to the same
+        # detail/rollup tables (block-mode partials merge at read).
+        post_cfg = PipelineConfig(
+            landing_dir=os.path.join(landing_dir, POST_DATA_DIR),
+            out_dir=data_dir,
+            checkpoint_dir=os.path.join(checkpoint_dir, "post"),
+            fmt="post",
+            trigger=trigger or {"processingTime": "5 seconds"},
+            hot_tag_keys=hot_tag_keys,
+        )
+        # the file source needs the directories to exist before the streams start
         os.makedirs(cfg.landing_dir, exist_ok=True)
+        os.makedirs(post_cfg.landing_dir, exist_ok=True)
         queries = start_pipeline(spark, cfg)
+        queries += start_pipeline(spark, post_cfg)
         if deadman_horizon_s is not None:
             from yamon_spark.streaming.alerts import deadman_alerts
 
@@ -272,7 +315,13 @@ def serve(
             ]
         engine = Engine(spark, data_dir)
     except BaseException:
-        # never leave the receiver accepting data with no consumer behind it
+        # never leave the receiver accepting data with no consumer behind
+        # it — and never leak queries already started before the failure
+        for q in queries:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001 - best-effort teardown
+                pass
         receiver.stop()
         raise
     return receiver, queries, engine

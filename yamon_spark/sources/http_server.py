@@ -71,14 +71,23 @@ class IngestHTTPServer:
         self.landing_root = landing_root
         self.keys = keys or None
         self.stats: Counter[tuple[str, int]] = Counter()
+        # handler threads mutate stats concurrently (Counter += is a
+        # read-modify-write) and /metrics iterates it; one lock covers both
+        self._stats_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # socket timeout: a client that stalls mid-body (slowloris)
+            # gets its connection dropped instead of pinning a handler
+            # thread forever (ThreadingHTTPServer spawns per-connection)
+            timeout = 30
+
             def log_message(self, *a):  # quiet; stats replace the chi logger middleware
                 pass
 
             def _respond(self, endpoint: str, status: int, body: bytes = b"") -> None:
-                outer.stats[(endpoint, status)] += 1
+                with outer._stats_lock:
+                    outer.stats[(endpoint, status)] += 1
                 self.send_response(status)
                 self.send_header("Content-Length", str(len(body)))
                 if body:
@@ -101,16 +110,20 @@ class IngestHTTPServer:
                 return self.rfile.read(max(length, 0))
 
             def do_GET(self):  # noqa: N802 - http.server API
-                if self.path != "/metrics":
+                # route on the path only (reference's chi router ignores
+                # the query string); also applies to do_POST below
+                if self.path.split("?", 1)[0] != "/metrics":
                     # unknown paths share one stats label: arbitrary client
                     # paths must not grow the Counter (or /metrics) unboundedly
                     self._respond("other", 404)
                     return
+                with outer._stats_lock:
+                    snapshot = sorted(outer.stats.items())
                 lines = [
                     "# TYPE yamon_http_requests_total counter",
                     *(
                         f'yamon_http_requests_total{{endpoint="{ep}",status="{st}"}} {n}'
-                        for (ep, st), n in sorted(outer.stats.items())
+                        for (ep, st), n in snapshot
                     ),
                 ]
                 self._respond("/metrics", 200, ("\n".join(lines) + "\n").encode())
@@ -119,20 +132,25 @@ class IngestHTTPServer:
                 body = self._read_body()
                 if body is None:  # oversized: 413 already sent
                     return
-                if self.path == "/v1/submit-batch":
+                path = self.path.split("?", 1)[0]
+                if path == "/v1/submit-batch":
                     if not outer._authorized(self.headers.get("Authorization", "")):
                         self._respond(self.path, 401)
                         return
                     self._land_json(body, SUBMIT_BATCH_DIR, "batch")
-                elif self.path == "/v1/data":
+                elif path == "/v1/data":
                     self._land_json(body, POST_DATA_DIR, "data")
-                elif self.path == "/v1/documents":
+                elif path == "/v1/documents":
                     # corpus intake: one JSON document per line (the
                     # streaming corpus pipeline's wire format). Each line
                     # validates independently; bad lines dead-letter
                     # without rejecting the rest of the batch.
                     good, bad = [], []
-                    for line in body.decode("utf-8", errors="replace").splitlines():
+                    # split on newline only: str.splitlines() also breaks
+                    # on U+2028/U+2029, which are legal raw inside JSON
+                    # strings and would shear a valid document in two
+                    for line in body.decode("utf-8", errors="replace").split("\n"):
+                        line = line.rstrip("\r")
                         if not line.strip():
                             continue
                         try:
@@ -149,7 +167,7 @@ class IngestHTTPServer:
                             os.path.join(outer.landing_root, DOCUMENTS_DIR), "\n".join(good), "docs"
                         )
                     self._respond(self.path, 204 if good else 400)
-                elif self.path == "/v1/webhook":
+                elif path == "/v1/webhook":
                     line = outer._webhook_line(
                         body,
                         self.headers.get("Content-Type", ""),
@@ -163,7 +181,12 @@ class IngestHTTPServer:
             def _land_json(self, body: bytes, subdir: str, prefix: str) -> None:
                 text = body.decode("utf-8", errors="replace")
                 try:
-                    json.loads(text)
+                    # a scalar/array parses but can never produce rows in
+                    # the struct-typed wire parsers — reject like the
+                    # reference (whose json.Unmarshal into the Batch
+                    # struct fails) instead of 204-ing into a void
+                    if not isinstance(json.loads(text), dict):
+                        raise ValueError("top-level JSON object required")
                 except ValueError:
                     _publish_line(os.path.join(outer.landing_root, REJECTS_DIR), text, "reject")
                     self._respond(self.path, 400)
@@ -191,7 +214,11 @@ class IngestHTTPServer:
             return False
         name, key = parts
         expected = self.keys.get(name)
-        return expected is not None and hmac.compare_digest(expected, key)
+        # compare as bytes: compare_digest raises TypeError on non-ASCII
+        # str inputs, which would turn a malformed header into a 500
+        return expected is not None and hmac.compare_digest(
+            expected.encode("utf-8", "replace"), key.encode("utf-8", "replace")
+        )
 
     def _webhook_line(self, body: bytes, content_type: str, remote_addr: str) -> str:
         """Wrap a webhook request as one long-form event push line

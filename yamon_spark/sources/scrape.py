@@ -33,7 +33,9 @@ def scrape_once(url: str, landing_dir: str, timeout_s: float = 5.0) -> str | Non
             body = resp.read().decode("utf-8", errors="replace")
     except (urllib.error.URLError, OSError, ValueError):
         return None
-    return _publish(landing_dir, body.splitlines())
+    # split on newline only: splitlines() also breaks on U+2028/U+2029,
+    # which may appear raw inside expfmt label values
+    return _publish(landing_dir, [ln.rstrip("\r") for ln in body.split("\n")])
 
 
 def scrape_interval(
