@@ -443,3 +443,33 @@ def test_curation_suite_stress_20k_docs(spark):
     # generous bound: these are scan-shaped jobs; quadratic regressions
     # blow far past this even on a contended box
     assert wall < 120, f"curation stress took {wall:.0f}s"
+
+
+def test_compaction_leftovers_invisible_and_recoverable(spark, tmp_path):
+    """Crash-safety of the compaction dir-swap: tmp/old siblings are
+    dot-prefixed, so (a) Spark's reader never discovers them as
+    partitions (a 'date=X.compact-tmp' name WOULD be — double-counting
+    every row), and (b) a crash between the two renames is recovered by
+    restoring the live dir from '.date=X.compact-old' on the next pass."""
+    table_dir = tmp_path / "metrics"
+    df = spark.range(100).select(
+        F.lit("2024-05-01").alias("date"),
+        F.concat(F.lit("m."), (F.col("id") % 5).cast("string")).alias("name"),
+        F.col("id").cast("double").alias("value"),
+    )
+    df.repartition(4).write.partitionBy("date").mode("overwrite").parquet(str(table_dir))
+
+    # a stale tmp dir from a crashed rewrite: full duplicate of the data
+    part = table_dir / "date=2024-05-01"
+    import shutil as sh
+
+    sh.copytree(part, table_dir / ".date=2024-05-01.compact-tmp")
+    assert spark.read.parquet(str(table_dir)).count() == 100  # invisible to readers
+    partition_stats(str(table_dir))  # recovery pass drops the stale tmp
+    assert not (table_dir / ".date=2024-05-01.compact-tmp").exists()
+
+    # crash between renames: live dir gone, only the old copy remains
+    part.rename(table_dir / ".date=2024-05-01.compact-old")
+    partition_stats(str(table_dir))
+    assert part.is_dir()
+    assert spark.read.parquet(str(table_dir)).count() == 100

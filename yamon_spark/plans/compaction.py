@@ -10,10 +10,16 @@ listing at 100 TB. Compaction rewrites each date partition to
 order (ORDER BY keys) inside each file so min/max pruning and tag bloom
 filters stay effective.
 
-The rewrite is atomic per partition: write to a sibling tmp dir, then
-directory-swap. Readers see either the old or the new file set, never a
-mix; a crash leaves the original intact (tmp dirs are ignored by the
-``date=`` glob and cleaned on the next run).
+The rewrite is atomic per partition: write to a DOT-PREFIXED sibling
+tmp dir, then directory-swap. The dot prefix matters twice over —
+Spark's file listing ignores paths whose name starts with ``.`` or
+``_``, so in-flight/crashed tmp and old dirs are invisible to readers
+AND distinguishable from live ``date=`` partitions (a plain
+``date=X.compact-tmp`` sibling would be DISCOVERED as a partition,
+double-counting every row and breaking date-type inference). A crash
+leaves either the original intact or a recoverable ``.compact-old``;
+``_recover`` (run at the start of every stats/compact pass) restores a
+missing live dir from its old copy and clears the rest.
 """
 
 from __future__ import annotations
@@ -24,7 +30,29 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+# hidden sibling names: "." + <partition> + suffix (never "date=..."-shaped)
 _TMP_SUFFIX = ".compact-tmp"
+_OLD_SUFFIX = ".compact-old"
+
+
+def _hidden(table_path: str, part_name: str, suffix: str) -> Path:
+    return Path(table_path) / f".{part_name}{suffix}"
+
+
+def _recover(root: Path) -> None:
+    """Crash recovery: a leftover ``.date=X.compact-old`` whose live dir
+    is missing means we died between the two renames — restore it; any
+    other leftover tmp/old dir is stale and dropped."""
+    for part in list(root.iterdir()):
+        if not part.is_dir() or not part.name.startswith("."):
+            continue
+        if part.name.endswith(_OLD_SUFFIX):
+            live = root / part.name[1 : -len(_OLD_SUFFIX)]
+            if not live.exists():
+                part.rename(live)
+                continue
+        if part.name.endswith(_OLD_SUFFIX) or part.name.endswith(_TMP_SUFFIX):
+            shutil.rmtree(part, ignore_errors=True)
 
 
 def partition_stats(table_path: str) -> dict[str, tuple[int, int]]:
@@ -33,11 +61,9 @@ def partition_stats(table_path: str) -> dict[str, tuple[int, int]]:
     root = Path(table_path)
     if not root.is_dir():
         return out
+    _recover(root)
     for part in sorted(root.iterdir()):
         if not part.is_dir() or not part.name.startswith("date="):
-            # stray tmp dir from a crashed run: remove
-            if part.is_dir() and part.name.endswith(_TMP_SUFFIX):
-                shutil.rmtree(part, ignore_errors=True)
             continue
         files = [f for f in part.rglob("*.parquet") if f.is_file()]
         out[part.name] = (len(files), sum(f.stat().st_size for f in files))
@@ -60,7 +86,7 @@ def compact_table(
         if n_files <= max(min_files, n_target):
             continue
         part_dir = Path(table_path) / part_name
-        tmp_dir = Path(table_path) / (part_name + _TMP_SUFFIX)
+        tmp_dir = _hidden(table_path, part_name, _TMP_SUFFIX)
         df = spark.read.parquet(str(part_dir)).repartition(n_target)
         # tables differ in dimension columns (e.g. the uniq MV has no
         # host); sort by whichever of the requested keys exist
@@ -82,8 +108,9 @@ def compact_table(
             )
             writer = with_tag_blooms(writer, hot_keys=hot)
         writer.parquet(str(tmp_dir))
-        # atomic-ish swap: old dir out of the way, tmp in, old dropped
-        old_dir = Path(table_path) / (part_name + ".compact-old")
+        # atomic-ish swap: old dir out of the way (hidden), tmp in, old
+        # dropped; _recover handles a crash at any point in between
+        old_dir = _hidden(table_path, part_name, _OLD_SUFFIX)
         part_dir.rename(old_dir)
         tmp_dir.rename(part_dir)
         shutil.rmtree(old_dir, ignore_errors=True)

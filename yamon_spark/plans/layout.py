@@ -85,7 +85,13 @@ def tag_predicate(key: str, value: str | None = None, df: DataFrame | None = Non
     layout: a materialized hot-key scalar column when the frame carries
     one (fully-pushed equality — IO skip), else the flattened array
     membership lead-in before the exact map probe (row-level
-    short-circuit)."""
+    short-circuit).
+
+    Semantics are identical across layouts by definition: "has tag"
+    means the key maps to a NON-NULL value (a hot scalar column cannot
+    distinguish a null-valued entry from an absent key, so the array
+    layout applies the same rule — one logical query, one row set,
+    whichever table it runs against)."""
     hot = hot_tag_col(key)
     if df is not None and hot in df.columns:
         if value is None:
@@ -93,5 +99,5 @@ def tag_predicate(key: str, value: str | None = None, df: DataFrame | None = Non
         return F.col(hot) == value
     has_key = F.array_contains("tag_keys", key)
     if value is None:
-        return has_key
+        return has_key & F.element_at("tags", key).isNotNull()
     return has_key & F.array_contains("tag_values", value) & (F.element_at("tags", key) == value)

@@ -54,12 +54,23 @@ def apply_retention(
     Delta ``delete + vacuum``); the directory semantics are identical.
     """
     ttl_days = {**DEFAULT_TTLS, **(ttl_days or {})}
-    today = today or dt.date.today()
+    # partitions are stamped from EVENT time under a UTC session, so the
+    # cutoff must be today-in-UTC — the machine-local date on a UTC+13
+    # host would expire a partition a full day early (ClickHouse's TTL
+    # compares against UTC now() the same way)
+    today = today or dt.datetime.now(dt.timezone.utc).date()
     dropped: dict[str, list[str]] = {}
     for table, ttl in ttl_days.items():
         parts = expired_partitions(str(Path(out_dir) / table), ttl, today)
-        dropped[table] = [p.name for p in parts]
-        if not dry_run:
-            for p in parts:
-                shutil.rmtree(p)
+        dropped[table] = []
+        for p in parts:
+            if not dry_run:
+                # tolerate a partition vanishing mid-sweep (concurrent
+                # maintenance): one lost dir must not abort retention
+                # for every remaining partition and table
+                try:
+                    shutil.rmtree(p)
+                except FileNotFoundError:
+                    continue
+            dropped[table].append(p.name)
     return dropped

@@ -199,7 +199,12 @@ def _write_detail_batch(batch: DataFrame, table: str, cfg: PipelineConfig) -> No
     date (D5 -> partition pruning; D4 retention drops whole dirs)."""
     from yamon_spark.plans.layout import with_hot_tag_cols, with_tag_blooms, with_tag_index_cols
 
-    sort_cols = [*SORT_KEYS[table], "when"]
+    # date LEADS the sort: the partitioned write requires ordering by the
+    # partition column and would otherwise insert its OWN sort on date
+    # over the just-sorted data (a wasted sort per micro-batch whose
+    # spill-merge can interleave equal-date rows and destroy the
+    # secondary (name, host, when) order that D6 min/max skipping needs)
+    sort_cols = ["date", *SORT_KEYS[table], "when"]
     writer = (
         with_hot_tag_cols(with_tag_index_cols(batch), cfg.hot_tag_keys)
         .withColumn("date", F.to_date("when"))
@@ -312,14 +317,8 @@ def start_pipeline(spark: SparkSession, cfg: PipelineConfig) -> list[StreamingQu
                 if cfg.uniq_mv:
                     queries.append(_uniq_writer_block(df, "metrics_uniq_lts", cfg))
                 queries.append(_detail_writer(df, table, cfg))
-            if cfg.clickhouse is not None:
-                from yamon_spark.streaming.clickhouse import clickhouse_sink
-
-                queries.append(
-                    clickhouse_sink(df, table, cfg.clickhouse, cfg.checkpoint_dir, cfg.trigger)
-                )
-            continue
-        queries.append(_detail_writer(df, table, cfg))
+        else:
+            queries.append(_detail_writer(df, table, cfg))
         if cfg.clickhouse is not None:
             from yamon_spark.streaming.clickhouse import clickhouse_sink
 
