@@ -50,7 +50,11 @@ def test_corpus_pipeline_gates_dedups_scrubs(spark, tmp_path):
     assert rows[4]["n_email"] == 1 and "<EMAIL>" in rows[4]["text"]
     assert rows[1]["text"] == GOOD
     # partition layout: lang + date directories exist
-    assert (tmp_path / "out" / "corpus" / "lang=en" / "date=2024-05-01").is_dir()
+    # idempotent-replay layout: each micro-batch owns its ingest_epoch
+    # partition, with (lang, date) nested under it
+    assert (
+        tmp_path / "out" / "corpus" / "ingest_epoch=0" / "lang=en" / "date=2024-05-01"
+    ).is_dir()
 
     rejects = spark.read.parquet(str(tmp_path / "out" / "rejects")).collect()
     assert len(rejects) == 1 and rejects[0]["doc_id"] == 3 and rejects[0]["reason"] == "too_short"

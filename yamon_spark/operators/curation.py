@@ -57,6 +57,7 @@ def quality_filter(
     min_awl: float = 2.0,
     max_awl: float = 12.0,
     min_stop: float = 0.01,
+    ordered: bool = True,
 ) -> DataFrame:
     """Gopher/C4-style quality gate: word-count bounds, mean-word-length
     band, minimum stopword ratio. Emits the features plus keep flag and
@@ -74,7 +75,7 @@ def quality_filter(
         .when(stop_ratio < min_stop, "no_stopwords")
         .otherwise("ok")
     )
-    return (
+    out = (
         base.select(
             "doc_id",
             n_words.alias("n_words"),
@@ -83,8 +84,11 @@ def quality_filter(
             reason.alias("reason"),
         )
         .withColumn("keep", (F.col("reason") == "ok").cast("int"))
-        .orderBy("doc_id")
     )
+    # the ORDER BY exists for batch-oracle determinism only; streaming
+    # micro-batches join the result immediately (order destroyed), so the
+    # range-partition sort would be a pure per-batch waste
+    return out.orderBy("doc_id") if ordered else out
 
 
 def repetition_stats(docs: DataFrame, ngram: int = 3, max_rep: float = 0.1) -> DataFrame:
@@ -325,7 +329,7 @@ PII_PATTERNS = (
 )
 
 
-def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_scrub(docs: DataFrame, text_col: str = "text", ordered: bool = True) -> DataFrame:
     """PII redaction: replace emails, IPs, phone-ish numbers, and long
     digit runs with typed placeholder tokens, and count replacements per
     category. Chained JVM regexp_replace — shuffle-free, codegen'd, and
@@ -340,9 +344,9 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
             (F.size(F.split(scrubbed, pat, -1)) - 1).cast("bigint").alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return docs.select(
-        "doc_id", scrubbed.alias("text_scrubbed"), *counts
-    ).orderBy("doc_id")
+    out = docs.select("doc_id", scrubbed.alias("text_scrubbed"), *counts)
+    # same contract as quality_filter: ordering is for the batch oracle
+    return out.orderBy("doc_id") if ordered else out
 
 
 def curate_corpus(

@@ -120,23 +120,35 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         import io
 
         for pdf in batches:
-            payloads = pdf["payload"]
+            # one bytes() materialization per payload: each call copies the
+            # whole blob, and this is the hot Arrow path for large media
+            bs = [bytes(p) for p in pdf["payload"]]
             if decode_stub:
-                dims = [_fake_decode(bytes(p)) for p in payloads]
+                dims = [_fake_decode(b) for b in bs]
             else:
+                def pil_dims(b: bytes):
+                    with _pil_image().open(io.BytesIO(b)) as img:
+                        return (img.width, img.height, getattr(img, "n_frames", 1))
+
                 dims = []
-                for p in payloads:
-                    b = bytes(p)
-                    if b[:2] == b"BM":  # vendored real codec: no Pillow needed
-                        dims.append(decode_bmp(b))
-                    else:
-                        with _pil_image().open(io.BytesIO(b)) as img:
-                            dims.append((img.width, img.height, getattr(img, "n_frames", 1)))
+                for b in bs:
+                    if b[:2] == b"BM":
+                        # vendored real codec first (no Pillow needed), but
+                        # it covers uncompressed BMP only — fall back to
+                        # Pillow for variants it rejects (BI_BITFIELDS,
+                        # wrong bfSize, ...) rather than aborting the whole
+                        # job on one unusual-but-valid payload
+                        try:
+                            dims.append(decode_bmp(b))
+                            continue
+                        except ValueError:
+                            pass
+                    dims.append(pil_dims(b))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
-                    "sha": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "n_bytes": [len(b) for b in bs],
+                    "sha": [hashlib.sha256(b).hexdigest() for b in bs],
                     "width": [d[0] for d in dims],
                     "height": [d[1] for d in dims],
                     "n_frames": [d[2] for d in dims],
@@ -372,6 +384,16 @@ def sample_frames(media: DataFrame, every_n: int = 10, decode_stub: bool = True)
     return media.mapInPandas(frame_batches, FRAMES_SCHEMA)
 
 
+def _try_demux_avi(b: bytes):
+    """demux_avi, or None when the container is outside the vendored
+    demuxer's coverage (compressed streams etc.) — the caller then falls
+    through to pyav instead of aborting the job on one real-world AVI."""
+    try:
+        return demux_avi(b)
+    except ValueError:
+        return None
+
+
 def demux_avi(b: bytes) -> tuple[int, int, list[bytes]]:
     """Vendored minimal AVI demuxer (pure stdlib): frame dims + raw
     uncompressed frame chunks from the public RIFF/AVI layout ('RIFF'
@@ -450,9 +472,10 @@ def sample_video_frames(media: DataFrame, every_n: int = 10, decode_stub: bool =
                         ws.append(16 + (sum(blk[:4]) % 64) if blk else 16)
                         hs.append(16 + (sum(blk[4:8]) % 64) if len(blk) > 4 else 16)
                         frames.append(blk)
-                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-                    # vendored real demuxer: no pyav/Pillow needed
-                    w, h, raw = demux_avi(b)
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI " and (raw_avi := _try_demux_avi(b)):
+                    # vendored real demuxer (uncompressed AVI, no pyav
+                    # needed); a compressed AVI falls through to pyav below
+                    w, h, raw = raw_avi
                     for i in range(0, len(raw), every_n):
                         ids.append(doc_id)
                         idxs.append(i)

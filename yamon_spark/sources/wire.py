@@ -82,7 +82,6 @@ WIRE_BATCH = StructType(
 )
 
 # long-form structs (agent HTTP push API)
-HTTP_METRIC = WIRE_METRIC  # PostDataRequest embeds common.Metric: same tags
 HTTP_BATCH = StructType(
     [
         StructField("metrics", ArrayType(WIRE_METRIC)),
@@ -318,7 +317,14 @@ def parse_rejects(lines: DataFrame, col: str = "value") -> DataFrame:
     surviving rows are the dead-letter set, and their ``count()`` feeds
     the self-metrics listener. Valid-but-empty JSON (``{}``) is NOT a
     reject — Go's json.Unmarshal accepts it as an empty batch, and so do
-    the parsers here (explode of a null array emits nothing).
+    the parsers here (explode of a null array emits nothing). A
+    VALID-JSON scalar or array (``42``, ``[1,2]``) IS a reject: the Go
+    reference's unmarshal-into-struct errors on it, while from_json
+    would quietly emit zero rows — without this gate such lines would
+    vanish from both the data and the drop counters.
     """
     c = F.col(col)
-    return lines.where(c.isNotNull() & F.try_parse_json(c).isNull())
+    # JSON whitespace is [ \t\n\r]; ltrim only strips spaces, so use a
+    # regex for the leading-object check
+    is_object = c.rlike(r"^[ \t\r\n]*\{")
+    return lines.where(c.isNotNull() & (F.try_parse_json(c).isNull() | ~is_object))

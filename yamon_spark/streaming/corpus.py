@@ -19,6 +19,19 @@ its state is bounded by the watermark horizon, and the downstream batch
 dedup_canonical/dedup_clusters passes own full-corpus dedup — streaming
 dedup here is the cheap first line that stops intra-day duplicate
 floods at the door.
+
+Two delivery-semantics decisions, both learned the hard way:
+- the dedup watermark keys on ARRIVAL time (current_timestamp at
+  parse), not the document's own `ts`: dropDuplicatesWithinWatermark
+  DROPS later-than-watermark rows outright, so keying on document
+  metadata time would silently discard an entire backfill of unique
+  but old-timestamped documents. Arrival time is never late, so the
+  operator only ever dedups — the doc's event time rides along as data.
+- foreachBatch is at-least-once; the appends are made idempotent by
+  partitioning on the epoch id with dynamic partition overwrite — a
+  replayed batch OVERWRITES its own ingest_epoch=N partitions instead
+  of appending duplicates (same replay-dedup idea as the ClickHouse
+  sink's epoch stamp).
 """
 
 from __future__ import annotations
@@ -48,6 +61,9 @@ def parse_doc_lines(lines: DataFrame, col: str = "value") -> DataFrame:
     return (
         parsed.where(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .withColumn("when", F.coalesce(F.to_timestamp("ts"), F.current_timestamp()))
+        # arrival time drives the DEDUP watermark (see module docstring);
+        # `when` (the document's own event time) stays a data column
+        .withColumn("arrival", F.current_timestamp())
         .drop("ts")
         .withColumn("n_chars", F.length("text").cast("bigint"))
     )
@@ -71,35 +87,47 @@ def start_corpus_pipeline(
     from yamon_spark.operators.curation import pii_scrub, quality_filter
 
     docs = stream_documents(spark, landing_dir)
-    # cross-batch digest dedup: bounded state inside the watermark
+    # cross-batch digest dedup: bounded state inside the ARRIVAL-time
+    # watermark (a backfill of old-timestamped docs is never "late")
     docs = docs.withColumn("digest", F.sha2("text", 256))
-    deduped = docs.withWatermark("when", watermark).dropDuplicatesWithinWatermark(["digest"])
+    deduped = docs.withWatermark("arrival", watermark).dropDuplicatesWithinWatermark(["digest"])
 
     corpus_path = os.path.join(out_dir, "corpus")
     rejects_path = os.path.join(out_dir, "rejects")
 
-    def write_epoch(batch: DataFrame, _epoch: int) -> None:
-        batch.persist()
+    def write_epoch(batch: DataFrame, epoch: int) -> None:
+        # doc_id must be join-unique within the batch: a repeated id with
+        # different text would fan out the quality/scrub joins into
+        # cross-matched rows (dedup upstream is on the text digest only)
+        batch = batch.dropDuplicates(["doc_id"]).persist()
         try:
-            quality = quality_filter(batch).select("doc_id", "reason", "keep")
+            quality = quality_filter(batch, ordered=False).select("doc_id", "reason", "keep")
             scored = batch.join(quality, "doc_id")
             kept = scored.where(F.col("keep") == 1).drop("keep", "reason")
-            scrubbed = pii_scrub(kept).select("doc_id", "text_scrubbed", "n_email", "n_ip", "n_id", "n_phone")
+            scrubbed = pii_scrub(kept, ordered=False).select(
+                "doc_id", "text_scrubbed", "n_email", "n_ip", "n_id", "n_phone"
+            )
             (
                 kept.join(scrubbed, "doc_id")
                 .withColumn("date", F.to_date("when"))
-                .drop("text")  # scrubbed text IS the corpus text
+                .drop("text", "n_chars", "arrival")  # scrubbed text IS the corpus text
                 .withColumnRenamed("text_scrubbed", "text")
-                .write.mode("append")
-                .partitionBy("lang", "date")
+                # n_chars describes the text the corpus actually carries
+                .withColumn("n_chars", F.length("text").cast("bigint"))
+                .withColumn("ingest_epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_epoch", "lang", "date")
                 .parquet(corpus_path)
             )
             (
                 scored.where(F.col("keep") == 0)
                 .select("doc_id", "lang", "source", "reason", "when")
                 .withColumn("date", F.to_date("when"))
-                .write.mode("append")
-                .partitionBy("date")
+                .withColumn("ingest_epoch", F.lit(epoch))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_epoch", "date")
                 .parquet(rejects_path)
             )
         finally:
