@@ -235,9 +235,11 @@ def test_curate_corpus_end_to_end(spark):
     assert rep["input"] == 6
     assert rep["quality_gate"] == 5  # doc 3 out
     assert rep["exact_dedup"] == 4  # doc 2 out (doc 1 survives: min id)
-    assert rep["decontaminate"] == 3  # doc 51 out (full 5-gram overlap)
+    # doc 51 out (full 5-gram overlap) AND doc 50 out (the benchmark
+    # member itself — eval data must never reach the training corpus)
+    assert rep["decontaminate"] == 2
     out = {r["doc_id"]: r for r in curated.collect()}
-    assert 2 not in out and 3 not in out and 51 not in out
+    assert 2 not in out and 3 not in out and 50 not in out and 51 not in out
     assert 1 in out and out[1]["n_tokens"] == len(good) // 4 + 1
     assert out[1]["text_scrubbed"] == good  # clean text passes through
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from yamon_spark.operators.text import STOPWORDS, words_col
+from yamon_spark.operators.text import STOPWORDS, shingles_col, words_col
 
 # deterministic multiplicative hash for sampling decisions — shared as
 # literals with the SQL oracle (pure int64 arithmetic, no engine RNG)
@@ -42,12 +42,18 @@ HASH_MOD = 1000
 SAMPLE_RATES = {"en": 800, "es": 500, "de": 250, "fr": 125}
 SAMPLE_RATE_DEFAULT = 100
 
+# the ~4-chars-per-token estimate used by every token-budget computation
+# (pack_sequences bins, domain_mix shares, curate_corpus output,
+# docs_to_shards manifests) — ONE definition so the budget rule cannot
+# drift between the packer and the shard manifests; the SQL oracles embed
+# the same "n_chars // 4 + 1" literal
+def est_tokens() -> Column:
+    return F.expr("n_chars DIV 4 + 1")
 
-def _shingles(w: Column, ngram: int) -> Column:
-    """Word n-gram shingles with the shared tail contract: indices run
-    1..max(len-n+1, 1), so docs shorter than n yield one short shingle."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
+
+# canonical shingle expression: operators.text.shingles_col (shared with
+# dedup's inverted index so the tail contract can't drift)
+_shingles = shingles_col
 
 
 def quality_filter(
@@ -153,8 +159,15 @@ def contamination_check(
     )
 
 
+# doc_id folds into [0, 2^31) BEFORE the multiply: a raw doc_id past
+# ~3.47e9 would overflow int64 in the product (ANSI abort, or a negative
+# hash that defeats the permille gate under non-ANSI). The fold keeps the
+# product < 2^31 * HASH_MULT ~ 5.7e18, inside int64, at any id scale.
+HASH_FOLD = 2147483647
+
+
 def sample_hash(doc_id: Column) -> Column:
-    return (doc_id * HASH_MULT + HASH_ADD) % HASH_MOD
+    return ((doc_id % HASH_FOLD) * HASH_MULT + HASH_ADD) % HASH_MOD
 
 
 def stratified_sample(docs: DataFrame) -> DataFrame:
@@ -180,7 +193,7 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048) -> DataFrame:
     the bin where it starts. Tokens are estimated chars/4+1 (the standard
     BPE rule of thumb) so packing needs no tokenizer pass. One shuffle
     (window on the stratum key), then a partial-agg groupBy."""
-    tokens = F.expr("n_chars DIV 4 + 1")
+    tokens = est_tokens()
     w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum("tokens").over(w), F.lit(0))
     binned = (
@@ -205,7 +218,7 @@ def domain_mix(docs: DataFrame) -> DataFrame:
     mix to target (min(1, target/natural)). Aggregates to |sources| rows
     FIRST; the share window then runs over dozens of rows, not the
     corpus."""
-    tokens = F.expr("n_chars DIV 4 + 1")
+    tokens = est_tokens()
     per_src = docs.select("source", tokens.alias("tokens")).groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"), F.sum("tokens").cast("bigint").alias("tokens")
     )
@@ -392,13 +405,19 @@ def curate_corpus(
             d3, ngram=contam_ngram, bench_mod=contam_bench_mod, threshold=contam_threshold
         ).where(F.col("contaminated") == 1)
     )
-    d4 = d3.join(contaminated, "doc_id", "anti")
+    # decontamination removes BOTH the near-verbatim copies AND the
+    # benchmark documents themselves — contamination_check scores only
+    # non-bench docs, so without the explicit id filter the eval set
+    # itself would flow straight into the curated training corpus
+    d4 = d3.join(contaminated, "doc_id", "anti").where(
+        F.col("doc_id") % contam_bench_mod != 0
+    )
 
     d5 = d4.join(ids(rebalanced_sample(d4)), "doc_id", "semi")
 
     scrubbed = pii_scrub(d5)
     curated = (
-        d5.select("doc_id", "lang", "source", F.expr("n_chars DIV 4 + 1").alias("n_tokens"))
+        d5.select("doc_id", "lang", "source", est_tokens().alias("n_tokens"))
         .join(scrubbed.select("doc_id", "text_scrubbed"), "doc_id")
         .orderBy("doc_id")
     )
@@ -435,7 +454,7 @@ def docs_to_shards(
     partitioned write whose directory layout IS the shard index —
     readers pull shard N of stratum S as a directory-pruned scan, the
     same pruning the date layout gives the metrics tables."""
-    tokens = F.expr("n_chars DIV 4 + 1")
+    tokens = est_tokens()
     w = Window.partitionBy(stratum).orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
     start = F.coalesce(F.sum("tokens").over(w), F.lit(0))
     binned = (

@@ -83,10 +83,11 @@ def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
       projection) made Catalyst evaluate the interpreted
       array_distinct∘transform twice per row — measured 4.5x slower.
     """
+    from yamon_spark.operators.text import shingles_col
+
     base = _spread(docs.select("doc_id", "text"), "doc_id")
     words = base.select("doc_id", words_col(F.col("text")).alias("w"))
-    idx = F.sequence(F.lit(1), F.greatest(F.size("w") - (ngram - 1), F.lit(1)))
-    arr = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, ngram))))
+    arr = F.array_distinct(shingles_col(F.col("w"), ngram))
     sh = words.select("doc_id", F.explode(arr).alias("shingle"))
     from pyspark.sql import Window
 

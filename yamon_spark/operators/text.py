@@ -31,6 +31,16 @@ def words_col(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def shingles_col(w: Column, ngram: int) -> Column:
+    """Word n-gram shingles with the shared tail contract (FIXTURES.md):
+    indices run 1..max(len-n+1, 1), so docs shorter than n yield ONE
+    short shingle. The single source of truth — curation and dedup both
+    import this so the contract cannot desynchronize between the
+    exact-Jaccard index and the contamination shingles."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(w) - (ngram - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, ngram)))
+
+
 def text_stats(docs: DataFrame) -> DataFrame:
     """Quality-scoring features: char/word counts, avg word length,
     punctuation ratio, stopword ratio, and a composite quality score."""

@@ -341,7 +341,7 @@ def corpus_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, round(least(CAST(1.0 AS DOUBLE), target_share / natural_share), 4) AS sample_prob
       FROM sh
     ),
-    r AS (SELECT doc_id, lang, source, (doc_id * 2654435761 + 104729) % 1000 AS h FROM documents)
+    r AS (SELECT doc_id, lang, source, ((doc_id % 2147483647) * 2654435761 + 104729) % 1000 AS h FROM documents)
     SELECT doc_id, lang, source FROM r JOIN p USING (source)
     WHERE h < sample_prob * 1000 ORDER BY doc_id
     """,

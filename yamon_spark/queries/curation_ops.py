@@ -110,7 +110,7 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH r AS (
       SELECT doc_id, lang, source,
-        (doc_id * 2654435761 + 104729) % 1000 AS h,
+        ((doc_id % 2147483647) * 2654435761 + 104729) % 1000 AS h,
         CASE WHEN lang = 'en' THEN 800 WHEN lang = 'es' THEN 500
              WHEN lang = 'de' THEN 250 WHEN lang = 'fr' THEN 125
              ELSE 100 END AS rate_permille

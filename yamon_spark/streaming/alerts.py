@@ -35,7 +35,17 @@ def deadman_alerts(
     has produced no rows for ``horizon_s`` of EVENT time (q82_deadman's
     staleness predicate, self-firing). Input: the typed metrics stream
     (``when``/``host``/``name``/...). Output: alert rows carrying the
-    last-seen timestamp and lifetime row count at silence."""
+    last-seen timestamp and lifetime row count at silence.
+
+    Timezone contract: setTimeoutTimestamp compares against the
+    watermark, which is TRUE UTC epoch — but pandas receives ``when``
+    rendered naive in the SESSION timezone. The session tz is captured
+    here (driver side) and every naive<->epoch conversion goes through
+    it, so the horizon is correct under any session tz (under a non-UTC
+    session the naive int64 view would shift the deadline by the tz
+    offset — hours-late alerts, or a rejected before-watermark
+    timeout)."""
+    tz = metrics.sparkSession.conf.get("spark.sql.session.timeZone", "UTC")
 
     def track(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -43,11 +53,15 @@ def deadman_alerts(
         if state.hasTimedOut:
             last_us, n = state.get
             state.remove()
+            # symmetric conversion: epoch-µs -> session-naive timestamp
+            last_naive = (
+                pd.Timestamp(last_us, unit="us", tz="UTC").tz_convert(tz).tz_localize(None)
+            )
             yield pd.DataFrame(
                 {
                     "host": [key[0]],
                     "name": [key[1]],
-                    "last_when": [pd.Timestamp(last_us, unit="us")],
+                    "last_when": [last_naive],
                     "n_events": [n],
                 }
             )
@@ -55,8 +69,13 @@ def deadman_alerts(
         last_us, n = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             if len(pdf):
-                # pandas timestamps are ns-backed; integer DIV to µs
-                last_us = max(last_us, int(pdf["when"].astype("int64").max()) // 1000)
+                # session-naive -> TRUE epoch-µs via the captured tz
+                # (pandas timestamps are ns-backed; integer DIV to µs)
+                epoch_ns = (
+                    pdf["when"].dt.tz_localize(tz, ambiguous=True, nonexistent="shift_forward")
+                    .astype("int64")
+                )
+                last_us = max(last_us, int(epoch_ns.max()) // 1000)
                 n += len(pdf)
         state.update((last_us, n))
         # event-time timeout: fires when the WATERMARK passes the

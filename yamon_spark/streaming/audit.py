@@ -71,7 +71,10 @@ def parse_audit_lines(lines: DataFrame, col: str = "value") -> DataFrame:
             .otherwise(F.lit(1))
             .alias("seq"),
         )
-        .where((F.col("audit_id") != "") & (F.col("rec_type") != ""))
+        # guard on the EXTRACTED ts: concat_ws(":", "", "") yields ":"
+        # (never ""), so testing audit_id would keep id-less lines and
+        # collapse them into one cross-host garbage group keyed ":"
+        .where((ts != "") & (F.col("rec_type") != ""))
     )
 
 
@@ -109,7 +112,10 @@ def coalesce_audit_stream(parsed: DataFrame, window_ms: int = 5000) -> DataFrame
     """Streaming sessionization with per-id buffered state and a
     processing-time reassembly window (reference: 5 s / 100 msgs)."""
 
-    buf_schema = "whens array<timestamp>, rec_types array<string>, texts array<string>, seqs array<long>"
+    buf_schema = (
+        "whens array<timestamp>, rec_types array<string>, "
+        "texts array<string>, seqs array<long>, first_ms long"
+    )
 
     def _emit(whens: list, rec_types: list, texts: list, seqs: list) -> pd.DataFrame:
         pdf = pd.DataFrame({"when": whens, "rec_type": rec_types, "text": texts, "seq": seqs})
@@ -121,8 +127,10 @@ def coalesce_audit_stream(parsed: DataFrame, window_ms: int = 5000) -> DataFrame
     def reassemble(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import time as _time
+
         if state.hasTimedOut:
-            whens, rec_types, texts, seqs = state.get
+            whens, rec_types, texts, seqs, _first = state.get
             state.remove()
             yield _emit(whens, rec_types, texts, seqs)
             return
@@ -130,8 +138,9 @@ def coalesce_audit_stream(parsed: DataFrame, window_ms: int = 5000) -> DataFrame
         rec_types: list = []
         texts: list = []
         seqs: list = []
+        first_ms = int(_time.time() * 1000)
         if state.exists:
-            w, r, t, s = state.get
+            w, r, t, s, first_ms = state.get
             whens, rec_types, texts, seqs = list(w), list(r), list(t), list(s)
         for pdf in pdfs:
             whens.extend(pdf["when"])
@@ -142,8 +151,14 @@ def coalesce_audit_stream(parsed: DataFrame, window_ms: int = 5000) -> DataFrame
             state.remove()
             yield _emit(whens, rec_types, texts, seqs)
             return
-        state.update((whens, rec_types, texts, seqs))
-        state.setTimeoutDuration(window_ms)
+        state.update((whens, rec_types, texts, seqs, int(first_ms)))
+        # the window runs from the FIRST record of the event (reference
+        # reassembler semantics), not from the latest batch: Spark clears
+        # a pending timeout whenever the function runs for the key, so
+        # re-arm with the REMAINING duration, not the full window — a
+        # record trickle must not postpone the flush indefinitely
+        elapsed = int(_time.time() * 1000) - int(first_ms)
+        state.setTimeoutDuration(max(1, window_ms - elapsed))
         yield pd.DataFrame({"when": [], "host": [], "type": [], "data": [], "tags": []})
 
     return parsed.groupBy("audit_id").applyInPandasWithState(

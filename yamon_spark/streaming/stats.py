@@ -16,8 +16,9 @@ Event-time order is imposed within each batch (stable sort with a
 the one timeout mode in which Spark's stateful operator filters
 later-than-watermark rows before they reach the function — so a
 straggler cannot corrupt the order-dependent prev-chain. quantile_live
-keeps NoTimeout deliberately: bucket counts are order-independent, so a
-late-but-valid value is better counted than dropped.
+keeps NoTimeout (and no watermark) deliberately: bucket counts are
+order-independent, so a late-but-valid value is better counted than
+dropped.
 """
 
 from __future__ import annotations
@@ -105,9 +106,7 @@ QUANTILE_SCHEMA = "name string, total bigint, p50 double, p95 double"
 _Q_STATE_SCHEMA = "bkts array<long>, cnts array<long>"
 
 
-def quantile_live(
-    metrics: DataFrame, width: float = 5.0, watermark: str = "10 seconds"
-) -> DataFrame:
+def quantile_live(metrics: DataFrame, width: float = 5.0) -> DataFrame:
     """Live histogram quantiles: the streaming twin of
     q85_histogram_quantile. Same mergeable-bucket-count design — state
     per series is a sparse (bucket -> count) table with fixed
@@ -154,9 +153,11 @@ def quantile_live(
             }
         )
 
+    # no withWatermark: bucket counts are order-independent and
+    # NoTimeout performs no late filtering anyway — a late-but-valid
+    # value is counted, matching the mergeable-histogram semantics
     return (
-        metrics.withWatermark("when", watermark)
-        .groupBy("name")
+        metrics.groupBy("name")
         .applyInPandasWithState(
             track,
             outputStructType=QUANTILE_SCHEMA,

@@ -32,9 +32,7 @@ TOPK_SCHEMA = "name string, host string, cnt bigint, err bigint, rank int"
 _STATE_SCHEMA = "hosts array<string>, cnts array<long>, errs array<long>"
 
 
-def heavy_hitters_live(
-    metrics: DataFrame, capacity: int = 8, watermark: str = "10 seconds"
-) -> DataFrame:
+def heavy_hitters_live(metrics: DataFrame, capacity: int = 8) -> DataFrame:
     """Per-name space-saving top hosts over the metrics stream. Input:
     typed metrics (``when``/``host``/``name``/...). Output after each
     touched micro-batch: the group's current counter table ranked by
@@ -78,9 +76,13 @@ def heavy_hitters_live(
             }
         )
 
+    # no withWatermark: the sketch keeps no event-time state and
+    # NoTimeout performs no late-row filtering anyway (only
+    # EventTimeTimeout does — pinned by the ewma straggler test), so a
+    # watermark here would be pure dead weight; EVERY row counts, late
+    # or not, which is exactly the upper-bound contract
     return (
-        metrics.withWatermark("when", watermark)
-        .groupBy("name")
+        metrics.groupBy("name")
         .applyInPandasWithState(
             track,
             outputStructType=TOPK_SCHEMA,
