@@ -212,6 +212,7 @@ _SHORT_WHOLE = {
     "vocab_growth": "vgrow",
     "lang_id_confusion": "langc",
     "embed_label_metrics": "elabel",
+    "mix_budget_plan": "budget",
 }
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),

@@ -243,3 +243,19 @@ def test_hamming_search_on_persisted_sketch_reads_no_floats(spark, tmp_path):
 
     schemas = re.findall(r"ReadSchema: struct<([^\n]*)", plan)
     assert schemas and all("embedding" not in s for s in schemas)
+
+
+def test_mix_budget_plan_caps_and_conserves(spark):
+    from yamon_spark.queries import REGISTRY, all_queries
+
+    all_queries()
+    build = REGISTRY["mix_budget_plan"].build
+    rows = build(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "plan must cover every source"
+    for r in rows:
+        assert 0.0 < r.sample_prob <= 1.0
+        # a source can never contribute more than it has
+        assert r.expected_tokens <= r.tokens + 1e-6
+        assert abs(r.expected_tokens - r.sample_prob * r.tokens) < 0.51
+    # temperature shares form a distribution
+    assert abs(sum(r.temp_share for r in rows) - 1.0) < 0.01

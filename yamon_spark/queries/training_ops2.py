@@ -373,3 +373,61 @@ def vocab_growth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.text import vocab_growth
 
     return vocab_growth(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mix_budget_plan",
+    """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars // 4 + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source, tokens,
+        CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS natural_share
+      FROM s
+    ),
+    t AS (
+      SELECT source, tokens,
+             pow(natural_share, 0.7) / sum(pow(natural_share, 0.7)) OVER () AS temp_share
+      FROM sh
+    )
+    SELECT source, tokens, round(temp_share, 4) AS temp_share,
+           round(least(1.0, 100000 * temp_share / tokens), 4) AS sample_prob,
+           round(least(1.0, 100000 * temp_share / tokens) * tokens, 4) AS expected_tokens
+    FROM t ORDER BY source
+    """,
+    doc=(
+        "Token-budget mixture plan: given a 100k-token budget and "
+        "temperature-0.7 target shares, the per-source sampling "
+        "probability (capped at 1 — a source cannot yield more than it "
+        "has) and the tokens each source actually contributes. The "
+        "planning query a training run executes BEFORE sampling; "
+        "composes domain_mix_temperature with the absolute budget. "
+        "Aggregates to |sources| rows first — window over dozens of "
+        "rows, never the corpus."
+    ),
+)
+def mix_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import est_tokens
+
+    budget = 100_000
+    tau = 0.7
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum(est_tokens()).cast("bigint").alias("tokens"))
+    wall = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(wall)
+    shared = per_src.select("source", "tokens", share.alias("natural_share"))
+    temp_share = F.pow("natural_share", tau) / F.sum(F.pow("natural_share", tau)).over(wall)
+    t = shared.select("source", "tokens", temp_share.alias("temp_share"))
+    prob = F.least(F.lit(1.0), F.lit(budget) * F.col("temp_share") / F.col("tokens"))
+    return t.select(
+        "source",
+        "tokens",
+        F.round("temp_share", 4).alias("temp_share"),
+        F.round(prob, 4).alias("sample_prob"),
+        F.round(prob * F.col("tokens"), 4).alias("expected_tokens"),
+    ).orderBy("source")
