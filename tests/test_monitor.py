@@ -34,7 +34,7 @@ def test_ingest_counters(spark, tmp_path):
         byname = {r.name: r for r in rows}
         m = byname["yamon.ingested.ingest_probe"]
         assert m.value == 3.0
-        assert m.tags == {"result": "written"}
+        assert m.tags == {"result": "read"}
         assert m.type == "counter"
     finally:
         spark.streams.removeListener(listener)

@@ -55,9 +55,20 @@ def _empty_tags() -> Column:
     return F.create_map().cast("map<string,string>")
 
 
+def _snapshot_ts() -> Column:
+    """Default metric time: the snapshot's publish millis embedded in the
+    landing file name (snap-<ms>-<uuid>.jsonl, producer._publish). Scan-
+    scoped input_file_name() resolves in any projection over a file
+    source — batch or streaming — so every parser stamps the TICK time
+    without threading a column through its selects; non-file inputs
+    (createDataFrame tests) fall back to processing time."""
+    ms = F.regexp_extract(F.input_file_name(), r"snap-(\d+)-", 1)
+    return F.coalesce(F.timestamp_millis(ms.try_cast("long")), F.current_timestamp())
+
+
 def _metric(name: Column, mtype: str, value: Column, tags: Column | None = None, ts: Column | None = None) -> list[Column]:
     return [
-        (ts if ts is not None else F.current_timestamp()).alias("when"),
+        (ts if ts is not None else _snapshot_ts()).alias("when"),
         F.lit(mtype).alias("type"),
         F.lit("").alias("host"),
         name.alias("name"),
@@ -146,14 +157,20 @@ def parse_meminfo(lines: DataFrame, col: str = "value") -> DataFrame:
     used = total - free - buffers - cached; meminfo is kB)."""
     p = _fields(col)
     kv = (
-        lines.select(p.alias("p"))
+        lines.select(p.alias("p"), F.input_file_name().alias("snap"), _snapshot_ts().alias("snap_ts"))
         .where(F.size("p") >= 2)
         .select(
+            "snap",
+            "snap_ts",
             F.regexp_replace(F.col("p")[0], ":", "").alias("k"),
             (F.col("p")[1].cast("double") * 1024).alias("v"),
         )
     )
-    pivoted = kv.groupBy().pivot(
+    # keyed by the snapshot's file identity: a keyless global pivot would
+    # collapse every tick in the batch into ONE row, mixing MemTotal from
+    # one tick with MemFree from another (input_file_name is "" for
+    # non-file test inputs — one group, the single-tick behavior)
+    pivoted = kv.groupBy("snap", "snap_ts").pivot(
         "k", ["MemTotal", "MemFree", "MemAvailable", "Buffers", "Cached", "SReclaimable"]
     ).agg(F.first("v"))
     # a global agg over EMPTY input still emits one all-null row, and the
@@ -162,6 +179,7 @@ def parse_meminfo(lines: DataFrame, col: str = "value") -> DataFrame:
     # the field every real /proc/meminfo carries
     pivoted = pivoted.where(F.col("MemTotal").isNotNull())
     derived = pivoted.select(
+        "snap_ts",
         F.col("MemTotal").alias("total"),
         F.col("MemFree").alias("free"),
         F.col("MemAvailable").alias("available"),
@@ -175,6 +193,7 @@ def parse_meminfo(lines: DataFrame, col: str = "value") -> DataFrame:
         ).alias("used"),
     )
     unpiv = derived.select(
+        "snap_ts",
         F.explode(
             F.array(
                 *[
@@ -182,9 +201,11 @@ def parse_meminfo(lines: DataFrame, col: str = "value") -> DataFrame:
                     for k in ("total", "used", "cached", "free", "available")
                 ]
             )
-        ).alias("kv")
+        ).alias("kv"),
     )
-    return unpiv.where(F.col("kv.v").isNotNull()).select(*_metric(F.col("kv.n"), "gauge", F.col("kv.v")))
+    return unpiv.where(F.col("kv.v").isNotNull()).select(
+        *_metric(F.col("kv.n"), "gauge", F.col("kv.v"), ts=F.col("snap_ts"))
+    )
 
 
 def parse_diskstats(lines: DataFrame, col: str = "value") -> DataFrame:
@@ -296,18 +317,24 @@ def parse_netstat(lines: DataFrame, col: str = "value") -> DataFrame:
     split_lines = (
         lines.where(F.col(col).contains(": "))
         .select(
+            # snapshot identity joins header to value lines of the SAME
+            # tick — on bare `section`, two snapshots in one batch would
+            # cross-join their TcpExt lines (2x2 pairings of counters)
+            F.input_file_name().alias("snap"),
+            _snapshot_ts().alias("snap_ts"),
             parts[0].alias("section"),
             F.split(F.trim(parts[1]), r"\s+").alias("vals"),
         )
     )
     # header lines have non-numeric first token; value lines are all digits
     is_hdr = ~split_lines["vals"][0].rlike(r"^-?\d+$")
-    headers = split_lines.where(is_hdr).select(F.col("section"), F.col("vals").alias("keys"))
-    values = split_lines.where(~is_hdr).select(F.col("section"), F.col("vals"))
-    joined = headers.join(values, "section")
+    headers = split_lines.where(is_hdr).select("snap", "snap_ts", F.col("section"), F.col("vals").alias("keys"))
+    values = split_lines.where(~is_hdr).select("snap", F.col("section"), F.col("vals"))
+    joined = headers.join(values, ["snap", "section"])
     prefix = F.lower(F.expr("substring(section, 1, length(section) - 3)"))
     return (
         joined.select(
+            "snap_ts",
             prefix.alias("prefix"),
             F.explode(F.arrays_zip("keys", "vals")).alias("kv"),
         )
@@ -316,6 +343,7 @@ def parse_netstat(lines: DataFrame, col: str = "value") -> DataFrame:
                 F.concat(F.col("prefix"), F.lit("."), F.col("kv.keys")),
                 "counter",
                 F.col("kv.vals"),
+                ts=F.col("snap_ts"),
             )
         )
     )

@@ -26,15 +26,20 @@ import uuid
 from collections.abc import Iterable
 
 
-def _publish(landing_dir: str, lines: Iterable[str]) -> str | None:
+def _publish(landing_dir: str, lines: Iterable[str], prefix: str = "exec") -> str | None:
     """Atomically publish lines as one landing file (tmp + rename, so the
-    file stream source never sees a partial file)."""
+    file stream source never sees a partial file). The file name embeds
+    the publish millis — consumers may recover it as the acquisition
+    timestamp (collectors._metric does)."""
     lines = [ln for ln in lines if ln]
     if not lines:
         return None
     os.makedirs(landing_dir, exist_ok=True)
-    path = os.path.join(landing_dir, f"exec-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
-    tmp = path + ".tmp"
+    path = os.path.join(landing_dir, f"{prefix}-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
+    # DOT-prefixed tmp name: Spark's file listing ignores names starting
+    # with '.' or '_', but NOT a '.tmp' suffix — a suffix-only tmp in the
+    # watched dir is visible mid-write, defeating the atomic publish
+    tmp = os.path.join(landing_dir, "." + os.path.basename(path) + ".tmp")
     with open(tmp, "w") as f:
         f.write("\n".join(lines) + "\n")
     os.rename(tmp, path)
@@ -100,26 +105,52 @@ def follow_to_landing(
     script exiting as an error and logs it, script.go:205-210) or
     ``max_lines`` lines have landed (tests / bounded drains). Returns
     the number of lines landed; the tail buffer is always flushed."""
-    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True)
+    import threading
+
+    # errors="replace": one invalid byte in a tailed log must not kill the
+    # follower (the reference treats acquisition errors as skipped-not-fatal)
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True, errors="replace")
     buf: list[str] = []
     landed = 0
-    last_roll = time.monotonic()
+    lock = threading.Lock()
+    stop = threading.Event()
+
+    def count_nonblank(lines: list[str]) -> int:
+        # _publish drops blank lines; the landed count must agree
+        return sum(1 for ln in lines if ln)
+
+    def flush_locked() -> None:
+        nonlocal buf, landed
+        if buf:
+            _publish(landing_dir, buf)
+            landed += count_nonblank(buf)
+            buf = []
+
+    def idle_flusher() -> None:
+        # the read loop blocks on a quiet child, so the time-based roll
+        # must run on its own clock — otherwise a burst followed by
+        # silence sits unpublished until the next line or child exit
+        while not stop.wait(roll_secs):
+            with lock:
+                flush_locked()
+
+    flusher = threading.Thread(target=idle_flusher, daemon=True)
+    flusher.start()
     try:
         assert proc.stdout is not None
         for line in proc.stdout:
-            buf.append(line.rstrip("\n"))
-            now = time.monotonic()
-            if len(buf) >= roll_lines or (buf and now - last_roll >= roll_secs):
-                _publish(landing_dir, buf)
-                landed += len(buf)
-                buf, last_roll = [], now
-            if max_lines is not None and landed + len(buf) >= max_lines:
-                break
+            with lock:
+                buf.append(line.rstrip("\n"))
+                if len(buf) >= roll_lines:
+                    flush_locked()
+                if max_lines is not None and landed + count_nonblank(buf) >= max_lines:
+                    break
     finally:
-        if buf:
-            _publish(landing_dir, buf)
-            landed += len(buf)
+        stop.set()
+        with lock:
+            flush_locked()
         if proc.poll() is None:
             proc.kill()  # Close() kills the child (journalctl.go:88-90)
         proc.wait()
+        flusher.join(timeout=roll_secs + 1)
     return landed

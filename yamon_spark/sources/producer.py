@@ -21,9 +21,7 @@ the reference's cadence).
 from __future__ import annotations
 
 import json
-import os
 import time
-import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,14 +70,17 @@ def snapshot_once(landing_dir: str, sources: dict[str, str] | None = None) -> st
     snaps = collect_snapshots(sources)
     if not snaps:
         return None
-    os.makedirs(landing_dir, exist_ok=True)
-    path = os.path.join(landing_dir, f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        for s in snaps:
-            f.write(json.dumps({"source": s.source, "captured_at": s.captured_at, "text": s.text}) + "\n")
-    os.rename(tmp, path)  # atomic publish: file sources must not see partial files
-    return path
+    # the shared atomic-publish helper (dot-prefixed tmp + rename) is the
+    # ONE place the landing contract lives; the returned file name embeds
+    # the publish millis, which collectors._metric recovers as the metric
+    # timestamp (snapshot time, not parse time)
+    from yamon_spark.sources.exec_source import _publish
+
+    return _publish(
+        landing_dir,
+        [json.dumps({"source": s.source, "captured_at": s.captured_at, "text": s.text}) for s in snaps],
+        prefix="snap",
+    )
 
 
 def parse_snapshots(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -12,8 +12,12 @@ endpoint (agent/http.go:28).
 
 Delivery nuance: the reference counts ``dropped`` for batches ClickHouse
 rejected (at-most-once); our sinks are at-least-once via checkpoint
-replay, so ``dropped`` stays 0 by construction and failed epochs show up
-as retries instead.
+replay, so ``dropped`` stays 0 by construction. The counter accumulates
+``numInputRows`` from progress events, so a replayed epoch is counted
+on EVERY attempt — the tag is therefore ``result=read`` (rows the
+engine read for processing), an upper bound on rows durably written,
+not an exactly-once write count. A companion ``yamon.batches.<query>``
+counter exposes the attempt count the retries show up in.
 """
 
 from __future__ import annotations
@@ -60,13 +64,21 @@ class IngestCounters(StreamingQueryListener):
                 for name, n in sorted(self.rows_in.items())
             ]
         df = spark.createDataFrame(rows, "query string, rows_in double, batches double")
-        return df.select(
-            F.current_timestamp().alias("when"),
-            F.lit("counter").alias("type"),
-            F.lit("").alias("host"),
-            F.concat(F.lit("yamon.ingested."), F.col("query")).alias("name"),
-            F.col("rows_in").alias("value"),
-            F.create_map(F.lit("result"), F.lit("written")).alias("tags"),
+
+        def shape(name_prefix: str, value_col: str, tags):
+            return df.select(
+                F.current_timestamp().alias("when"),
+                F.lit("counter").alias("type"),
+                F.lit("").alias("host"),
+                F.concat(F.lit(name_prefix), F.col("query")).alias("name"),
+                F.col(value_col).alias("value"),
+                tags.alias("tags"),
+            )
+
+        return shape(
+            "yamon.ingested.", "rows_in", F.create_map(F.lit("result"), F.lit("read"))
+        ).unionByName(
+            shape("yamon.batches.", "batches", F.create_map().cast("map<string,string>"))
         )
 
 
