@@ -35,6 +35,9 @@ def _spark(app: str):
 def cmd_serve(args: argparse.Namespace) -> int:
     from yamon_spark.engine import serve
 
+    for kv in args.key or []:
+        if ":" not in kv:
+            raise SystemExit(f"--key must be NAME:SECRET, got {kv!r}")
     keys = dict(kv.split(":", 1) for kv in args.key) if args.key else None
     receiver, queries, _engine = serve(
         _spark("yamon-serve"),

@@ -208,10 +208,14 @@ def webhook_event(form: Column, remote_addr: Column, content_type: Column) -> Co
                 lambda e: F.concat(
                     _json_quote(e.getField("key")),
                     F.lit(":"),
-                    # valid JSON -> inline raw; else JSON-quoted string
+                    # valid JSON -> inline raw; NULL -> literal null
+                    # (_json_quote(NULL) collapses to "", yielding the
+                    # malformed '{"k":}'); else JSON-quoted string
                     F.when(
                         F.try_parse_json(e.getField("value")).isNotNull(), e.getField("value")
-                    ).otherwise(_json_quote(e.getField("value"))),
+                    )
+                    .when(e.getField("value").isNull(), F.lit("null"))
+                    .otherwise(_json_quote(e.getField("value"))),
                 ),
             ),
             ",",

@@ -28,18 +28,27 @@ def asof_join(
     carry_col: str,
     out_alias: str = "asof_value",
 ) -> DataFrame:
-    """Generic as-of: annotate each left row with the most recent prior
-    ``carry_col`` from ``right`` sharing ``key``; 'prior' means strictly
-    earlier in the total order (time_col, id_col).
+    """Generic as-of: the most recent strictly-prior ``carry_col`` from
+    ``right`` sharing ``key``; 'prior' means strictly earlier in the
+    total order (time_col, id_col, left-before-right). The third
+    tiebreak matters when the two tables' id spaces overlap: without it
+    a right row tied on (time, id) with a left row lands in or out of
+    the preceding frame by arbitrary partition sort order — the same
+    query could return different answers across runs/task retries.
+    Left rows sort FIRST on ties, so an exactly-simultaneous right row
+    is excluded (the 'strictly earlier' contract).
 
-    Both inputs must share the key/time/id column names.
+    Both inputs must share the key/time/id column names. Output carries
+    (key, time_col, id_col, out_alias) ONLY — other left columns are
+    projected away (re-join on the id to recover them); the events
+    specializations below keep their full declared shapes.
     """
     lhs = left.select(key, time_col, id_col, F.lit(None).cast(right.schema[carry_col].dataType).alias("_carry"), F.lit(1).alias("_is_left"))
     rhs = right.select(key, time_col, id_col, F.col(carry_col).alias("_carry"), F.lit(0).alias("_is_left"))
     u = lhs.unionByName(rhs)
     w = (
         Window.partitionBy(key)
-        .orderBy(time_col, id_col)
+        .orderBy(time_col, id_col, F.desc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     annotated = u.withColumn(out_alias, F.last("_carry", ignorenulls=True).over(w))

@@ -31,17 +31,26 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the probe side salted across ``salt`` buckets.
 
-    Probe rows get ``xxhash64(whole row) % salt`` (deterministic, no
-    rand() — re-executable under task retry, which nondeterministic
+    Probe rows get ``xxhash64(hashable columns) % salt`` (deterministic,
+    no rand() — re-executable under task retry, which nondeterministic
     salting is NOT: a retried task re-rolling different salts silently
-    drops/duplicates rows). Build rows are replicated to every bucket
-    via a sequence explode. Output equals ``probe.join(build, on, how)``
-    for ``inner`` and ``left`` joins.
+    drops/duplicates rows). Map-typed columns are excluded from the hash:
+    Spark forbids xxhash64 on MapType (map iteration order is undefined),
+    and every yamon stream schema carries a ``tags`` map — hashing all
+    columns blindly would make the operator crash on the project's own
+    data model. Build rows are replicated to every bucket via a sequence
+    explode. Output equals ``probe.join(build, on, how)`` for ``inner``
+    and ``left`` joins.
     """
+    from pyspark.sql.types import MapType
+
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins (build side is replicated)")
+    hashable = [f.name for f in probe.schema.fields if not isinstance(f.dataType, MapType)]
+    if not hashable:
+        raise ValueError("salted_join needs at least one non-map column to derive the salt")
     probe_salted = probe.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in probe.columns]), F.lit(salt))
+        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt))
     )
     build_salted = build.withColumn(_SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return probe_salted.join(build_salted, on=[*on, _SALT], how=how).drop(_SALT)

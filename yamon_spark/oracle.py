@@ -77,6 +77,15 @@ def compare_query(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            # null-ness compares on the ORIGINALS: to_numeric coercion maps
+            # Spark NULL, oracle NaN, and any stray non-numeric all to NaN,
+            # which would let genuine divergences pass as "both missing"
+            a_null, b_null = pd.isna(a), pd.isna(b)
+            if not a_null.equals(b_null):
+                i = int((a_null != b_null).idxmax())
+                return CompareResult(
+                    name, False, f"col {c} null/NaN divergence at row {i}: {a.iloc[i]!r} != {b.iloc[i]!r}", len(sdf), len(odf)
+                )
             af = pd.to_numeric(a, errors="coerce").astype("float64")
             bf = pd.to_numeric(b, errors="coerce").astype("float64")
             both_nan = af.isna() & bf.isna()
@@ -90,10 +99,10 @@ def compare_query(spark: SparkSession, con: duckdb.DuckDBPyConnection, name: str
             aa = a.astype(object).where(pd.notna(a), None)
             bb = b.astype(object).where(pd.notna(b), None)
             if not aa.equals(bb):
-                neq = [i for i in range(len(aa)) if aa.iloc[i] != bb.iloc[i] and not (aa.iloc[i] is None and bb.iloc[i] is None)]
-                i = neq[0] if neq else 0
+                neq = [i for i in range(len(aa)) if aa.iloc[i] != bb.iloc[i]]
                 if not neq:
                     continue
+                i = neq[0]
                 return CompareResult(
                     name, False, f"col {c} mismatch at row {i}: {aa.iloc[i]!r} != {bb.iloc[i]!r}", len(sdf), len(odf)
                 )
