@@ -17,6 +17,7 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])  # optional: verify just these query names
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -44,6 +45,8 @@ qs = entrymod.queries()
 oracles = entrymod.oracle_sql()
 fails = []
 for name in sorted(qs):
+    if ONLY and name not in ONLY:
+        continue
     try:
         sdf = _canon(qs[name](spark, SF).toPandas())
     except Exception as e:  # noqa: BLE001

@@ -473,3 +473,49 @@ def test_compaction_leftovers_invisible_and_recoverable(spark, tmp_path):
     partition_stats(str(table_dir))
     assert part.is_dir()
     assert spark.read.parquet(str(table_dir)).count() == 100
+
+
+def test_knn_join_query_batch_hard_capped(spark):
+    """The broadcast query batch must be O(1) in corpus size: the modulo
+    sample is a corpus FRACTION, so without the cap a 100 TB corpus
+    broadcasts ~1 TB of queries to every executor. The cap keeps the
+    max_queries LOWEST sampled vec_ids (deterministic, oracle-expressible
+    as ORDER BY vec_id LIMIT n) via TakeOrderedAndProject — no full sort."""
+    from yamon_spark.operators.similarity import hard_negative_mining, knn_join
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        F.array(*[(F.col("id") * (i + 1) % 17).cast("float") for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    out = knn_join(emb, query_mod=2, k=1, max_queries=5)
+    q_ids = sorted(r.q_id for r in out.select("q_id").distinct().collect())
+    # 100 ids sampled by %2; only the 5 lowest survive the cap
+    assert q_ids == [0, 2, 4, 6, 8]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # the cap, not a full sort
+    assert "Broadcast" in plan  # query side still broadcasts
+
+    hn = hard_negative_mining(emb, query_mod=2, k=1, max_queries=5)
+    hn_ids = sorted(r.q_id for r in hn.select("q_id").distinct().collect())
+    assert set(hn_ids) <= {0, 2, 4, 6, 8} and len(hn_ids) > 0
+
+
+def test_salted_join_handles_nested_map_schema(spark):
+    """A map nested inside a struct/array must also be excluded from the
+    salt hash — Spark rejects hash functions on any type recursively
+    containing a map, not just top-level MapType."""
+    probe = spark.range(50).select(
+        F.concat(F.lit("host-"), (F.col("id") % 3).cast("string")).alias("host"),
+        F.col("id").alias("v"),
+        F.struct(F.create_map(F.lit("k"), F.lit("v")).alias("m")).alias("nested"),
+        F.array(F.create_map(F.lit("a"), F.col("id").cast("string"))).alias("arr_m"),
+    )
+    build = spark.createDataFrame([(f"host-{i}", f"dc-{i}") for i in range(3)], ["host", "dc"])
+    plain = sorted((r.host, r.v, r.dc) for r in probe.join(build, ["host"], "inner").collect())
+    salted = sorted(
+        (r.host, r.v, r.dc) for r in salted_join(probe, build, ["host"], salt=4).collect()
+    )
+    assert salted == plain and len(plain) == 50

@@ -413,23 +413,37 @@ def ivf_search(
     )
 
 
-def knn_join(embeddings: DataFrame, query_mod: int = 97, k: int = 3) -> DataFrame:
-    """Batch k-NN join: every query vector (vec_id % query_mod == 0) gets
-    its top-k cosine neighbors among the candidate vectors — the
-    many-queries generalization of cosine_topk and the shape a retrieval
-    or hard-negative-mining pass runs (one batch of queries against the
-    corpus, not one query at a time).
+def knn_join(
+    embeddings: DataFrame, query_mod: int = 97, k: int = 3, max_queries: int = 256
+) -> DataFrame:
+    """Batch k-NN join: every query vector (vec_id % query_mod == 0, up
+    to the max_queries lowest ids) gets its top-k cosine neighbors among
+    the candidate vectors — the many-queries generalization of
+    cosine_topk and the shape a retrieval or hard-negative-mining pass
+    runs (one batch of queries against the corpus, not one query at a
+    time).
 
-    Scale shape: the query set broadcasts (bounded by query_mod
-    sampling); scoring is a map-side projection over the candidate scan;
-    the only shuffle is the per-query top-k window, partitioned by query
-    id (uniform, |queries| keys). Similarities round to 4dp BEFORE
+    Scale shape: the query batch is HARD-CAPPED at max_queries rows —
+    the modulo sample alone is a corpus *fraction*, so without the cap
+    the broadcast side would grow linearly with data (and total work
+    quadratically). orderBy(vec_id).limit(n) compiles to
+    TakeOrderedAndProject: no full sort, and the broadcast is O(1) in
+    corpus size by construction. Scoring is a map-side projection over
+    the candidate scan; the only shuffle is the per-query top-k window,
+    partitioned by query id (uniform, <= max_queries keys). For a
+    genuinely all-queries x all-candidates pass, this operator is the
+    wrong tool — use the LSH-bucket-blocked two-sided join
+    (near_dup_lsh / lsh_topk shape) whose candidate space is bounded
+    per bucket instead of per batch. Similarities round to 4dp BEFORE
     ranking so the (cos_sim, vec_id) order is identical across engines
     regardless of last-ulp float differences."""
     from pyspark.sql import Window
 
-    q = embeddings.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    q = (
+        embeddings.where(F.col("vec_id") % query_mod == 0)
+        .orderBy("vec_id")
+        .limit(max_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     )
     cand = embeddings.where(F.col("vec_id") % query_mod != 0)
     sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
@@ -743,22 +757,32 @@ def hamming_recall(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) ->
 
 
 def hard_negative_mining(
-    embeddings: DataFrame, query_mod: int = 97, k: int = 3
+    embeddings: DataFrame, query_mod: int = 97, k: int = 3, max_queries: int = 256
 ) -> DataFrame:
     """Per sampled query vector: the k candidates MOST similar to it with
     a DIFFERENT label — contrastive-training hard-negative mining (the
     batch retrieval pass a training-data pipeline runs to build triplet /
     InfoNCE batches). knn_join's shape with a label-inequality gate.
 
-    Scale shape: query batch (bounded by query_mod sampling) broadcasts
-    with its labels; scoring + label filter are map-side over the
-    candidate scan; the only shuffle is the per-query top-k window."""
+    Scale shape: the query batch is HARD-CAPPED at max_queries rows
+    (orderBy(vec_id).limit -> TakeOrderedAndProject), so the broadcast
+    side is O(1) in corpus size — the modulo sample alone is a fraction
+    of the corpus and would otherwise grow the broadcast (and make the
+    total work quadratic). Scoring + label filter are map-side over the
+    candidate scan; the only shuffle is the per-query top-k window. The
+    all-queries case belongs to the bucket-blocked two-sided join
+    (near_dup_lsh shape), not this operator."""
     from pyspark.sql import Window
 
-    q = embeddings.where(F.col("vec_id") % query_mod == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("label").alias("q_label"),
-        F.col("embedding").alias("q_emb"),
+    q = (
+        embeddings.where(F.col("vec_id") % query_mod == 0)
+        .orderBy("vec_id")
+        .limit(max_queries)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_emb"),
+        )
     )
     cand = embeddings.where(F.col("vec_id") % query_mod != 0)
     sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
@@ -894,8 +918,15 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
     def quant(cos: Column) -> Column:
         return F.floor(F.round(cos, 4) * 10000 + F.lit(0.5)).cast("bigint")
 
+    # Zero-norm vectors have no cosine (the kernel yields NULL); they are
+    # excluded BEFORE scoring so n_vecs counts exactly the scored rows —
+    # otherwise sum() skips the NULLs but count(*) still includes them and
+    # the averages silently dilute toward zero (and the SQL twin, sharing
+    # the shape, would dilute identically, hiding it from the oracle).
+    norm = _fold_sum(F.transform("embedding", lambda x: x.cast("double") * x.cast("double")))
     scored = (
-        embeddings.join(F.broadcast(cent), "label")
+        embeddings.where(norm != 0)
+        .join(F.broadcast(cent), "label")
         .crossJoin(F.broadcast(glob))
         .select(
             "label",

@@ -42,11 +42,23 @@ def salted_join(
     explode. Output equals ``probe.join(build, on, how)`` for ``inner``
     and ``left`` joins.
     """
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def contains_map(dt) -> bool:
+        # Spark rejects hash functions on any type RECURSIVELY containing
+        # a map — one nested in a struct/array fails analysis the same as
+        # a top-level MapType — so walk the whole type tree.
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return contains_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(contains_map(f.dataType) for f in dt.fields)
+        return False
 
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins (build side is replicated)")
-    hashable = [f.name for f in probe.schema.fields if not isinstance(f.dataType, MapType)]
+    hashable = [f.name for f in probe.schema.fields if not contains_map(f.dataType)]
     if not hashable:
         raise ValueError("salted_join needs at least one non-map column to derive the salt")
     probe_salted = probe.withColumn(

@@ -388,7 +388,8 @@ def dedup_substring_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sim_knn_join",
     f"""
     WITH q AS (
-      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0
+      SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 256
     ), s AS (
       SELECT q.q_id, e.vec_id, {_COS_EXPRS}
       FROM embeddings e CROSS JOIN q WHERE e.vec_id % 97 <> 0

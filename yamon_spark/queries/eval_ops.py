@@ -102,6 +102,8 @@ _CENT_COS = """
              {_CENT_COS.format(cent="cent.cent")} AS ic,
              {_CENT_COS.format(cent="g.gcent")} AS gc
       FROM embeddings e JOIN cent USING (label) CROSS JOIN g
+      WHERE list_reduce(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) <> 0
     ),
     q AS (
       SELECT label,

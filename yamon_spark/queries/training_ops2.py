@@ -103,7 +103,7 @@ def hamming_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH q AS (
       SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb
-      FROM embeddings WHERE vec_id % 97 = 0
+      FROM embeddings WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 256
     ), s AS (
       SELECT q.q_id, e.vec_id, {_COS_EXPRS}
       FROM embeddings e CROSS JOIN q

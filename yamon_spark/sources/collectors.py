@@ -62,7 +62,9 @@ def _snapshot_ts() -> Column:
     source — batch or streaming — so every parser stamps the TICK time
     without threading a column through its selects; non-file inputs
     (createDataFrame tests) fall back to processing time."""
-    ms = F.regexp_extract(F.input_file_name(), r"snap-(\d+)-", 1)
+    # any _publish-landed prefix ('snap', 'exec', 'batch', ...) embeds its
+    # publish millis as <prefix>-<ms>-<uuid>; match them all, not just snap
+    ms = F.regexp_extract(F.input_file_name(), r"[a-z]+-(\d+)-", 1)
     return F.coalesce(F.timestamp_millis(ms.try_cast("long")), F.current_timestamp())
 
 

@@ -135,7 +135,7 @@ class IngestHTTPServer:
                 path = self.path.split("?", 1)[0]
                 if path == "/v1/submit-batch":
                     if not outer._authorized(self.headers.get("Authorization", "")):
-                        self._respond(self.path, 401)
+                        self._respond(path, 401)
                         return
                     self._land_json(body, SUBMIT_BATCH_DIR, "batch")
                 elif path == "/v1/data":
@@ -166,7 +166,7 @@ class IngestHTTPServer:
                         _publish_line(
                             os.path.join(outer.landing_root, DOCUMENTS_DIR), "\n".join(good), "docs"
                         )
-                    self._respond(self.path, 204 if good else 400)
+                    self._respond(path, 204 if good else 400)
                 elif path == "/v1/webhook":
                     line = outer._webhook_line(
                         body,
@@ -174,11 +174,17 @@ class IngestHTTPServer:
                         self.client_address[0],
                     )
                     _publish_line(os.path.join(outer.landing_root, WEBHOOK_DIR), line, "webhook")
-                    self._respond(self.path, 204)
+                    self._respond(path, 204)
                 else:
                     self._respond("other", 404)
 
             def _land_json(self, body: bytes, subdir: str, prefix: str) -> None:
+                # stats label is the NORMALIZED path: labeling with raw
+                # self.path would mint a new (endpoint, status) Counter key
+                # per distinct query string — unbounded metric cardinality
+                # from unauthenticated clients, defeating the bounded-
+                # Counter guard that routes unknown paths to 'other'
+                path = self.path.split("?", 1)[0]
                 text = body.decode("utf-8", errors="replace")
                 try:
                     # a scalar/array parses but can never produce rows in
@@ -189,12 +195,12 @@ class IngestHTTPServer:
                         raise ValueError("top-level JSON object required")
                 except ValueError:
                     _publish_line(os.path.join(outer.landing_root, REJECTS_DIR), text, "reject")
-                    self._respond(self.path, 400)
+                    self._respond(path, 400)
                     return
                 _publish_line(
                     os.path.join(outer.landing_root, subdir), text.replace("\n", " "), prefix
                 )
-                self._respond(self.path, 204)
+                self._respond(path, 204)
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self._thread: threading.Thread | None = None
