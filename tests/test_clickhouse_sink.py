@@ -111,3 +111,63 @@ def test_jdbc_url_session_settings():
     assert calls["dbtable"] == "metrics"
     assert calls["batchsize"] == "5000"
     assert calls["isolationLevel"] == "NONE"
+
+
+def test_failed_insert_replays_same_epoch(spark, tmp_path):
+    """The at-least-once contract end-to-end via the INJECTED executor
+    (no monkeypatch — the declared cfg.executor seam): the first insert
+    attempt fails, the micro-batch fails with it, and a restart on the
+    same checkpoint re-sends the SAME rows with the SAME _epoch stamp —
+    the idempotency key a ReplacingMergeTree / insert-dedup target needs
+    to collapse the replay."""
+    sent: list[tuple[str, int, tuple]] = []
+    state = {"fail_next": True}
+
+    def flaky(df, cfg_, table):
+        rows = df.collect()
+        if state["fail_next"] and table == "metrics":
+            state["fail_next"] = False
+            raise RuntimeError("simulated ClickHouse insert failure")
+        for r in rows:
+            sent.append((table, r._epoch, (r.name, r.value)))
+
+    cfg = P.PipelineConfig(
+        landing_dir=str(tmp_path / "landing"),
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        hostname="agent-1",
+        watermark=None,
+        clickhouse=CH.ClickHouseSinkConfig(
+            url="jdbc:clickhouse://ch:8123/yamon", executor=flaky
+        ),
+    )
+    _write_landing(
+        tmp_path / "landing",
+        [_batch(metrics=[_metric("2024-05-01T10:00:05Z", "gauge", "g1", 1.0)])],
+    )
+    # attempt 1: insert raises -> the stream must FAIL (not drop the batch
+    # like clickhouse_writer.go:124-150 does)
+    with pytest.raises(Exception):
+        P.run_pipeline_once(spark, cfg)
+    metrics_sent = [s for s in sent if s[0] == "metrics"]
+    assert metrics_sent == []  # nothing recorded for the failed table
+
+    # attempt 2 (same checkpoint): offsets roll back, the SAME batch
+    # replays, and the epoch stamp is identical -> replay is idempotent
+    P.run_pipeline_once(spark, cfg)
+    metrics_sent = [s for s in sent if s[0] == "metrics"]
+    assert len(metrics_sent) == 1
+    table, epoch, payload = metrics_sent[0]
+    assert payload == ("g1", 1.0)
+    assert epoch == 0  # first (replayed) micro-batch keeps epoch 0
+
+    # a NEW file after recovery gets the next epoch, no re-send of g1
+    _write_landing(
+        tmp_path / "landing",
+        [_batch(metrics=[_metric("2024-05-01T11:00:05Z", "gauge", "g2", 2.0)])],
+    )
+    P.run_pipeline_once(spark, cfg)
+    names = [p[2][0] for p in sent if p[0] == "metrics"]
+    epochs = [p[1] for p in sent if p[0] == "metrics"]
+    assert names == ["g1", "g2"]
+    assert epochs[1] > epochs[0]  # distinct idempotency keys per batch

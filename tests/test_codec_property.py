@@ -64,3 +64,51 @@ def test_avi_truncation_never_silently_wrong(frames, cut):
         return
     # a clean cut can only ever drop whole trailing chunks, never corrupt
     assert got == frames[: len(got)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_png_encode_decode_roundtrip(w, h, seed):
+    pix = bytes((seed * 31 + y * w + x * 7) % 256 for y in range(h) for x in range(w))
+    got_w, got_h, got_sum = M.decode_png(M.encode_png(w, h, pix))
+    assert (got_w, got_h) == (w, h)
+    assert got_sum == sum(pix)  # inflate + all-5-filter unfilter is bit-exact
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=5, max_value=32),  # h >= 5: every filter type present
+    flip=st.integers(min_value=8, max_value=10_000),
+)
+def test_png_corruption_never_silently_wrong(w, h, flip):
+    pix = bytes((y * w + x) % 256 for y in range(h) for x in range(w))
+    b = bytearray(M.encode_png(w, h, pix))
+    flip = min(flip, len(b) - 1)
+    b[flip] ^= 0xFF  # any post-signature bit flip must trip a CRC/structure check
+    try:
+        out = M.decode_png(bytes(b))
+    except Exception:
+        return  # loud failure is the contract (ValueError or zlib.error)
+    raise AssertionError(f"corrupted PNG decoded to {out}")
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    cut=st.integers(min_value=1, max_value=64),
+)
+def test_png_truncation_never_silently_wrong(w, h, cut):
+    pix = bytes((y + x) % 256 for y in range(h) for x in range(w))
+    b = M.encode_png(w, h, pix)
+    cut = min(cut, len(b) - 9)  # keep the signature: the chunk walk must catch it
+    try:
+        out = M.decode_png(b[: len(b) - cut])
+    except Exception:
+        return
+    raise AssertionError(f"truncated PNG decoded to {out}")

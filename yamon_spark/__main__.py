@@ -39,14 +39,33 @@ def cmd_serve(args: argparse.Namespace) -> int:
         if ":" not in kv:
             raise SystemExit(f"--key must be NAME:SECRET, got {kv!r}")
     keys = dict(kv.split(":", 1) for kv in args.key) if args.key else None
+    host, port = args.host, args.port
+    if args.config:
+        # reference HCL server config (common/config.go:10-22): flags
+        # explicitly given still win over the file
+        from yamon_spark.config import load_server_config, server_plan
+
+        plan = server_plan(load_server_config(args.config))
+        if host == "127.0.0.1":
+            host = plan["host"]
+        if port == 0:
+            port = plan["port"]
+        if keys is None:
+            keys = plan["keys"]
+        if plan["clickhouse"]:
+            print(
+                "note: clickhouse block parsed "
+                f"(targets={plan['clickhouse']['targets']}); wire it via "
+                "streaming.clickhouse.ClickHouseSinkConfig + PipelineConfig.clickhouse"
+            )
     receiver, queries, _engine = serve(
         _spark("yamon-serve"),
         data_dir=args.data_dir,
         landing_dir=args.landing_dir,
         checkpoint_dir=args.checkpoint_dir,
         keys=keys,
-        host=args.host,
-        port=args.port,
+        host=host,
+        port=port,
         trigger={"processingTime": f"{args.trigger_seconds} seconds"},
         hot_tag_keys=tuple(args.hot_tag or ()),
         deadman_horizon_s=args.deadman_horizon,
@@ -67,8 +86,25 @@ def cmd_serve(args: argparse.Namespace) -> int:
 def cmd_agent(args: argparse.Namespace) -> int:
     from yamon_spark.sources.producer import snapshot_once
 
+    sources = None
+    if args.config:
+        # reference HCL agent config (common/config.go:24-75): collector
+        # gates apply to the snapshot sources; scrape/tail/script/journal
+        # followers are listed in the plan (each names its implementing
+        # function; --dry-run prints the full mapped plan and exits)
+        import json
+
+        from yamon_spark.config import agent_plan, load_daemon_config
+
+        plan = agent_plan(load_daemon_config(args.config))
+        sources = plan["sources"]
+        if args.dry_run:
+            print(json.dumps(plan, indent=1))
+            return 0
+    elif args.dry_run:
+        raise SystemExit("--dry-run requires --config")
     for i in range(args.ticks):
-        path = snapshot_once(args.landing_dir)
+        path = snapshot_once(args.landing_dir, sources=sources)
         print(path or "(nothing collectable)")
         if args.interval and i + 1 < args.ticks:
             time.sleep(args.interval)
@@ -144,12 +180,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="materialize IO-skipping scalar column for this tag key (repeatable)")
     s.add_argument("--deadman-horizon", type=int, default=None, metavar="SECONDS",
                    help="start the live silence alerter with this horizon")
+    s.add_argument("--config", default=None, metavar="SERVER_HCL",
+                   help="reference-compatible HCL server config (bind/keys/clickhouse)")
     s.set_defaults(fn=cmd_serve)
 
     a = sub.add_parser("agent", help="collection ticks -> landing zone")
     a.add_argument("--landing-dir", required=True)
     a.add_argument("--ticks", type=int, default=1)
     a.add_argument("--interval", type=float, default=15.0)
+    a.add_argument("--config", default=None, metavar="AGENT_HCL",
+                   help="reference-compatible HCL agent config (collector gates etc.)")
+    a.add_argument("--dry-run", action="store_true",
+                   help="print the mapped agent plan from --config and exit")
     a.set_defaults(fn=cmd_agent)
 
     sc = sub.add_parser("scrape", help="Prometheus pull -> landing zone")

@@ -89,6 +89,125 @@ def decode_bmp(b: bytes) -> tuple[int, int, int]:
     return width, height, 1
 
 
+def decode_png(b: bytes) -> tuple[int, int, int]:
+    """Vendored minimal PNG decoder (pure stdlib): 8-bit grayscale,
+    non-interlaced. Walks the chunk stream verifying every CRC, inflates
+    the concatenated IDAT zlib stream, and UNFILTERS each scanline per
+    the PNG spec (all five filter types: None/Sub/Up/Average/Paeth) —
+    the first vendored codec here that decodes a genuinely COMPRESSED
+    container, not just a header walk. Public format: RFC 2083 /
+    W3C PNG spec; layout knowledge only, no code taken from anywhere.
+
+    Returns (width, height, pixel_sum) where pixel_sum is the exact
+    integer sum of all reconstructed pixel bytes — the value the oracle
+    recomputes arithmetically, so a hash match proves inflate+unfilter
+    reproduced every pixel. Raises ValueError on malformed input."""
+    import struct
+    import zlib
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    off, width, height, idat, seen_iend = 8, None, None, b"", False
+    while off + 12 <= len(b):
+        length, ctype = struct.unpack_from(">I4s", b, off)
+        if off + 12 + length > len(b):
+            raise ValueError("PNG chunk extends past payload")
+        data = b[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, off + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("only 8-bit grayscale non-interlaced PNG supported")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+        off += 12 + length
+    if width is None or not seen_iend or off != len(b):
+        raise ValueError("PNG missing IHDR/IEND or trailing garbage")
+    raw = zlib.decompress(idat)
+    if len(raw) != (width + 1) * height:
+        raise ValueError("PNG scanline data has wrong length")
+    prev, total = bytearray(width), 0
+    for y in range(height):
+        base = y * (width + 1)
+        ftype, row = raw[base], bytearray(raw[base + 1 : base + 1 + width])
+        if ftype == 1:  # Sub
+            for x in range(1, width):
+                row[x] = (row[x] + row[x - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(width):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(width):
+                left = row[x - 1] if x else 0
+                row[x] = (row[x] + (left + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(width):
+                a, up, c = row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        total += sum(row)
+        prev = row
+    return width, height, total
+
+
+def encode_png(width: int, height: int, pix: bytes) -> bytes:
+    """Build a real 8-bit grayscale PNG (encode half of decode_png).
+    The per-row filter type cycles 0..4, so every round-tripped image
+    with height >= 5 forces the decoder through ALL five unfilter paths
+    — the compression and filtering are genuine, not a degenerate
+    filter-0-only stream."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw, prev = bytearray(), bytes(width)
+    for y in range(height):
+        row = pix[y * width : (y + 1) * width]
+        f = y % 5
+        raw.append(f)
+        if f == 0:
+            raw += row
+        elif f == 1:  # Sub
+            raw += bytes((row[x] - (row[x - 1] if x else 0)) & 0xFF for x in range(width))
+        elif f == 2:  # Up
+            raw += bytes((row[x] - prev[x]) & 0xFF for x in range(width))
+        elif f == 3:  # Average
+            raw += bytes(
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) // 2)) & 0xFF
+                for x in range(width)
+            )
+        else:  # Paeth
+            for x in range(width):
+                a, up, c = row[x - 1] if x else 0, prev[x], prev[x - 1] if x else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                raw.append((row[x] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 DECODED_SCHEMA = (
     "doc_id bigint, n_bytes bigint, sha string, width bigint, height bigint, n_frames bigint"
 )
@@ -132,6 +251,15 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
 
                 dims = []
                 for b in bs:
+                    if b[:8] == b"\x89PNG\r\n\x1a\n":
+                        # vendored compressed-codec path (grayscale-8); other
+                        # color types/depths fall through to Pillow
+                        try:
+                            w, h, _pixel_sum = decode_png(b)
+                            dims.append((w, h, 1))
+                            continue
+                        except ValueError:
+                            pass
                     if b[:2] == b"BM":
                         # vendored real codec first (no Pillow needed), but
                         # it covers uncompressed BMP only — fall back to
@@ -222,6 +350,41 @@ def bmp_roundtrip(docs: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id", "n_chars")
         .mapInPandas(roundtrip, BMP_ROUNDTRIP_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+PNG_ROUNDTRIP_SCHEMA = "doc_id bigint, width bigint, height bigint, pixel_sum bigint"
+
+
+def png_roundtrip(docs: DataFrame) -> DataFrame:
+    """COMPRESSED-codec round-trip under the oracle gate: per doc, derive
+    dims and a deterministic grayscale pattern, encode a real PNG
+    (zlib-deflated scanlines, filter types cycling 0-4), then recover
+    width/height/exact-pixel-sum by fully DECODING it — CRC checks,
+    inflate, and all five PNG unfilter paths. The oracle recomputes the
+    pixel sum arithmetically from the pattern, so a hash match proves
+    the decompression+reconstruction pipeline is bit-exact. This is the
+    piece the BMP/WAV/AVI trio lacked: those verify container parsing;
+    this verifies a real compressed bitstream (every production image
+    format is compressed). Shuffle-free Arrow mapInPandas."""
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, sums = [], [], [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d, w, h = int(doc_id), int(n_chars) % 13 + 1, int(doc_id) % 7 + 1
+                pix = bytes((d * 31 + y * w + x * 7) % 256 for y in range(h) for x in range(w))
+                w2, h2, pixel_sum = decode_png(encode_png(w, h, pix))
+                ids.append(doc_id)
+                ws.append(w2)
+                hs.append(h2)
+                sums.append(pixel_sum)
+            yield pd.DataFrame({"doc_id": ids, "width": ws, "height": hs, "pixel_sum": sums})
+
+    return (
+        docs.select("doc_id", "n_chars")
+        .mapInPandas(roundtrip, PNG_ROUNDTRIP_SCHEMA)
         .orderBy("doc_id")
     )
 

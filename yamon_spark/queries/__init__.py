@@ -99,20 +99,16 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     # r1-vintage (oldest — front of the verified segment)
     "q10_inner_join_dims": 1, "q11_left_outer_count": 1, "q12_semi_join": 1,
     "q13_anti_join": 1, "q14_range_join": 1, "q15_asof_join": 1,
-    "q16_cross_join_pairs": 1, "q20_hash_agg": 1, "q21_distinct_agg": 1,
-    "q22_approx_distinct": 1, "q23_grouping_sets": 1, "q24_rollup": 1,
-    "q25_gauge_rollup_mv": 1, "q26_counter_rollup_mv": 1, "q27_pivot": 1,
-    "q28_percentiles": 1, "q29_heavy_hitters": 1, "q35_gap_fill": 1,
-    "q36_dist_windows": 1, "q37_histogram": 1, "q38_approx_quantile": 1,
-    "q39_cond_aggs": 1, "q44_union_all": 1, "q45_scalar_subquery": 1,
-    "q46_in_subquery": 1, "q47_exists_correlated": 1, "q48_cte_reuse": 1,
-    "q49_first_last_window": 1, "q50_string_funcs": 1,
+    "q16_cross_join_pairs": 1, "q24_rollup": 1, "q25_gauge_rollup_mv": 1,
+    "q26_counter_rollup_mv": 1, "q38_approx_quantile": 1,
+    "q39_cond_aggs": 1, "q44_union_all": 1, "q47_exists_correlated": 1,
+    "q48_cte_reuse": 1, "q49_first_last_window": 1, "q50_string_funcs": 1,
     "q51_datetime_funcs": 1, "q52_math_funcs": 1, "q53_json_extract": 1,
     "q54_map_tag_ops": 1, "q55_array_funcs": 1, "q56_struct_ops": 1,
     "q57_conditionals": 1, "q58_regex_funcs": 1, "q65_interval_join": 1,
     "q73_unpivot": 1, "q74_lateral_explode": 1, "q75_bitmap_distinct": 1,
     "q76_zip_with": 1, "q77_cube_grouping": 1, "q78_median_stats": 1,
-    "q79_fuzzy_match": 1, "text_bigrams": 1, "text_search": 1,
+    "q79_fuzzy_match": 1, "text_bigrams": 1,
     # r2-vintage
     "ann_range_search": 2, "dedup_canonical": 2, "dedup_clusters": 2,
     "domain_mix": 2, "embed_centroids": 2, "embed_norm_stats": 2,
@@ -124,7 +120,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q80_runtime_filter": 3, "sample_rebalanced": 3, "sample_stratified": 3,
     "sim_near_dup_lsh": 3, "text_pii_scrub": 3, "text_quality_filter": 3,
     "text_repetition": 3, "text_winnow": 3,
-    # r4-vintage (freshest — back of the queue)
+    # r4-vintage
     "corpus_shuffle": 4, "dedup_exact": 4, "dedup_jaccard": 4,
     "dedup_minhash_lsh": 4, "dedup_simhash": 4, "dedup_substring": 4,
     "hybrid_rank_rrf": 4, "multimodal_audio_windows": 4,
@@ -144,6 +140,26 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "sim_near_dup_pairs": 4, "sim_truncation_recall": 4, "text_bm25": 4,
     "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
     "text_stats": 4, "text_token_count": 4, "text_unigram_logprob": 4,
+    # r5-vintage (freshest — back of the queue)
+    "bpe_merge_step": 5, "bpe_pair_counts": 5, "chunk_dup_groups": 5,
+    "dedup_containment": 5, "dedup_funnel": 5, "dedup_semantic": 5,
+    "dsir_weights": 5, "embed_label_metrics": 5, "hard_negative_mining": 5,
+    "lang_id_confusion": 5, "mix_budget_plan": 5,
+    "multimodal_avi_roundtrip": 5, "multimodal_bmp_roundtrip": 5,
+    "multimodal_wav_roundtrip": 5, "q20_hash_agg": 5, "q21_distinct_agg": 5,
+    "q22_approx_distinct": 5, "q23_grouping_sets": 5, "q27_pivot": 5,
+    "q28_percentiles": 5, "q29_heavy_hitters": 5, "q35_gap_fill": 5,
+    "q36_dist_windows": 5, "q37_histogram": 5, "q45_scalar_subquery": 5,
+    "q46_in_subquery": 5, "q84_mad_outliers": 5,
+    "q85_histogram_quantile": 5, "q86_seasonal_baseline": 5,
+    "q87_level_shift": 5, "q88_autocorr": 5, "q89_ewma": 5,
+    "quality_logit": 5, "sim_cascade_recall": 5, "sim_cascade_topk": 5,
+    "sim_hamming_recall": 5, "sim_hamming_topk": 5, "sim_ivfpq_recall": 5,
+    "sim_ivfpq_topk": 5, "sim_mmr_topk": 5, "sim_pq_recall": 5,
+    "sim_sq8_recall": 5, "sim_sq8_topk": 5, "sq8_codes": 5,
+    "text_chunk_windows": 5, "text_entropy": 5,
+    "text_perplexity_buckets": 5, "text_search": 5, "text_zipf_slope": 5,
+    "vocab_growth": 5,
 }
 
 

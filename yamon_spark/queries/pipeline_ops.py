@@ -615,6 +615,35 @@ def multimodal_bmp_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars % 13 + 1 AS w, doc_id % 7 + 1 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(list_reduce(list_transform(range(0, w * h),
+                  i -> (doc_id * 31 + (i // w) * w + (i % w) * 7) % 256),
+                (a, b) -> a + b) AS BIGINT) AS pixel_sum
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "COMPRESSED-codec round-trip: encode a real zlib-deflated "
+        "grayscale PNG per doc (filter types cycling 0-4), fully decode "
+        "it back (CRC check, inflate, all five unfilter paths), emit "
+        "recovered dims + exact pixel sum. The oracle recomputes the "
+        "pixel sum arithmetically from the deterministic pattern — a "
+        "hash match proves the compressed bitstream reconstructed every "
+        "pixel, closing the 'vendored codecs are uncompressed-only' gap."
+    ),
+)
+def multimodal_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import png_roundtrip
+
+    return png_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_wav_roundtrip",
     """
     WITH d AS (SELECT doc_id, n_chars % 50 + 1 AS n FROM documents)
