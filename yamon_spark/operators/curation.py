@@ -526,6 +526,29 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 8, salt: str = "42") -> Data
     )
 
 
+def train_test_split(docs: DataFrame, test_pct: int = 10, salt: str = "split") -> DataFrame:
+    """Leakage-safe deterministic train/test split: the bucket key is the
+    md5 of the CONTENT (lower-cased text, salted), not the doc id, so an
+    exact duplicate pair always lands on the SAME side — a dup straddling
+    the split is the classic eval-contamination bug that inflates held-out
+    metrics. Reproducible across engines, retries, and cluster sizes (no
+    RNG); changing the salt re-deals the split.
+
+    Scale shape: pure map-side projection — one hash per row, zero
+    shuffles; the split is a column, not a data movement (writers
+    partitionBy('split') downstream if they want physical separation)."""
+    key = F.md5(F.concat(F.lower(F.col("text")), F.lit(":" + salt)))
+    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 100
+    return (
+        docs.select(
+            "doc_id",
+            bucket.alias("bucket"),
+            F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def unigram_logprob(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     """CCNet-style language-model quality score: per-doc mean unigram
     log-probability under the corpus's own top-k unigram model

@@ -390,6 +390,78 @@ def bpe_merge_step(docs: DataFrame, top_n: int = 20) -> DataFrame:
     return pair_counts(merged).orderBy(F.col("n").desc(), "pair").limit(top_n)
 
 
+# distinct merge markers for bpe_apply — one per merge rank, all outside
+# any real corpus alphabet so a merged pair stays one atomic symbol
+BPE_APPLY_MARKERS = "ǄǅǆǇǈǉǊǋ"
+
+
+def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """Tokenize the corpus with a LEARNED merge table: run n_merges true
+    BPE training iterations (each round recounts pairs over the already-
+    merged vocabulary and applies the new top pair — the real iterative
+    algorithm, not a one-shot top-k), then encode every document and
+    report its unit counts before/after. This is the apply half
+    bpe_pair_counts/bpe_merge_step lead up to: the pass that actually
+    writes tokenized training data.
+
+    Output: (doc_id, n_words, n_units_char, n_units_bpe) — exact
+    integers (character units before merging vs BPE units after), the
+    compression the merge table buys on each doc.
+
+    Scale shape: every round is vocabulary-sized, not corpus-sized (the
+    corpus collapses to its distinct-word frequency table once); each
+    round's top-1 merge is a 1-row broadcast and the replace is
+    map-side. The unrolled chain is n_merges rounds — bounded compile-
+    time depth like mmr_topk's greedy unroll. The final doc encoding is
+    one join of the exploded words against the |vocab|-row merge map
+    (hash join on uniform word keys), then a per-doc partial agg."""
+    if n_merges > len(BPE_APPLY_MARKERS):
+        raise ValueError(f"n_merges must be <= {len(BPE_APPLY_MARKERS)}")
+
+    def pair_counts(vocab: DataFrame) -> DataFrame:
+        return (
+            vocab.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                ).alias("pair"),
+                F.col("cnt"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+
+    words = docs.select("doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+    cur = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w").alias("orig"), "w", "cnt")
+    )
+    for i in range(n_merges):
+        top = (
+            pair_counts(cur)
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("top_pair"))
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "orig",
+            F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])).alias("w"),
+            "cnt",
+        )
+    vocab_map = cur.select("orig", F.length("w").cast("bigint").alias("n_tok"))
+    return (
+        words.join(vocab_map, words.w == vocab_map.orig)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.length(words.w)).cast("bigint").alias("n_units_char"),
+            F.sum("n_tok").cast("bigint").alias("n_units_bpe"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def chunk_dup_groups(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
     """Cross-document shared training windows: chunk every doc
     (chunk_windows) and group by window content hash, keeping hashes that

@@ -630,3 +630,29 @@ def ivf_recall_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_hit") / 10.0), 4).alias("avg_recall_at_10"),
         F.count(F.lit(1)).cast("bigint").alias("n_queries"),
     )
+
+
+@register(
+    "train_test_split",
+    """
+    WITH k AS (
+      SELECT doc_id, md5(lower(text) || ':split') AS key FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substr(key, 1, 8))::BIGINT % 100 AS bucket,
+           CASE WHEN ('0x' || substr(key, 1, 8))::BIGINT % 100 < 10
+                THEN 'test' ELSE 'train' END AS split
+    FROM k ORDER BY doc_id
+    """,
+    doc=(
+        "Leakage-safe deterministic train/test split: buckets key on the "
+        "salted md5 of the CONTENT, not the doc id, so exact duplicates "
+        "land on the same side (a dup straddling the split inflates "
+        "held-out metrics). Pure map-side hash, zero shuffles, "
+        "reproducible across engines/retries/cluster sizes."
+    ),
+)
+def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import train_test_split
+
+    return train_test_split(table(spark, sf_dir, "documents"), test_pct=10, salt="split")

@@ -431,3 +431,63 @@ def mix_budget_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(prob, 4).alias("sample_prob"),
         F.round(prob * F.col("tokens"), 4).alias("expected_tokens"),
     ).orderBy("source")
+
+
+def _bpe_apply_sql(n_merges: int = 6) -> str:
+    """Chained-CTE DuckDB twin of operators.text.bpe_apply: v{i} is the
+    vocabulary after i merges; each round recounts pairs, takes the
+    top-1 (count desc, pair asc), and replaces it with that rank's
+    reserved marker — the same unrolled iterative chain the Spark plan
+    compiles."""
+    from yamon_spark.operators.text import BPE_APPLY_MARKERS
+
+    ctes = [
+        f"w AS (SELECT doc_id, unnest({_WORDS_LC}) AS w FROM documents)",
+        "v0 AS (SELECT w AS orig, w, count(*) AS cnt FROM w GROUP BY w)",
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (
+      SELECT unnest(list_transform(range(1, length(w)),
+               k -> substr(w, CAST(k AS INTEGER), 2))) AS pair, cnt
+      FROM v{i} WHERE length(w) >= 2)"""
+        )
+        ctes.append(
+            f"""t{i} AS (
+      SELECT pair FROM (SELECT pair, sum(cnt) AS n FROM p{i} GROUP BY pair) x
+      ORDER BY n DESC, pair LIMIT 1)"""
+        )
+        ctes.append(
+            f"v{i + 1} AS (SELECT orig, replace(w, (SELECT pair FROM t{i}), "
+            f"'{BPE_APPLY_MARKERS[i]}') AS w, cnt FROM v{i})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    m AS (SELECT orig, CAST(length(w) AS BIGINT) AS n_tok FROM v{n_merges})
+    SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w.w)) AS BIGINT) AS n_units_char,
+           CAST(sum(m.n_tok) AS BIGINT) AS n_units_bpe
+    FROM w JOIN m ON w.w = m.orig
+    GROUP BY w.doc_id ORDER BY w.doc_id"""
+    )
+
+
+@register(
+    "bpe_apply",
+    _bpe_apply_sql(6),
+    doc=(
+        "Tokenize with a LEARNED merge table: 6 true BPE training "
+        "iterations (pairs recounted over the merged vocab each round, "
+        "top-1 applied as that rank's marker symbol), then every doc "
+        "encoded against the final merge map — per-doc unit counts "
+        "before/after, the compression the merges buy. Every round is "
+        "vocab-sized with a 1-row merge broadcast; the encode is one "
+        "hash join of exploded words against the |vocab| merge map."
+    ),
+)
+def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import bpe_apply
+
+    return bpe_apply(table(spark, sf_dir, "documents"), n_merges=6)
