@@ -135,3 +135,21 @@ def test_meminfo_empty_input_emits_nothing(spark):
     assert parse_meminfo(empty).count() == 0
     junk = spark.createDataFrame([("notameminfoline",)], "value string")
     assert parse_meminfo(junk).count() == 0
+
+
+def test_snapshot_ts_recovers_any_publish_prefix(spark, tmp_path):
+    """_snapshot_ts must recover the embedded publish millis for EVERY
+    _publish prefix (snap/exec/batch/...), anchored to the basename so a
+    digit-bearing directory name (e.g. .../run-55-x/) can't match first."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from yamon_spark.sources.collectors import _snapshot_ts
+
+    d = tmp_path / "run-55-x"  # adversarial: dir itself matches [a-z]+-\d+-
+    os.makedirs(d)
+    (d / "exec-1714550400123-abcd.jsonl").write_text("hello\n")
+    df = spark.read.text(str(d)).select(_snapshot_ts().alias("ts"))
+    (ts,) = df.collect()[0]
+    assert ts.year == 2024 and ts.month == 5  # 1714550400123 = 2024-05-01 UTC

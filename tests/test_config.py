@@ -212,3 +212,60 @@ def test_cli_agent_config_gates_real_tick(tmp_path):
     srcs = {json.loads(line)["source"] for line in open(path)}
     assert srcs <= set(plan["sources"])  # nothing outside the gated set
     assert "cpu" in srcs
+
+
+# ---- property: render(dict) -> parse_hcl -> same dict ----------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_scalar = st.one_of(
+    st.integers(min_value=-10**9, max_value=10**9),
+    st.booleans(),
+    st.text(alphabet=st.characters(blacklist_characters='"\\', blacklist_categories=("Cs", "Cc")), max_size=20),
+)
+_value = st.one_of(
+    _scalar,
+    st.lists(_scalar, max_size=4),
+    st.dictionaries(_ident, _scalar, max_size=4),
+)
+
+
+def _render_value(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, list):
+        return "[" + ", ".join(_render_value(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{ " + ", ".join(f'"{k}" : {_render_value(x)}' for k, x in v.items()) + " }"
+    raise TypeError(type(v))
+
+
+@settings(max_examples=200, deadline=None)
+@given(doc=st.dictionaries(_ident, _value, max_size=6))
+def test_hcl_attribute_roundtrip(doc):
+    text = "\n".join(f"{k} = {_render_value(v)}" for k, v in doc.items())
+    assert parse_hcl(text) == doc
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    blocks=st.lists(
+        st.tuples(_ident, st.text(alphabet="abcdef-._/", min_size=1, max_size=10),
+                  st.dictionaries(_ident, _scalar, max_size=3)),
+        max_size=4,
+    )
+)
+def test_hcl_labeled_block_roundtrip(blocks):
+    parts = []
+    expected: dict = {}
+    for btype, label, attrs in blocks:
+        body = "\n".join(f"  {k} = {_render_value(v)}" for k, v in attrs.items())
+        parts.append(f'{btype} "{label}" {{\n{body}\n}}')
+        expected.setdefault(btype, []).append({**attrs, "_label": label})
+    assert parse_hcl("\n".join(parts)) == expected

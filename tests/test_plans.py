@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sim_cascade_recall",  # same cascade broadcasts (both rankings)
     "hard_negative_mining",  # broadcast of the bounded query-vector batch
     "bpe_merge_step",  # broadcast of the ONE top-pair row
+    "bpe_apply",  # six 1-row top-merge broadcasts (one per training round)
     "vocab_growth",  # broadcast of the ONE max-doc-id row
     "sim_ivfpq_topk",  # 1-row cell probe + query vector broadcasts (pq_topk shape)
     "sim_ivfpq_recall",  # same broadcasts, both rankings

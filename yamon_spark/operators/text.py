@@ -436,6 +436,12 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w").alias("orig"), "w", "cnt")
+        # each round reads `cur` twice (pair recount + merge apply), so
+        # without truncation the plan tree DOUBLES per round (2^n_merges
+        # subtrees / 63 BNL joins at 6 rounds, measured by plan_audit);
+        # eager localCheckpoint materializes the vocab-sized table once
+        # per round — same idiom as dedup_clusters / mmr_topk
+        .localCheckpoint()
     )
     for i in range(n_merges):
         top = (
@@ -444,10 +450,14 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
             .limit(1)
             .select(F.col("pair").alias("top_pair"))
         )
-        cur = cur.crossJoin(F.broadcast(top)).select(
-            "orig",
-            F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])).alias("w"),
-            "cnt",
+        cur = (
+            cur.crossJoin(F.broadcast(top))
+            .select(
+                "orig",
+                F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])).alias("w"),
+                "cnt",
+            )
+            .localCheckpoint()
         )
     vocab_map = cur.select("orig", F.length("w").cast("bigint").alias("n_tok"))
     return (

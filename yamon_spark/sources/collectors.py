@@ -63,8 +63,10 @@ def _snapshot_ts() -> Column:
     without threading a column through its selects; non-file inputs
     (createDataFrame tests) fall back to processing time."""
     # any _publish-landed prefix ('snap', 'exec', 'batch', ...) embeds its
-    # publish millis as <prefix>-<ms>-<uuid>; match them all, not just snap
-    ms = F.regexp_extract(F.input_file_name(), r"[a-z]+-(\d+)-", 1)
+    # publish millis as <prefix>-<ms>-<uuid>; match them all, not just
+    # snap — anchored to the LAST path segment so a digit-bearing
+    # directory name earlier in the path can never match first
+    ms = F.regexp_extract(F.input_file_name(), r"/[a-z]+-(\d+)-[^/]*$", 1)
     return F.coalesce(F.timestamp_millis(ms.try_cast("long")), F.current_timestamp())
 
 
