@@ -185,30 +185,15 @@ def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) ->
     return hashed.groupBy("doc_id", "n_sh").agg(*aggs)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame,
-    ngram: int = 3,
-    num_hashes: int = 16,
-    band_size: int = 4,
-    threshold: float = 0.5,
-    max_broadcast_candidates: int = 2_000_000,
-) -> DataFrame:
-    """MinHash+LSH candidate generation with exact-Jaccard verification.
-
-    bands = num_hashes / band_size; candidate pairs share at least one
-    band key (md5 of the band's concatenated signature values in seed
-    order); survivors have exact shingle-Jaccard >= threshold. The band
-    bucket grouping is the 100 TB path: candidates are generated per
-    bucket, never across the full corpus.
+def _lsh_candidate_pairs(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs sharing at least one LSH band key.
 
     Candidates come from a posting-list expansion (groupBy band key →
     sorted doc list → 2-combination explode), NOT a self-join: a
     self-join of the derived band_rows plan made Spark compute the whole
     signature pipeline twice (no exchange reuse across the join sides —
     measured ~2x the stage time), and shuffled the band table twice.
-    The groupBy computes signatures once and shuffles once.
-    """
-    sigs = minhash_signatures(docs, ngram, num_hashes)
+    The groupBy computes signatures once and shuffles once."""
     n_bands = num_hashes // band_size
     band_key_cols = [
         F.md5(
@@ -233,10 +218,37 @@ def minhash_lsh_pairs(
     # doc_a < doc_b by construction); distinct collapses pairs that agree
     # on multiple bands
     lvl1 = buckets.select("docs", F.posexplode("docs").alias("i", "doc_a"))
-    cand = (
+    return (
         lvl1.select("doc_a", F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_broadcast_candidates: int = 2_000_000,
+) -> DataFrame:
+    """MinHash+LSH candidate generation with exact-Jaccard verification.
+
+    bands = num_hashes / band_size; candidate pairs share at least one
+    band key (md5 of the band's concatenated signature values in seed
+    order); survivors have exact shingle-Jaccard >= threshold. The band
+    bucket grouping is the 100 TB path: candidates are generated per
+    bucket, never across the full corpus.
+
+    Candidates come from a posting-list expansion (groupBy band key →
+    sorted doc list → 2-combination explode), NOT a self-join: a
+    self-join of the derived band_rows plan made Spark compute the whole
+    signature pipeline twice (no exchange reuse across the join sides —
+    measured ~2x the stage time), and shuffled the band table twice.
+    The groupBy computes signatures once and shuffles once.
+    """
+    sigs = minhash_signatures(docs, ngram, num_hashes)
+    cand = _lsh_candidate_pairs(sigs, num_hashes, band_size)
     # exact-Jaccard verification restricted to candidates: filter the RAW
     # docs to the candidate set BEFORE shingling, so the corpus is
     # tokenized once (for signatures), not twice; then expand pair counts
@@ -266,6 +278,61 @@ def minhash_lsh_pairs(
         inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_estimate_error(
+    docs: DataFrame, ngram: int = 3, num_hashes: int = 16, band_size: int = 4
+) -> DataFrame:
+    """Accuracy gate for the MinHash sketch itself: over the LSH
+    candidate pairs, compare the SKETCH-estimated Jaccard (fraction of
+    equal signature components) against the exact shingle Jaccard, and
+    report the error distribution — the measure-don't-guess gate the ANN
+    shelf ships per index (sim_*_recall), applied to the dedup family's
+    own estimator. A pipeline owner reads one row: how much does
+    trusting 16 hashes instead of exact set intersection cost here?
+
+    Output (1 row): n_pairs, mean_abs_err, max_abs_err. est_j = n/16 is
+    an exact binary fraction; exact_j is one int/int IEEE division;
+    band-collision pairs with NO shared shingle get exact_j = 0 via the
+    left join (their estimate error is genuinely est_j - 0).
+
+    Scale shape: signatures computed once (localCheckpoint — read by
+    both the candidate explode and the two signature joins); candidates
+    are bucket-bounded (never all-pairs); exact verification shingles
+    only the candidate docs."""
+    sigs = minhash_signatures(docs, ngram, num_hashes).localCheckpoint()
+    cand = _lsh_candidate_pairs(sigs, num_hashes, band_size)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig_{i}").alias(f"b_{i}") for i in range(num_hashes)]
+    )
+    eq = sum(
+        (F.col(f"a_{i}") == F.col(f"b_{i}")).cast("int") for i in range(num_hashes)
+    )
+    est = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", (eq.cast("double") / num_hashes).alias("est_j"))
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = shingle_table(docs.join(F.broadcast(cand_docs), "doc_id"), ngram)
+    inter = _pair_counts(sh_c)
+    jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    exact = inter.select("doc_a", "doc_b", jacc.alias("exact_j"))
+    joined = est.join(exact, ["doc_a", "doc_b"], "left").select(
+        F.abs(F.col("est_j") - F.coalesce(F.col("exact_j"), F.lit(0.0))).alias("abs_err")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("abs_err"), 4).alias("mean_abs_err"),
+        F.round(F.max("abs_err"), 4).alias("max_abs_err"),
     )
 
 

@@ -748,3 +748,74 @@ def multimodal_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wins = audio_windows(attach_binary(table(spark, sf_dir, "documents")), win=64, hop=32)
     return wins.orderBy("doc_id", "win_idx")
+
+
+def _minhash_err_oracle(num_hashes: int = 16) -> str:
+    eq = " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return (
+        "WITH "
+        + _shingle_cte(3)
+        + f"""
+    , hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    )
+    , sigt AS (SELECT doc_id, {{sig}} FROM hashed GROUP BY doc_id)
+    , bkt AS (SELECT doc_id, {{bk}} FROM sigt)
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bkt a JOIN bkt b
+        ON a.doc_id < b.doc_id
+       AND (a.bk_0 = b.bk_0 OR a.bk_1 = b.bk_1 OR a.bk_2 = b.bk_2 OR a.bk_3 = b.bk_3)
+    )
+    , est AS (
+      SELECT c.doc_a, c.doc_b, ({eq}) / {num_hashes}.0 AS est_j
+      FROM cand c JOIN sigt a ON a.doc_id = c.doc_a JOIN sigt b ON b.doc_id = c.doc_b
+    )
+    , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+    , inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    , ex AS (
+      SELECT i.doc_a, i.doc_b,
+             CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS exact_j
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+    )
+    , err AS (
+      SELECT abs(e.est_j - coalesce(x.exact_j, 0)) AS abs_err
+      FROM est e LEFT JOIN ex x USING (doc_a, doc_b)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(abs_err), 4) AS mean_abs_err,
+           round(max(abs_err), 4) AS max_abs_err
+    FROM err
+    """
+    ).format(sig=_SIG_SQL, bk=_BK_SQL)
+
+
+@register(
+    "dedup_minhash_err",
+    _minhash_err_oracle(16),
+    doc=(
+        "Accuracy gate for the MinHash sketch: over the LSH candidate "
+        "pairs, |sketch-estimated Jaccard (equal-signature fraction) - "
+        "exact shingle Jaccard| as mean/max — the recall-gate pattern "
+        "the ANN shelf uses, applied to the dedup family's estimator. "
+        "Band-collision pairs with no shared shingle count against the "
+        "estimate (exact = 0). Signatures computed once; candidates "
+        "bucket-bounded; exact pass shingles only candidate docs."
+    ),
+)
+def minhash_err_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import minhash_estimate_error
+
+    return minhash_estimate_error(table(spark, sf_dir, "documents"), ngram=3, num_hashes=16, band_size=4)
