@@ -29,6 +29,18 @@ def _run(spark, tmp_path):
     q.awaitTermination()
 
 
+def _bucket_of(spark, text: str) -> int:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import split_bucket_col
+
+    return (
+        spark.createDataFrame([(text,)], "text string")
+        .select(split_bucket_col(F.col("text")).alias("b"))
+        .first()["b"]
+    )
+
+
 def test_corpus_pipeline_gates_dedups_scrubs(spark, tmp_path):
     _land(
         tmp_path / "landing",
@@ -49,6 +61,13 @@ def test_corpus_pipeline_gates_dedups_scrubs(spark, tmp_path):
     assert set(rows) == {1, 4}  # 2 deduped, 3 quality-gated, bad line dropped
     assert rows[4]["n_email"] == 1 and "<EMAIL>" in rows[4]["text"]
     assert rows[1]["text"] == GOOD
+    # leakage-safe split stamped at ingest: same content-hash formula as
+    # the batch train_test_split, computed over the SCRUBBED text
+    from yamon_spark.operators.curation import split_bucket_col
+
+    for r in rows.values():
+        expected = "test" if _bucket_of(spark, r["text"]) < 10 else "train"
+        assert r["split"] == expected
     # partition layout: lang + date directories exist
     # idempotent-replay layout: each micro-batch owns its ingest_epoch
     # partition, with (lang, date) nested under it

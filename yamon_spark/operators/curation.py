@@ -526,6 +526,15 @@ def corpus_shuffle(docs: DataFrame, n_shards: int = 8, salt: str = "42") -> Data
     )
 
 
+def split_bucket_col(text: Column, salt: str = "split") -> Column:
+    """The train/test bucket (0-99) for a content string: first 8 hex of
+    salted md5, mod 100 — the ONE formula shared by the batch operator
+    and the streaming corpus stamp, so batch and live splits can never
+    desynchronize."""
+    key = F.md5(F.concat(F.lower(text), F.lit(":" + salt)))
+    return F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 100
+
+
 def train_test_split(docs: DataFrame, test_pct: int = 10, salt: str = "split") -> DataFrame:
     """Leakage-safe deterministic train/test split: the bucket key is the
     md5 of the CONTENT (lower-cased text, salted), not the doc id, so an
@@ -537,8 +546,7 @@ def train_test_split(docs: DataFrame, test_pct: int = 10, salt: str = "split") -
     Scale shape: pure map-side projection — one hash per row, zero
     shuffles; the split is a column, not a data movement (writers
     partitionBy('split') downstream if they want physical separation)."""
-    key = F.md5(F.concat(F.lower(F.col("text")), F.lit(":" + salt)))
-    bucket = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint") % 100
+    bucket = split_bucket_col(F.col("text"), salt)
     return (
         docs.select(
             "doc_id",

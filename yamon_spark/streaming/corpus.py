@@ -107,6 +107,8 @@ def start_corpus_pipeline(
             scrubbed = pii_scrub(kept, ordered=False).select(
                 "doc_id", "text_scrubbed", "n_email", "n_ip", "n_id", "n_phone"
             )
+            from yamon_spark.operators.curation import split_bucket_col
+
             (
                 kept.join(scrubbed, "doc_id")
                 .withColumn("date", F.to_date("when"))
@@ -114,6 +116,16 @@ def start_corpus_pipeline(
                 .withColumnRenamed("text_scrubbed", "text")
                 # n_chars describes the text the corpus actually carries
                 .withColumn("n_chars", F.length("text").cast("bigint"))
+                # leakage-safe split stamped at ingest over the text the
+                # trainer will actually read (scrubbed), via the SAME
+                # content-hash formula as the batch train_test_split —
+                # exact duplicates land on the same side, live or batch
+                .withColumn(
+                    "split",
+                    F.when(split_bucket_col(F.col("text")) < 10, F.lit("test")).otherwise(
+                        F.lit("train")
+                    ),
+                )
                 .withColumn("ingest_epoch", F.lit(epoch))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
