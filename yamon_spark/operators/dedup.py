@@ -282,7 +282,11 @@ def minhash_lsh_pairs(
 
 
 def minhash_estimate_error(
-    docs: DataFrame, ngram: int = 3, num_hashes: int = 16, band_size: int = 4
+    docs: DataFrame,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    max_broadcast_candidates: int = 2_000_000,
 ) -> DataFrame:
     """Accuracy gate for the MinHash sketch itself: over the LSH
     candidate pairs, compare the SKETCH-estimated Jaccard (fraction of
@@ -302,7 +306,12 @@ def minhash_estimate_error(
     are bucket-bounded (never all-pairs); exact verification shingles
     only the candidate docs."""
     sigs = minhash_signatures(docs, ngram, num_hashes).localCheckpoint()
-    cand = _lsh_candidate_pairs(sigs, num_hashes, band_size)
+    # same degenerate-banding guard as minhash_lsh_pairs: candidates are
+    # bucket-bounded under sane banding, but a near-identical corpus can
+    # blow them toward O(corpus) — fall back to shuffle joins there
+    cand = _lsh_candidate_pairs(sigs, num_hashes, band_size).persist()
+    small = cand.count() <= max_broadcast_candidates
+    hint = F.broadcast if small else (lambda df: df)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"sig_{i}").alias(f"a_{i}") for i in range(num_hashes)]
     )
@@ -322,7 +331,7 @@ def minhash_estimate_error(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_c = shingle_table(docs.join(F.broadcast(cand_docs), "doc_id"), ngram)
+    sh_c = shingle_table(docs.join(hint(cand_docs), "doc_id"), ngram)
     inter = _pair_counts(sh_c)
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     exact = inter.select("doc_a", "doc_b", jacc.alias("exact_j"))

@@ -127,7 +127,13 @@ def decode_png(b: bytes) -> tuple[int, int, int]:
         off += 12 + length
     if width is None or not seen_iend or off != len(b):
         raise ValueError("PNG missing IHDR/IEND or trailing garbage")
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        # normalize to the decoder contract: EVERY malformed input raises
+        # ValueError, so decode_media's Pillow fallback (which catches
+        # ValueError only) is reachable for corrupt-deflate payloads too
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
     if len(raw) != (width + 1) * height:
         raise ValueError("PNG scanline data has wrong length")
     prev, total = bytearray(width), 0
