@@ -259,3 +259,31 @@ def test_mix_budget_plan_caps_and_conserves(spark):
         assert abs(r.expected_tokens - r.sample_prob * r.tokens) < 0.51
     # temperature shares form a distribution
     assert abs(sum(r.temp_share for r in rows) - 1.0) < 0.01
+
+
+def test_simhash_hamming_pairs_semantics(spark):
+    """Identical docs pair at Hamming 0; a doc with a disjoint vocabulary
+    pairs with nothing; every emitted pair is within the ball and ordered
+    doc_a < doc_b."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.dedup import simhash, simhash_hamming_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (2, "qq ww ee rr tt yy uu ii oo pp"),  # disjoint vocab
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_hamming_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 0  # identical text -> identical fingerprint
+    assert all(a < b for a, b in pairs)  # pair direction fixed
+    assert all(h <= 2 for h in pairs.values())  # inside the declared ball
+    # the ball membership matches the fingerprints exactly
+    fps = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    for (a, b), h in pairs.items():
+        assert bin(fps[a] ^ fps[b]).count("1") == h
+    for a in fps:
+        for b in fps:
+            if a < b and bin(fps[a] ^ fps[b]).count("1") <= 2:
+                assert (a, b) in pairs  # no ball member missed

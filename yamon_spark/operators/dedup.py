@@ -376,6 +376,72 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     return votes.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
 
 
+def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup PAIRS: every doc pair whose fingerprints are
+    within max_hamming bits (Manku et al. 2007 web-dedup shape — SimHash
+    fingerprints, then Hamming-ball matching). Completes the SimHash
+    story the way LSH banding completes MinHash's: `simhash` emits the
+    fingerprints, this finds the neighbors. 32 bits / Hamming<=2 is the
+    honest operating point for this corpus: at 16 bits the space is so
+    coarse that ~30% of ALL pairs land within 3 bits (measured 3.85M
+    pairs at sf0.1) — matches become vocabulary noise, not duplication.
+
+    Scale shape — the naive plans both fail at 100 TB (all-pairs is
+    quadratic; short band-buckets are corpus/2^4-sized, so bucket combos
+    are quadratic too). Instead candidates come from the
+    DISTINCT-fingerprint table: each distinct fp expands to its
+    C(bits,1..max_hamming) XOR-mask neighbors (528 masks at 32/2) and
+    hash-joins back against the distinct table — |distinct fps| x masks
+    rows, linear in the distinct-fingerprint count with a small constant
+    (and capped by 2^bits absolutely); the final doc-level fan-out is
+    bounded by true duplication structure (same bound every dedup op
+    has). Hamming is integer-exact (bit_count of XOR) — no rounding
+    contract needed."""
+    from itertools import combinations
+
+    fps = simhash(docs, bits)
+    # combinatorial mask generation — NOT a 2^bits scan (range(2^32) at
+    # call time is a 4-billion-iteration hang)
+    masks = [
+        sum(1 << i for i in pos)
+        for r in range(1, max_hamming + 1)
+        for pos in combinations(range(bits), r)
+    ]
+    d = fps.select(F.col("simhash").alias("fa")).distinct()
+    # neighbor expansion over the DISTINCT fp table; fb > fa halves the
+    # space and fixes pair direction at the fp level
+    nb = (
+        d.select("fa", F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"))
+        .select("fa", F.col("fa").bitwiseXOR(F.col("m")).alias("fb"))
+        .where(F.col("fb") > F.col("fa"))
+    )
+    fpp = nb.join(d.select(F.col("fa").alias("fb")), "fb")  # neighbors that exist
+    a = fps.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("fa"))
+    b = fps.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("fb"))
+    cross = (
+        fpp.join(a, "fa")
+        .join(b, "fb")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int").alias("hamming"),
+        )
+    )
+    # hamming-0 pairs: docs sharing a fingerprint — posting-list combos,
+    # bounded by real dup-group sizes (the exact-dedup bound)
+    groups = (
+        fps.groupBy("simhash")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    lvl1 = groups.select("docs", F.posexplode("docs").alias("i", "doc_a"))
+    same = lvl1.select(
+        "doc_a",
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+    ).select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")
+
+
 def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataFrame:
     """Cross-document repeated-substring detection — the exact-substring
     dedup signal ("Deduplicating Training Data Makes Language Models

@@ -144,7 +144,9 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_cte(bits: int = 16) -> str:
+    """CTE chain ending in `sims(doc_id, simhash)` — shared by the
+    fingerprint oracle and the Hamming-pairs oracle."""
     bit_exprs = []
     for j in range(bits):
         nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
@@ -152,15 +154,19 @@ def _simhash_oracle(bits: int = 16) -> str:
         bit_exprs.append(f"sum({bit} * 2 - 1) AS b{j}")
     fp_terms = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (bits - 1 - j)} ELSE 0 END" for j in range(bits))
     return f"""
-    WITH wrds AS (
+    wrds AS (
       SELECT doc_id, unnest(list_distinct({_WORDS})) AS word FROM documents
     ), hashed AS (
       SELECT doc_id, md5(word) AS h FROM wrds
     ), votes AS (
       SELECT doc_id, {", ".join(bit_exprs)} FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes ORDER BY doc_id
-    """
+    ), sims AS (
+      SELECT doc_id, CAST({fp_terms} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"WITH {_simhash_cte(bits)} SELECT doc_id, simhash FROM sims ORDER BY doc_id"
 
 
 @register(
@@ -819,3 +825,55 @@ def minhash_err_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.dedup import minhash_estimate_error
 
     return minhash_estimate_error(table(spark, sf_dir, "documents"), ngram=3, num_hashes=16, band_size=4)
+
+
+def _simhash_pairs_oracle(bits: int = 16, max_hamming: int = 3) -> str:
+    from itertools import combinations
+
+    masks = [
+        sum(1 << i for i in pos)
+        for r in range(1, max_hamming + 1)
+        for pos in combinations(range(bits), r)
+    ]
+    return f"""
+    WITH {_simhash_cte(bits)},
+    d AS (SELECT DISTINCT simhash AS fa FROM sims),
+    nb AS (
+      SELECT fa, xor(fa, m) AS fb
+      FROM d, unnest([{", ".join(map(str, masks))}]) t(m)
+      WHERE xor(fa, m) > fa
+    ),
+    fpp AS (SELECT nb.fa, nb.fb FROM nb JOIN d d2 ON d2.fa = nb.fb),
+    cross_p AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(bit_count(xor(p.fa, p.fb)) AS INT) AS hamming
+      FROM fpp p JOIN sims a ON a.simhash = p.fa JOIN sims b ON b.simhash = p.fb
+    ),
+    same_p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+      FROM sims a JOIN sims b ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT * FROM cross_p UNION ALL SELECT * FROM same_p
+    ) ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(32, 2),
+    doc=(
+        "SimHash near-dup pairs within Hamming<=2 over 32-bit "
+        "fingerprints (Manku-style web dedup): candidates from the "
+        "DISTINCT-fingerprint table expanded through the 528 XOR-mask "
+        "neighbors and hash-joined back — |distinct fps| x 528 rows, "
+        "linear with a small constant (all-pairs and short band-buckets "
+        "are both quadratic); doc fan-out bounded by true duplication. "
+        "Integer-exact, no rounding contract."
+    ),
+)
+def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(table(spark, sf_dir, "documents"), bits=32, max_hamming=2)
