@@ -60,6 +60,8 @@ BNLJ_OK = {
     "sim_ivfpq_topk",  # 1-row cell probe + query vector broadcasts (pq_topk shape)
     "sim_ivfpq_recall",  # same broadcasts, both rankings
     "embed_label_metrics",  # broadcast of the ONE global-centroid row
+    "embed_kmeans",  # broadcast of the <=k-row centroid table each round
+    "embed_pca_power",  # broadcast mean-row + d-element iterate vector rounds
 }
 
 

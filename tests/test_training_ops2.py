@@ -287,3 +287,36 @@ def test_simhash_hamming_pairs_semantics(spark):
         for b in fps:
             if a < b and bin(fps[a] ^ fps[b]).count("1") <= 2:
                 assert (a, b) in pairs  # no ball member missed
+
+
+def test_embedding_kmeans_separates_blobs(spark):
+    """Two well-separated blobs with k=2: Lloyd assigns each blob to one
+    cluster regardless of the (deliberately bad) lowest-vec_id init that
+    starts both centroids inside blob A; populations and near-zero
+    within-cluster spread confirm convergence in 3 rounds."""
+    from yamon_spark.operators.similarity import embedding_kmeans
+
+    blob_a = [[0.0 + i * 0.01, 0.0] for i in range(6)]
+    blob_b = [[10.0 + i * 0.01, 10.0] for i in range(6)]
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(blob_a + blob_b)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = embedding_kmeans(emb, k=2, iters=3).collect()
+    assert sorted(r.n_vecs for r in out) == [6, 6]
+    assert all(r.avg_sqdist < 0.01 for r in out)  # tight within-blob spread
+    # deterministic: a second run returns identical rows
+    again = embedding_kmeans(emb, k=2, iters=3).collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+
+def test_embedding_pca_power_finds_dominant_axis(spark):
+    """Variance concentrated on axis 0 (spread -5..5) with tiny axis-1
+    jitter: after 3 power rounds the top loading is ~unit on dim 0 and
+    near-zero on dim 1, and the vector is unit-norm."""
+    from yamon_spark.operators.similarity import embedding_pca_power
+
+    rows = [(i, [float(i - 5), 0.01 * (i % 3)], 0) for i in range(11)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.dim: r.loading for r in embedding_pca_power(emb, dim=2, iters=3).collect()}
+    assert abs(out[0]) > 0.99
+    assert abs(out[1]) < 0.1
+    assert abs(out[0] ** 2 + out[1] ** 2 - 1.0) < 0.01

@@ -166,6 +166,142 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
+    """Unsupervised Lloyd's k-means over the embedding column, unrolled
+    to a FIXED iteration count — the iterative algorithm the ANN shelf
+    trains its coarse quantizers with (IVF cells are k-means cells), here
+    exposed as a first-class clustering report: per-cluster population
+    and mean squared distance (inertia/n) after `iters` rounds.
+
+    Determinism contract (what makes an iterative float algorithm
+    oracle-matchable): (1) init = the k lowest-vec_id vectors, components
+    rounded to 4dp; (2) every updated centroid component is
+    round(avg, 4) BEFORE the next assignment, so cross-partition sum
+    order cannot leak into the next round's argmin; (3) distances are
+    sequential left-folds over (x-c)*(x-c) (bit-exact vs DuckDB's
+    list_reduce); (4) argmin ties break on lowest cluster id via
+    row_number ordered (dist, cluster). Output avg_sqdist rounds at 4dp.
+
+    100 TB shape: each iteration is ONE full scan — distances against a
+    broadcast ≤k-row centroid table (crossJoin of a k-row side), argmin
+    per vector via a vec_id-partitioned window, then a map-side-combined
+    (cluster, dim) avg — exactly Spark MLlib KMeans' per-step cost. No
+    collect: centroids stay DataFrames end to end; `iters` bounds plan
+    depth. Empty clusters simply drop out (documented Lloyd behavior)."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    # init: k lowest vec_ids, cluster id = rank in that order, 4dp
+    w_init = Window.orderBy("vec_id")
+    cent = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w_init) - 1).alias("cluster"),
+            F.transform("e", lambda x: F.round(x, 4)).alias("carr"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        d = F.aggregate(
+            F.zip_with("e", "carr", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = emb.crossJoin(F.broadcast(cent)).withColumn("dist", d)
+        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
+        assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        cent = (
+            assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.round(F.avg("v"), 4).alias("cv"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+                ).alias("carr")
+            )
+        )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.round(F.avg("dist"), 4).alias("avg_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def embedding_pca_power(embeddings: DataFrame, dim: int = 64, iters: int = 3) -> DataFrame:
+    """Top principal direction of the embedding cloud via power
+    iteration on the centered Gram matrix — the embedding-health
+    companion to `embedding_kmeans` (a collapsed corpus shows one
+    dominant direction; anisotropy is the standard embedding pathology).
+    Returns (dim, loading): the unit-norm first eigenvector, 4dp.
+
+    Determinism: per-dim means round at 4dp before centering; Gram cells
+    G[i,j] = sum over vectors of centered products round at 4dp (the one
+    cross-partition float sum); every mat-vec dot and the norm fold are
+    SEQUENTIAL left-folds over arrays sorted by dim (bit-exact vs
+    DuckDB); the iterate re-rounds to 4dp per round. v0 = 1/sqrt(d)
+    uniform (exact for d a power of four at 4dp: 0.125 for d=64).
+
+    100 TB shape: ONE scan builds the d*d Gram via per-row outer
+    products map-side-combined into d^2 cells (d=64 -> 4096 cells);
+    the power rounds then touch only those 4096 rows + a d-element
+    broadcast vector — driver-free, cost independent of corpus size.
+    This is the standard big-data tall-skinny PCA decomposition (compute
+    A'A distributed, eigen-solve the tiny Gram locally — here the local
+    solve is itself expressed as bounded DataFrame rounds)."""
+    emb = embeddings.select(F.transform("embedding", lambda x: x.cast("double")).alias("e"))
+    dims = emb.select(F.posexplode("e").alias("i", "v"))
+    means = (
+        dims.groupBy("i")
+        .agg(F.round(F.avg("v"), 4).alias("mu"))
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mu"))), lambda s: s["mu"]
+            ).alias("mu_arr")
+        )
+    )
+    centered = emb.crossJoin(F.broadcast(means)).select(
+        F.zip_with("e", "mu_arr", lambda x, m: x - m).alias("c")
+    )
+    # outer product cells: explode i, keep the full centered array, explode j
+    cells = (
+        centered.select(F.posexplode("c").alias("i", "ci"), F.col("c"))
+        .select("i", "ci", F.posexplode("c").alias("j", "cj"))
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("ci") * F.col("cj")), 4).alias("g"))
+    )
+    grows = cells.groupBy("i").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("j", "g"))), lambda s: s["g"]).alias(
+            "garr"
+        )
+    )
+    v = emb.sparkSession.range(1).select(
+        F.array_repeat(F.round(F.lit(1.0 / dim**0.5), 4), dim).alias("varr")
+    )
+    for _ in range(iters):
+        gv = grows.crossJoin(F.broadcast(v)).select(
+            "i",
+            F.aggregate(
+                F.zip_with("garr", "varr", lambda g, x: g * x), F.lit(0.0), lambda a, x: a + x
+            ).alias("s"),
+        )
+        v = gv.groupBy().agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("i", "s"))), lambda t: t["s"]).alias(
+                "sarr"
+            )
+        )
+        nrm = F.sqrt(F.aggregate(F.transform("sarr", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        v = v.select(F.transform("sarr", lambda x: F.round(x / nrm, 4)).alias("varr"))
+    return v.select(F.posexplode("varr").alias("dim", "loading")).orderBy("dim")
+
+
 def embedding_norm_stats(embeddings: DataFrame) -> DataFrame:
     """Per-label L2-norm distribution (embedding-health check before
     similarity runs): per-row norms are sequential folds (bit-exact both

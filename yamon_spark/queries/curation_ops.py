@@ -656,3 +656,132 @@ def train_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import train_test_split
 
     return train_test_split(table(spark, sf_dir, "documents"), test_pct=10, salt="split")
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd CTE chain mirroring operators.similarity.
+    embedding_kmeans's determinism contract: 4dp-rounded centroids
+    between rounds, sequential-fold squared distances, (dist, cluster)
+    row_number argmin."""
+    sqdist = (
+        "list_reduce(list_transform(range(1, {d}), "
+        "i -> (v.e[i] - c.carr[i]) * (v.e[i] - c.carr[i])), (a, b) -> a + b)"
+    ).format(d=dim + 1)
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+             list_transform(e, x -> round(x, 4)) AS carr
+      FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+      SELECT vec_id, e, cluster, dist FROM (
+        SELECT s.*, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+        FROM (
+          SELECT v.vec_id, v.e, c.cluster, {sqdist} AS dist
+          FROM e v CROSS JOIN c{it - 1} c
+        ) s
+      ) WHERE rn = 1
+    )""")
+        if it < iters:
+            parts.append(f"""c{it} AS (
+      SELECT cluster, list(cv ORDER BY dim) AS carr FROM (
+        SELECT cluster, d AS dim, round(avg(e[d]), 4) AS cv
+        FROM a{it}, range(1, {dim + 1}) t(d)
+        GROUP BY cluster, d
+      ) GROUP BY cluster
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs, round(avg(dist), 4) AS avg_sqdist
+    FROM a{iters} GROUP BY cluster ORDER BY cluster
+    """
+    )
+
+
+@register(
+    "embed_kmeans",
+    _kmeans_oracle(8, 3, 64),
+    doc=(
+        "Unsupervised Lloyd's k-means over embeddings, unrolled to 3 "
+        "iterations (the coarse-quantizer trainer behind the IVF cells): "
+        "per-cluster population and mean squared distance. Each round is "
+        "one scan against a broadcast <=k-row centroid table with a "
+        "map-side-combined (cluster, dim) mean — Spark MLlib KMeans' "
+        "per-step cost, no driver collect. 4dp-rounded centroids between "
+        "rounds make the iterative float algorithm oracle-exact."
+    ),
+)
+def embed_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_kmeans
+
+    return embedding_kmeans(table(spark, sf_dir, "embeddings"), k=8, iters=3)
+
+
+def _pca_power_oracle(dim: int = 64, iters: int = 3) -> str:
+    """Unrolled power-iteration CTE chain mirroring operators.similarity.
+    embedding_pca_power: 4dp means/Gram cells/iterates, sequential-fold
+    dots, list ordering by dim."""
+    r = f"range(1, {dim + 1})"
+    v0 = round(1.0 / dim**0.5, 4)  # exact at 4dp for dim=64 (0.125)
+    parts = [
+        "e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e"
+        " FROM embeddings)",
+        f"""mu AS (
+      SELECT list(m ORDER BY i) AS mu_arr FROM (
+        SELECT i, round(avg(e[i]), 4) AS m FROM e, {r} t(i) GROUP BY i
+      )
+    )""",
+        f"c AS (SELECT list_transform({r}, i -> e.e[i] - mu.mu_arr[i]) AS c FROM e, mu)",
+        f"""g AS (
+      SELECT i, j, round(sum(c[i] * c[j]), 4) AS g
+      FROM c, {r} t1(i), {r} t2(j) GROUP BY i, j
+    )""",
+        "gr AS (SELECT i, list(g ORDER BY j) AS garr FROM g GROUP BY i)",
+        f"v0 AS (SELECT list_transform({r}, i -> {v0}) AS varr)",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""s{t} AS (
+      SELECT gr.i, list_reduce(list_transform({r}, k -> gr.garr[k] * v.varr[k]),
+                               (a, b) -> a + b) AS s
+      FROM gr, v{t - 1} v
+    )""")
+        parts.append(f"""v{t} AS (
+      SELECT list_transform(sarr, x -> round(x / nrm, 4)) AS varr FROM (
+        SELECT sarr, sqrt(list_reduce(list_transform(sarr, x -> x * x),
+                                      (a, b) -> a + b)) AS nrm
+        FROM (SELECT list(s ORDER BY i) AS sarr FROM s{t})
+      )
+    )""")
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(i - 1 AS INT) AS dim, varr[i] AS loading
+    FROM v{iters}, {r} t(i) ORDER BY dim
+    """
+    )
+
+
+@register(
+    "embed_pca_power",
+    _pca_power_oracle(64, 3),
+    doc=(
+        "Top principal direction of the embedding cloud: power iteration "
+        "on the centered Gram matrix, unrolled to 3 rounds. One scan "
+        "builds the d*d Gram from per-row outer products (map-side "
+        "combined into 4096 cells); the rounds then touch only those "
+        "cells + a broadcast d-vector — the tall-skinny distributed-PCA "
+        "decomposition, driver-free, round cost independent of corpus "
+        "size. Anisotropy/collapse health check beside embed_kmeans."
+    ),
+)
+def embed_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embedding_pca_power
+
+    return embedding_pca_power(table(spark, sf_dir, "embeddings"), dim=64, iters=3)
