@@ -320,3 +320,30 @@ def test_embedding_pca_power_finds_dominant_axis(spark):
     assert abs(out[0]) > 0.99
     assert abs(out[1]) < 0.1
     assert abs(out[0] ** 2 + out[1] ** 2 - 1.0) < 0.01
+
+
+def test_dedup_incremental_verdicts(spark):
+    """Batch docs (doc_id % 10 == 9): 9 is an exact copy of index doc 1,
+    19 shares most shingles with index doc 2 (band collision -> near),
+    29 has a disjoint vocabulary (unique). Within-batch dups must NOT
+    count: 39 duplicates 29 but neither is in the index."""
+    from yamon_spark.operators.dedup import dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "one two three four five six seven eight nine ten"),
+        (9, base),  # exact dup of index doc 1
+        (19, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # near of 2
+        (29, "zz yy xx ww vv uu tt ss rr qq"),  # unique
+        (39, "zz yy xx ww vv uu tt ss rr qq"),  # dup of 29 — but 29 isn't index
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup_incremental(docs).collect()}
+    assert set(out) == {9, 19, 29, 39}
+    assert out[9].verdict == "exact" and out[9].matched_id == 1
+    assert out[19].verdict == "near" and out[19].matched_id == 2
+    assert out[19].n_bands_hit >= 1
+    assert out[29].verdict == "unique" and out[29].matched_id is None
+    assert out[39].verdict == "unique"  # within-batch dup out of scope

@@ -185,6 +185,27 @@ def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) ->
     return hashed.groupBy("doc_id", "n_sh").agg(*aggs)
 
 
+def _band_rows(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, band_key) rows: each doc unpivoted to its LSH band
+    keys (md5 of the band's concatenated signature values in seed
+    order) — the shared candidate-keying for corpus-wide pair search
+    and incremental batch-vs-index probing."""
+    n_bands = num_hashes // band_size
+    band_key_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig_{b * band_size + j}").cast("string") for j in range(band_size)])
+        ).alias(f"bk_{b}")
+        for b in range(n_bands)
+    ]
+    keyed = sigs.select("doc_id", *band_key_cols)
+    return keyed.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"bk_{b}").alias("band_key")) for b in range(n_bands)])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
 def _lsh_candidate_pairs(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     """(doc_a < doc_b) candidate pairs sharing at least one LSH band key.
 
@@ -194,21 +215,7 @@ def _lsh_candidate_pairs(sigs: DataFrame, num_hashes: int, band_size: int) -> Da
     signature pipeline twice (no exchange reuse across the join sides —
     measured ~2x the stage time), and shuffled the band table twice.
     The groupBy computes signatures once and shuffles once."""
-    n_bands = num_hashes // band_size
-    band_key_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"sig_{b * band_size + j}").cast("string") for j in range(band_size)])
-        ).alias(f"bk_{b}")
-        for b in range(n_bands)
-    ]
-    keyed = sigs.select("doc_id", *band_key_cols)
-    # unpivot to (doc_id, band, band_key) rows for the bucket grouping
-    band_rows = keyed.select(
-        "doc_id",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"bk_{b}").alias("band_key")) for b in range(n_bands)])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    band_rows = _band_rows(sigs, num_hashes, band_size)
     buckets = (
         band_rows.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
@@ -374,6 +381,80 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)
         fp = term if fp is None else fp + term
     return votes.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
+
+
+def dedup_incremental(
+    docs: DataFrame,
+    batch_mod: int = 10,
+    batch_rem: int = 9,
+    ngram: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """Ingest-time dedup verdict for an incoming batch against the
+    EXISTING corpus — the incremental path a production pipeline runs
+    per landed batch instead of re-deduping 100 TB from scratch. Docs
+    where doc_id % batch_mod == batch_rem are the delta (the batch-
+    membership predicate; in deployment it's simply the new files);
+    everything else is the index. Each delta doc gets:
+
+      verdict 'exact'  — content sha256 already present in the index
+                         (matched_id = lowest matching index doc);
+      verdict 'near'   — not exact, but >=1 MinHash LSH band key
+                         collides with an index doc (matched_id =
+                         lowest colliding index doc);
+      verdict 'unique' — no index collision. n_bands_hit counts the
+                         delta doc's band buckets containing index docs.
+
+    Duplicates WITHIN the batch are out of scope by design (the
+    corpus-wide exact/LSH passes own those); this op answers only "is
+    this new doc already in the corpus".
+
+    100 TB shape: signatures are computed in ONE pass over the union
+    and split by the predicate (in deployment the index side is the
+    PERSISTED signature/digest table appended per batch — never
+    recomputed); both probes are plain hash joins on uniformly
+    distributed keys (sha256 digest / md5 band key) against index sides
+    pre-aggregated to min-doc-per-key, so no broadcast grows with the
+    corpus and no pair space is materialized — per-batch cost is
+    O(batch + colliding buckets)."""
+    is_batch = (F.col("doc_id") % batch_mod) == batch_rem
+    digest = F.sha2(F.col("text").cast("binary"), 256).alias("digest")
+    hashed = docs.select("doc_id", digest)
+    idx_digest = (
+        hashed.where(~is_batch).groupBy("digest").agg(F.min("doc_id").alias("exact_id"))
+    )
+    exact = hashed.where(is_batch).join(idx_digest, "digest", "left").select("doc_id", "exact_id")
+
+    sigs = minhash_signatures(docs, ngram, num_hashes)
+    band_rows = _band_rows(sigs, num_hashes, band_size)
+    idx_b = (
+        band_rows.where(~is_batch)
+        .groupBy("band", "band_key")
+        .agg(F.min("doc_id").alias("idx_min"))
+    )
+    hits = (
+        band_rows.where(is_batch)
+        .join(idx_b, ["band", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bands_hit"),
+            F.min("idx_min").alias("near_id"),
+        )
+    )
+    return (
+        exact.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+            .when(F.col("near_id").isNotNull(), F.lit("near"))
+            .otherwise(F.lit("unique"))
+            .alias("verdict"),
+            F.coalesce("exact_id", "near_id").alias("matched_id"),
+            F.coalesce("n_bands_hit", F.lit(0)).cast("bigint").alias("n_bands_hit"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 2) -> DataFrame:

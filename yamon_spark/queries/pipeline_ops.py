@@ -877,3 +877,67 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.dedup import simhash_hamming_pairs
 
     return simhash_hamming_pairs(table(spark, sf_dir, "documents"), bits=32, max_hamming=2)
+
+
+_INCR_ORACLE = (
+    "WITH "
+    + _shingle_cte(3)
+    + f"""
+    , hashed AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(shingle), 1, 8) AS BIGINT) % 2147483647 AS h
+      FROM sh
+    )
+    , sigt AS (SELECT doc_id, {_SIG_SQL} FROM hashed GROUP BY doc_id)
+    , bkt AS (SELECT doc_id, {_BK_SQL} FROM sigt)
+    , br AS (
+      SELECT doc_id, 0 AS band, bk_0 AS band_key FROM bkt
+      UNION ALL SELECT doc_id, 1, bk_1 FROM bkt
+      UNION ALL SELECT doc_id, 2, bk_2 FROM bkt
+      UNION ALL SELECT doc_id, 3, bk_3 FROM bkt
+    )
+    , dig AS (SELECT doc_id, sha256(text) AS digest FROM documents)
+    , idx_dig AS (
+      SELECT digest, min(doc_id) AS exact_id FROM dig WHERE doc_id % 10 <> 9 GROUP BY digest
+    )
+    , ex AS (
+      SELECT d.doc_id, i.exact_id FROM dig d LEFT JOIN idx_dig i USING (digest)
+      WHERE d.doc_id % 10 = 9
+    )
+    , idx_b AS (
+      SELECT band, band_key, min(doc_id) AS idx_min
+      FROM br WHERE doc_id % 10 <> 9 GROUP BY band, band_key
+    )
+    , hits AS (
+      SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_bands_hit, min(i.idx_min) AS near_id
+      FROM br n JOIN idx_b i ON i.band = n.band AND i.band_key = n.band_key
+      WHERE n.doc_id % 10 = 9 GROUP BY n.doc_id
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+                WHEN h.near_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           coalesce(e.exact_id, h.near_id) AS matched_id,
+           CAST(coalesce(h.n_bands_hit, 0) AS BIGINT) AS n_bands_hit
+    FROM ex e LEFT JOIN hits h USING (doc_id)
+    ORDER BY doc_id
+    """
+)
+
+
+@register(
+    "dedup_incremental",
+    _INCR_ORACLE,
+    doc=(
+        "Ingest-time batch-vs-index dedup verdicts (exact sha256 hit / "
+        "MinHash-LSH band collision / unique) — the incremental path a "
+        "production pipeline runs per landed batch instead of re-deduping "
+        "the whole corpus. Hash joins on uniform digest/band keys against "
+        "min-doc-per-key index aggregates; no broadcast grows with the "
+        "corpus, no pair space materialized."
+    ),
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import dedup_incremental
+
+    return dedup_incremental(table(spark, sf_dir, "documents"), batch_mod=10, batch_rem=9)
