@@ -225,6 +225,61 @@ _SHORT_WHOLE = {
     "embed_label_metrics": "elabel",
     "mix_budget_plan": "budget",
 }
+# r6 tightening: 167 registered queries pushed the encoded line ~150 chars
+# past the cap, so every remaining >=6-char id shrinks to a 2-5-char
+# mnemonic (bijectivity still asserted at emit time; full names always in
+# bench_out.json). Overrides of r4/r5 values are deliberate.
+_SHORT_WHOLE.update({
+    "dedup_simhash_pairs": "shp",
+    "dedup_minhash_err": "mherr",
+    "dedup_incremental": "incr",
+    "multimodal_png_roundtrip": "png",
+    "multimodal_bmp_roundtrip": "bmp",
+    "multimodal_avi_roundtrip": "avi",
+    "multimodal_wav_roundtrip": "wav",
+    "multimodal_meta": "meta",
+    "multimodal_frames": "frm",
+    "embed_pca_power": "pca",
+    "embed_kmeans": "km",
+    "embed_centroids": "cent",
+    "embed_norm_stats": "norm",
+    "train_test_split": "split",
+    "bpe_apply": "bpea",
+    "dedup_funnel": "funl",
+    "text_search": "srch",
+    "dedup_exact": "ddx",
+    "dedup_canonical": "canon",
+    "pq_codes": "pqc",
+    "text_stats": "stats",
+    "dedup_clusters": "clus",
+    "dedup_substring": "sub",
+    "dedup_simhash": "sh16",
+    "dedup_semantic": "sem",
+    "dedup_jaccard": "jac",
+    "text_entropy": "ent",
+    "text_bigrams": "bigr",
+    "text_lang_id": "lang",
+    "text_winnow": "win",
+    "text_repetition": "rep",
+    "text_pii_scrub": "pii",
+    "text_token_count": "tok",
+    "text_bm25": "bm25",
+    "text_pmi": "pmi",
+    "text_fingerprint": "fp",
+    "corpus_profile": "prof",
+    "corpus_shuffle": "shuf",
+    "dedup_minhash_lsh": "mh",
+    "mix_budget_plan": "bud",
+    "quality_logit": "qlog",
+    "lang_id_confusion": "lgc",
+    "embed_label_metrics": "elb",
+    "sim_ivfpq_recall": "ipqr",
+    "sample_stratified": "str",
+    "sample_rebalanced": "reb",
+    "chunk_dup_groups": "chd",
+    "vocab_growth": "vgr",
+    "contamination_ngram": "ctm",
+})
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
     ("sample_", "sp_"), ("embed_", "em_"), ("corpus_", "co_"),
