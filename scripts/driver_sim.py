@@ -84,5 +84,7 @@ for name in sorted(qs):
         fails.append((name, f"mismatch rows {len(sdf)}/{len(odf)} col {c if ok is False else ''}"))
         print(f"FAIL {name}: rows {len(sdf)}/{len(odf)}")
 
-print(f"\n{len(qs) - len(fails)}/{len(qs)} queries pass at {SF}")
+n_run = len([n for n in qs if not ONLY or n in ONLY])
+scope = f" ({len(qs) - n_run} skipped by filter)" if n_run != len(qs) else ""
+print(f"\n{n_run - len(fails)}/{n_run} queries pass at {SF}{scope}")
 sys.exit(1 if fails else 0)

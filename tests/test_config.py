@@ -269,3 +269,19 @@ def test_hcl_labeled_block_roundtrip(blocks):
         parts.append(f'{btype} "{label}" {{\n{body}\n}}')
         expected.setdefault(btype, []).append({**attrs, "_label": label})
     assert parse_hcl("\n".join(parts)) == expected
+
+
+def test_hcl_attribute_block_name_collision_is_loud():
+    import pytest
+
+    from yamon_spark.config import parse_hcl
+
+    with pytest.raises(ValueError, match="duplicate name"):
+        parse_hcl("a = 1\na { x = 2 }")
+    with pytest.raises(ValueError, match="duplicate name"):
+        parse_hcl("a { x = 2 }\na = 1")
+    with pytest.raises(ValueError, match="duplicate name"):
+        parse_hcl("a = 1\na = 2")
+    # repeated BLOCKS of one name stay legal (collector lists etc.)
+    out = parse_hcl('b { x = 1 }\nb { x = 2 }')
+    assert [blk["x"] for blk in out["b"]] == [1, 2]

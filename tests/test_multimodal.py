@@ -358,3 +358,22 @@ def test_audio_windows_real_wav(spark):
     media = spark.createDataFrame([(1, buf.getvalue())], "doc_id bigint, payload binary")
     rows = M.audio_windows(media, win=64, hop=32, decode_stub=False).collect()
     assert len(rows) == 1 and rows[0].rms == 1000.0 and rows[0].n_samples == 64
+
+
+def test_decode_png_short_ihdr_raises_valueerror():
+    """A 12-byte IHDR with a VALID CRC must still raise ValueError (the
+    decoder contract decode_media's fallback relies on), not
+    struct.error."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from yamon_spark.operators.multimodal import decode_png
+
+    data = bytes(12)
+    chunk = struct.pack(">I", 12) + b"IHDR" + data
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF)
+    payload = b"\x89PNG\r\n\x1a\n" + chunk
+    with pytest.raises(ValueError):
+        decode_png(payload)

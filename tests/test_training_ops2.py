@@ -347,3 +347,19 @@ def test_dedup_incremental_verdicts(spark):
     assert out[19].n_bands_hit >= 1
     assert out[29].verdict == "unique" and out[29].matched_id is None
     assert out[39].verdict == "unique"  # within-batch dup out of scope
+
+
+def test_bpe_apply_survives_exhausted_vocabulary(spark):
+    """A corpus of single-character words has NO mergeable pairs: every
+    round's top-1 is empty, and the left-join guard must make rounds
+    no-ops instead of annihilating the vocabulary (the old crossJoin
+    returned zero rows)."""
+    from yamon_spark.operators.text import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c c a")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bpe_apply(docs, n_merges=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n_words == 5 and out[0].n_units_char == 5
+    assert out[0].n_units_bpe == out[0].n_units_char  # nothing merged

@@ -46,9 +46,9 @@ def cmd_serve(args: argparse.Namespace) -> int:
         from yamon_spark.config import load_server_config, server_plan
 
         plan = server_plan(load_server_config(args.config))
-        if host == "127.0.0.1":
+        if host is None:
             host = plan["host"]
-        if port == 0:
+        if port is None:
             port = plan["port"]
         if keys is None:
             keys = plan["keys"]
@@ -58,6 +58,10 @@ def cmd_serve(args: argparse.Namespace) -> int:
                 f"(targets={plan['clickhouse']['targets']}); wire it via "
                 "streaming.clickhouse.ClickHouseSinkConfig + PipelineConfig.clickhouse"
             )
+    if host is None:
+        host = "127.0.0.1"
+    if port is None:
+        port = 0
     receiver, queries, _engine = serve(
         _spark("yamon-serve"),
         data_dir=args.data_dir,
@@ -70,7 +74,7 @@ def cmd_serve(args: argparse.Namespace) -> int:
         hot_tag_keys=tuple(args.hot_tag or ()),
         deadman_horizon_s=args.deadman_horizon,
     )
-    print(f"listening on {args.host}:{receiver.port}; {len(queries)} streaming queries running")
+    print(f"listening on {host}:{receiver.port}; {len(queries)} streaming queries running")
     try:
         while True:
             time.sleep(1)
@@ -171,8 +175,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--data-dir", required=True)
     s.add_argument("--landing-dir", required=True)
     s.add_argument("--checkpoint-dir", required=True)
-    s.add_argument("--host", default="127.0.0.1")
-    s.add_argument("--port", type=int, default=0)
+    # None default = "not explicitly given", so flag-vs-config precedence
+    # is decidable: an explicit --host/--port ALWAYS wins over the HCL file
+    s.add_argument("--host", default=None)
+    s.add_argument("--port", type=int, default=None)
     s.add_argument("--trigger-seconds", type=int, default=5)
     s.add_argument("--key", action="append", metavar="NAME:SECRET",
                    help="enable submit-batch auth (repeatable)")

@@ -98,6 +98,12 @@ class _Parser:
             nxt = self.peek()
             if nxt and nxt[1] == "=":
                 self.next()
+                # a name can be an attribute OR a block, never both: an
+                # attribute landing on an existing block list (or a
+                # repeated attribute) must be a loud parse error, not a
+                # silent overwrite
+                if name in out:
+                    raise ValueError(f"duplicate name {name!r}: already an attribute or block")
                 out[name] = self.expr()
             else:
                 labels = []
@@ -107,6 +113,8 @@ class _Parser:
                 blk = self.body()
                 if labels:
                     blk["_label"] = labels[0] if len(labels) == 1 else labels
+                if name in out and not isinstance(out[name], list):
+                    raise ValueError(f"duplicate name {name!r}: already an attribute")
                 out.setdefault(name, []).append(blk)
 
     def expr(self):

@@ -117,6 +117,9 @@ def decode_png(b: bytes) -> tuple[int, int, int]:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if length != 13:  # else struct.unpack raises struct.error,
+                # escaping the ValueError-only decoder contract
+                raise ValueError("PNG IHDR must be 13 bytes")
             width, height, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
             if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
                 raise ValueError("only 8-bit grayscale non-interlaced PNG supported")

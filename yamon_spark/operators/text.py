@@ -450,11 +450,22 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
             .limit(1)
             .select(F.col("pair").alias("top_pair"))
         )
+        # left join against the 1-row top (not crossJoin): when a round
+        # finds NO mergeable pair (vocabulary already fully merged /
+        # single-char), top is EMPTY and a crossJoin would annihilate the
+        # vocabulary — every doc silently vanishing from the output. The
+        # left join keeps the round a no-op instead (top_pair NULL ->
+        # w unchanged); plan shape stays the same 1-row BNL broadcast.
         cur = (
-            cur.crossJoin(F.broadcast(top))
+            cur.join(F.broadcast(top), F.lit(True), "left")
             .select(
                 "orig",
-                F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])).alias("w"),
+                F.when(
+                    F.col("top_pair").isNotNull(),
+                    F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])),
+                )
+                .otherwise(F.col("w"))
+                .alias("w"),
                 "cnt",
             )
             .localCheckpoint()

@@ -457,8 +457,11 @@ def _bpe_apply_sql(n_merges: int = 6) -> str:
       SELECT pair FROM (SELECT pair, sum(cnt) AS n FROM p{i} GROUP BY pair) x
       ORDER BY n DESC, pair LIMIT 1)"""
         )
+        # coalesce to chr(0) (outside the corpus alphabet, like the
+        # markers) so an empty t{i} makes the round a no-op instead of
+        # NULLing every word — mirrors the Spark side's left-join guard
         ctes.append(
-            f"v{i + 1} AS (SELECT orig, replace(w, (SELECT pair FROM t{i}), "
+            f"v{i + 1} AS (SELECT orig, replace(w, coalesce((SELECT pair FROM t{i}), chr(0)), "
             f"'{BPE_APPLY_MARKERS[i]}') AS w, cnt FROM v{i})"
         )
     return (

@@ -54,7 +54,11 @@ REJECTS_DIR = "rejects"
 def _publish_line(landing_dir: str, line: str, prefix: str) -> str:
     os.makedirs(landing_dir, exist_ok=True)
     path = os.path.join(landing_dir, f"{prefix}-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}.jsonl")
-    tmp = path + ".tmp"
+    # DOT-prefixed tmp name (same contract as exec_source._publish):
+    # Spark's file listing ignores '.'/'_'-prefixed names but NOT a
+    # '.tmp' suffix, so a suffix-only tmp is visible mid-write —
+    # partial/duplicate ingestion under load
+    tmp = os.path.join(landing_dir, "." + os.path.basename(path) + ".tmp")
     with open(tmp, "w") as f:
         f.write(line.rstrip("\n") + "\n")
     os.rename(tmp, path)
