@@ -300,3 +300,37 @@ def test_bm25_normalizes_terms_and_rejects_empty(spark):
         bm25_scores(docs, [])
     with _pytest.raises(ValueError):
         bm25_scores(docs, ["!!!"])
+
+
+def test_source_divergence_zero_for_identical_distributions(spark):
+    from yamon_spark.operators.curation import source_divergence
+
+    rows = [
+        (0, "a b c d", "en", "s1", 7),
+        (1, "a b c d", "en", "s2", 7),  # identical distribution -> KL 0
+        (2, "z z z z", "en", "s3", 7),  # skewed -> KL > 0
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in source_divergence(docs).collect()}
+    assert out["s3"].kl_bits > out["s1"].kl_bits >= 0.0
+    assert out["s1"].n_tokens == 4
+    # s1 and s2 see the same corpus from the same distribution
+    assert out["s1"].kl_bits == out["s2"].kl_bits
+
+
+def test_source_overlap_counts_shared_shingles(spark):
+    from yamon_spark.operators.curation import source_overlap
+
+    shared = " ".join(f"w{i}" for i in range(8))  # exactly one 8-gram
+    rows = [
+        (0, shared + " tail1", "en", "sA", 1),
+        (1, shared + " tail2", "en", "sB", 1),
+        (2, "totally different words here for this one doc x", "en", "sC", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.src_a, r.src_b): r.n_shared for r in source_overlap(docs, ngram=8).collect()}
+    assert out == {("sA", "sB"): 1}  # only the one copied 8-gram window

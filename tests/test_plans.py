@@ -62,6 +62,7 @@ BNLJ_OK = {
     "embed_label_metrics",  # broadcast of the ONE global-centroid row
     "embed_kmeans",  # broadcast of the <=k-row centroid table each round
     "embed_pca_power",  # broadcast mean-row + d-element iterate vector rounds
+    "source_divergence",  # broadcast of the ONE corpus-total row
 }
 
 

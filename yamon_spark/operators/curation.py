@@ -762,3 +762,74 @@ def dedup_funnel(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> Dat
         stage(2, "near_dup", after_near, F.col("members") - F.col("comps")),
     )
     return c.select(F.explode(stages).alias("s")).select("s.*").orderBy("stage_no")
+
+
+def source_divergence(docs: DataFrame) -> DataFrame:
+    """Per-source unigram-distribution drift vs the whole corpus:
+    KL(P_source || P_corpus) in bits, plus the source's token count —
+    the distribution-shift gate a corpus monitor alarms on when one
+    ingestion source starts emitting different-looking text (scraper
+    broke, spam flood, language flip). KL is well-defined here because
+    the corpus distribution dominates every source distribution (each
+    source's words ARE corpus words — no zero-q terms).
+
+    Scale shape: one partial-agg (source, word) count is the only
+    corpus-sized table; it joins the |vocab|-row word totals on the
+    uniform word key (hash join), the |sources|-row source totals and
+    the ONE grand-total row broadcast; the per-source sum is a final
+    |sources|-row partial agg. No pair space, no driver state."""
+    w = docs.select("source", F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+    sw = w.groupBy("source", "w").agg(F.count(F.lit(1)).cast("double").alias("c_sw"))
+    s_tot = sw.groupBy("source").agg(F.sum("c_sw").alias("n_s"))
+    w_tot = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    n_row = w_tot.agg(F.sum("c_w").alias("n_corpus"))
+    p = F.col("c_sw") / F.col("n_s")
+    q = F.col("c_w") / F.col("n_corpus")
+    term = p * F.log2(p / q)
+    return (
+        sw.join(F.broadcast(s_tot), "source")
+        .join(w_tot, "w")
+        .crossJoin(F.broadcast(n_row))
+        .groupBy("source")
+        .agg(
+            F.sum("c_sw").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(term), 4).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_overlap(docs: DataFrame, ngram: int = 8) -> DataFrame:
+    """Cross-source text-overlap matrix: for each source pair
+    (src_a < src_b), the number of distinct word n-gram shingles present
+    in BOTH — the mixing diagnostic that catches one feed republishing
+    another's text (common-crawl mirrors, syndicated news) before
+    domain weights are computed on double-counted content. 8-grams are
+    the contamination-detection granularity (the contamination_ngram
+    scale), long enough that sharing is copying, not vocabulary.
+
+    Scale shape: distinct (shingle-hash, source) is one hash agg on the
+    uniform md5 key; per-shingle source lists come from a posting-list
+    groupBy; the 2-combination explode is bounded by |sources| per
+    shingle and the result by |sources|^2 rows. Integer-exact (no float
+    contract)."""
+    w = words_col(F.col("text"))
+    sh = (
+        docs.select("source", F.explode(shingles_col(w, ngram)).alias("shingle"))
+        .select("source", F.md5("shingle").alias("g"))
+        .distinct()
+    )
+    groups = (
+        sh.groupBy("g")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    lvl1 = groups.select("srcs", F.posexplode("srcs").alias("i", "src_a"))
+    pairs = lvl1.select(
+        "src_a", F.explode(F.slice("srcs", F.col("i") + 2, F.size("srcs"))).alias("src_b")
+    )
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy("src_a", "src_b")
+    )

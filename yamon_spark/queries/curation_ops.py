@@ -785,3 +785,62 @@ def embed_pca_power_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import embedding_pca_power
 
     return embedding_pca_power(table(spark, sf_dir, "embeddings"), dim=64, iters=3)
+
+
+@register(
+    "source_divergence",
+    f"""
+    WITH w AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    sw AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS c_sw FROM w GROUP BY source, w),
+    st AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY source),
+    wt AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w),
+    n AS (SELECT sum(c_w) AS n_corpus FROM wt)
+    SELECT sw.source, CAST(sum(sw.c_sw) AS BIGINT) AS n_tokens,
+           round(sum((sw.c_sw / st.n_s) * log2((sw.c_sw / st.n_s) / (wt.c_w / n.n_corpus))), 4)
+             AS kl_bits
+    FROM sw JOIN st ON st.source = sw.source JOIN wt ON wt.w = sw.w, n
+    GROUP BY sw.source ORDER BY sw.source
+    """,
+    doc=(
+        "Per-source unigram KL divergence vs the whole corpus (bits) — "
+        "the distribution-shift gate for a broken/flooded ingestion "
+        "source. One (source, word) partial agg joins word totals on the "
+        "uniform word key plus two broadcast totals; per-source sum is a "
+        "|sources|-row agg."
+    ),
+)
+def source_divergence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import source_divergence
+
+    return source_divergence(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_overlap",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT source, md5(g) AS g FROM (
+        SELECT source, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_WORDS}) - 7, 1) + 1),
+          i -> array_to_string(({_WORDS})[i:i+7], ' ')))) AS g
+        FROM documents)
+    )
+    SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+    FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+    GROUP BY a.source, b.source ORDER BY src_a, src_b
+    """,
+    doc=(
+        "Cross-source 8-gram overlap matrix: distinct shingles shared by "
+        "each source pair — catches one feed republishing another's text "
+        "before domain weights double-count content. Posting-list groupBy "
+        "on the uniform md5 shingle key; result bounded by |sources|^2. "
+        "Integer-exact."
+    ),
+)
+def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import source_overlap
+
+    return source_overlap(table(spark, sf_dir, "documents"), ngram=8)
