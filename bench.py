@@ -279,6 +279,8 @@ _SHORT_WHOLE.update({
     "chunk_dup_groups": "chd",
     "vocab_growth": "vgr",
     "contamination_ngram": "ctm",
+    "source_divergence": "sdiv",
+    "source_overlap": "sovl",
 })
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
