@@ -198,6 +198,10 @@ _SHORT_WHOLE = {
     "sim_sq8_topk": "sq8t",                # (new in r5)
     "sim_sq8_recall": "sq8r",             # (new in r5)
     "sample_stratified": "strat",         # sp_stratified
+    # round-6 curation additions
+    "text_tfidf_pairs": "tfidf",
+    "text_ngram_novelty": "novel",
+    "sample_weighted": "spw",
     "dedup_clusters": "dd_clus",             # dd_clusters
     "dedup_jaccard": "dd_jac",               # dd_jaccard
     "dedup_simhash": "dd_sim",               # dd_simhash

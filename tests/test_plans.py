@@ -63,6 +63,7 @@ BNLJ_OK = {
     "embed_kmeans",  # broadcast of the <=k-row centroid table each round
     "embed_pca_power",  # broadcast mean-row + d-element iterate vector rounds
     "source_divergence",  # broadcast of the ONE corpus-total row
+    "text_tfidf_pairs",  # broadcast of the ONE corpus-count row
 }
 
 

@@ -833,3 +833,40 @@ def source_overlap(docs: DataFrame, ngram: int = 8) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .orderBy("src_a", "src_b")
     )
+
+
+def sample_weighted(docs: DataFrame, n: int = 50, salt: str = "aes") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each doc gets key = ln(u) / w with u a
+    salted-md5 uniform in (0,1) and w = its length in chars; the top-n
+    keys ARE an exact weighted sample — longer documents proportionally
+    more likely, yet reproducible across engines, retries, and cluster
+    sizes (no RNG; changing the salt re-deals the sample). The standard
+    one-pass corpus subsampler when "sample 1M docs weighted by token
+    count" must give the same answer on every run.
+
+    Scale shape: one map-side key projection, then a global top-n —
+    TakeOrderedAndProject keeps only n rows per partition, so the
+    reduction traffic is n * partitions rows regardless of corpus size
+    (same plan family as q40_global_topk). Key comparisons are on
+    well-separated doubles (distinct md5 uniforms), so ordering is
+    engine-stable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(4294967296.0)
+    w = F.greatest(F.col("n_chars").cast("double"), F.lit(1.0))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            (F.log(u) / w).alias("k"),
+        )
+        .orderBy(F.desc("k"), "doc_id")
+        .limit(n)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )

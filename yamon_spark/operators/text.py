@@ -542,3 +542,120 @@ def vocab_growth(docs: DataFrame) -> DataFrame:
         .agg(F.sum(F.when(F.col("doc_id") <= cutoff, F.col("n")).otherwise(F.lit(0))).alias("n_tokens"))
     )
     return v.join(tk, "frac").select("frac", "cutoff", "vocab_size", "n_tokens").orderBy("frac")
+
+
+def tfidf_pairs(
+    docs: DataFrame, df_max: int = 100, threshold: float = 0.15, idf_scale: int = 1000
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity between document pairs via an
+    inverted index — the lexical near-duplicate/related-document measure
+    that BM25 (point queries) and MinHash (set overlap) don't give:
+    weighted bag-of-words similarity with hot-term suppression.
+
+    Scale shape (the same posting-list pair expansion as dedup_jaccard,
+    which replaced the word self-join that shuffles the index twice and
+    sort-merges quadratically inside each equal-word group): one groupBy
+    folds the index into per-word posting lists; terms with df >
+    ``df_max`` (stop-like, the quadratic posting lists) or df < 2 (can't
+    form a pair) die as a free size filter BEFORE any pair is generated;
+    a codegen'd two-level explode then emits exactly the candidate
+    pairs, bounded by sum over kept terms of df^2 with df <= ``df_max``.
+    idf falls out of the posting length itself — no separate df table or
+    word-keyed join. Corpus size enters as ONE broadcast count row; the
+    final norm attach is a doc-keyed equi-join against a |docs|-row
+    aggregate (broadcast at bench scale, shuffled-hash on uniform keys
+    at corpus scale).
+
+    Determinism: idf is quantized to an integer (round(ln(N/df) *
+    ``idf_scale``)), making weights, dot products, and squared norms
+    integer-EXACT regardless of summation order; the only float ops are
+    the final division/sqrt on exact integers — identical on any IEEE
+    engine (FIXTURES.md shared-fragment rule)."""
+    words = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    posting = (
+        tf.groupBy("w")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "tf"))).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= df_max))
+        .crossJoin(F.broadcast(n))
+    )
+    idf_q = F.round(F.log(F.col("n_docs") / F.size("docs")) * idf_scale).cast("long")
+    wdocs = posting.select(
+        F.transform(
+            "docs",
+            lambda d: F.struct(
+                d["doc_id"].alias("doc_id"), (d["tf"] * idf_q).alias("wt")
+            ),
+        ).alias("docs")
+    )
+    flat = wdocs.select(F.explode("docs").alias("d")).select(
+        F.col("d.doc_id").alias("doc_id"), F.col("d.wt").alias("wt")
+    )
+    norms = flat.groupBy("doc_id").agg(F.sum(F.col("wt") * F.col("wt")).alias("n2"))
+    # two-level explode: (anchor position, anchor) x partners after it
+    # (posting lists are doc_id-sorted, so doc_a < doc_b by construction)
+    lvl1 = wdocs.select("docs", F.posexplode("docs").alias("i", "a"))
+    pairs = lvl1.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.wt").alias("wa"),
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("b"),
+    )
+    dots = (
+        pairs.select("doc_a", "wa", F.col("b.doc_id").alias("doc_b"), F.col("b.wt").alias("wb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(F.col("na.n2").cast("double") * F.col("nb.n2").cast("double")),
+                4,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy(F.desc("cosine"), "doc_a", "doc_b")
+    )
+
+
+def ngram_novelty(docs: DataFrame, ngram: int = 8) -> DataFrame:
+    """Per-document novelty: the fraction of its distinct word 8-grams
+    whose FIRST corpus occurrence (lowest doc_id) is this document — the
+    redundancy curve that says whether newly ingested data still adds
+    unseen content (complement of vocab_growth, at memorization-relevant
+    n-gram granularity rather than unigrams).
+
+    Scale shape: shingles hash to uniform md5 keys; first-owner is one
+    partial-agg groupBy to |distinct shingles| rows; per-doc totals and
+    novel counts are then two |docs|-row aggregates joined on doc_id —
+    no posting-list join back to the corpus. Novelty is one int/int IEEE
+    division (unrounded per the determinism contract)."""
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(shingles_col(words_col(F.col("text")), ngram))
+        ).alias("g"),
+    ).select("doc_id", F.md5("g").alias("g"))
+    first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_novel")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    return (
+        tot.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_novel"), F.lit(0).cast("bigint")).alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

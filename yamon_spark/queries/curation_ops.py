@@ -844,3 +844,101 @@ def source_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import source_overlap
 
     return source_overlap(table(spark, sf_dir, "documents"), ngram=8)
+
+
+@register(
+    "text_tfidf_pairs",
+    f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    wt AS (
+      SELECT tf.doc_id, tf.w,
+             tf.tf * CAST(round(ln(n.n_docs / df.df) * 1000) AS BIGINT) AS wt
+      FROM tf JOIN df ON df.w = tf.w, n
+      WHERE df.df BETWEEN 2 AND 100),
+    nrm AS (SELECT doc_id, sum(wt * wt) AS n2 FROM wt GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS dot
+      FROM wt a JOIN wt b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    c AS (
+      SELECT doc_a, doc_b,
+             round(dot / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 4) AS cosine
+      FROM dots JOIN nrm na ON na.doc_id = doc_a JOIN nrm nb ON nb.doc_id = doc_b)
+    SELECT doc_a, doc_b, cosine FROM c WHERE cosine >= 0.15
+    ORDER BY cosine DESC, doc_a, doc_b
+    """,
+    doc=(
+        "Sparse TF-IDF cosine document pairs via df-pruned inverted "
+        "index (never all-pairs; stop-like terms with df > 100 dropped "
+        "before the posting self-join). Integer-quantized idf makes "
+        "weights/dots/norms summation-order-exact; the only float math "
+        "is one division+sqrt on exact integers."
+    ),
+)
+def text_tfidf_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import tfidf_pairs
+
+    return tfidf_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, md5(g) AS g FROM (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len({_WORDS}) - 7, 1) + 1),
+          i -> array_to_string(({_WORDS})[i:i+7], ' ')))) AS g
+        FROM documents)),
+    fst AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+    novel AS (SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_novel
+              FROM fst GROUP BY first_doc),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_shingles AS novelty
+    FROM tot t LEFT JOIN novel n ON n.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    doc=(
+        "Per-doc 8-gram novelty (fraction of its distinct shingles first "
+        "seen in it, by doc_id order) — the redundancy curve for whether "
+        "new ingest still adds unseen content. First-owner is one "
+        "uniform-md5-key groupBy; per-doc totals are |docs|-row aggs "
+        "joined on doc_id, no posting-list join back. int/int division, "
+        "unrounded."
+    ),
+)
+def text_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import ngram_novelty
+
+    return ngram_novelty(table(spark, sf_dir, "documents"), ngram=8)
+
+
+@register(
+    "sample_weighted",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+             ln((CAST('0x' || substr(md5(doc_id || ':aes'), 1, 8) AS BIGINT) + 0.5)
+                / 4294967296.0)
+               / greatest(CAST(n_chars AS DOUBLE), 1.0) AS k
+      FROM documents
+      ORDER BY k DESC, doc_id LIMIT 50)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "Deterministic Efraimidis-Spirakis weighted sampling without "
+        "replacement (key = ln(md5-uniform)/n_chars, top-50) — the "
+        "reproducible 'sample N docs weighted by length' subsampler. "
+        "Map-side key projection + TakeOrderedAndProject: reduction "
+        "traffic is n*partitions rows regardless of corpus size."
+    ),
+)
+def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import sample_weighted
+
+    return sample_weighted(table(spark, sf_dir, "documents"), n=50)
