@@ -286,6 +286,44 @@ _SHORT_WHOLE.update({
     "source_divergence": "sdiv",
     "source_overlap": "sovl",
 })
+# second r6 tightening: 172 registered queries re-folded the line, so the
+# remaining >=4-char mnemonics shrink to 3 (same bijectivity assert).
+_SHORT_WHOLE.update({
+    "pq_topk": "pqt",
+    "dedup_canonical": "cnn",
+    "dedup_minhash_err": "mhe",
+    "domain_mix_temperature": "dmt",
+    "sim_cascade_recall": "csr",
+    "sim_ivf_recall_batch": "ivb",
+    "sim_ivfpq_topk": "ipq",
+    "sim_ivfpq_recall": "ipr",
+    "sim_truncation_recall": "trc",
+    "text_chunk_windows": "chk",
+    "text_ngram_novelty": "nvl",
+    "text_stats": "sts",
+    "text_tfidf_pairs": "tfi",
+    "train_test_split": "spl",
+    "vocab_coverage": "vcb",
+    "ann_range_search": "anr",
+    "bpe_apply": "bpa",
+    "bpe_merge_step": "bp2",
+    "corpus_profile": "prf",
+    "corpus_shuffle": "shf",
+    "dedup_clusters": "cls",
+    "dedup_containment": "ctn",
+    "dedup_incremental": "inc",
+    "dedup_simhash": "s16",
+    "domain_mix": "dmx",
+    "sim_hamming_recall": "hmr",
+    "quality_logit": "qlg",
+    "source_divergence": "sdv",
+    "source_overlap": "sov",
+    "dedup_funnel": "fnl",
+    "hard_negative_mining": "hng",
+    "sim_cascade_topk": "csc",
+    "text_search": "sch",
+    "multimodal_meta": "mta",
+})
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
     ("sample_", "sp_"), ("embed_", "em_"), ("corpus_", "co_"),
