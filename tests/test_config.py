@@ -285,3 +285,22 @@ def test_hcl_attribute_block_name_collision_is_loud():
     # repeated BLOCKS of one name stay legal (collector lists etc.)
     out = parse_hcl('b { x = 1 }\nb { x = 2 }')
     assert [blk["x"] for blk in out["b"]] == [1, 2]
+    # the array-attribute gap: a list-valued attribute must not silently
+    # absorb a same-named block into its list
+    with pytest.raises(ValueError, match="duplicate name"):
+        parse_hcl("a = [1]\na { x = 2 }")
+
+
+def test_server_plan_bind_validation():
+    import pytest
+
+    from yamon_spark.config import _parse_bind
+
+    assert _parse_bind("0.0.0.0:6691") == ("0.0.0.0", 6691)
+    assert _parse_bind(":6691") == ("", 6691)
+    with pytest.raises(ValueError, match="expected 'host:port'"):
+        _parse_bind("localhost")
+    with pytest.raises(ValueError, match="IPv6"):
+        _parse_bind("[::1]:6691")
+    with pytest.raises(ValueError, match="out of range"):
+        _parse_bind("h:70000")

@@ -79,6 +79,7 @@ class _Parser:
     def body(self, top: bool = False) -> dict:
         """attributes -> value; blocks -> list of bodies (label under _label)."""
         out: dict = {}
+        block_names: set[str] = set()
         while True:
             tok = self.peek()
             if tok is None:
@@ -113,8 +114,12 @@ class _Parser:
                 blk = self.body()
                 if labels:
                     blk["_label"] = labels[0] if len(labels) == 1 else labels
-                if name in out and not isinstance(out[name], list):
+                # an attribute value that happens to be a list must not
+                # absorb same-named blocks: only names recorded as block
+                # names may accumulate, everything else is a collision
+                if name in out and name not in block_names:
                     raise ValueError(f"duplicate name {name!r}: already an attribute")
+                block_names.add(name)
                 out.setdefault(name, []).append(blk)
 
     def expr(self):
@@ -416,12 +421,30 @@ def agent_plan(cfg: DaemonConfig) -> dict:
     }
 
 
+def _parse_bind(bind: str) -> tuple[str, int]:
+    """Validate a `host:port` bind string with a clear error. Bracketed
+    IPv6 (`[::1]:6691`) is loudly rejected — the HTTP receiver binds
+    IPv4 hostnames only — and a missing or non-numeric port is a config
+    error, not a raw int() traceback."""
+    import re
+
+    if bind.startswith("["):
+        raise ValueError(f"bind {bind!r}: bracketed IPv6 binds are not supported")
+    m = re.fullmatch(r"(?P<host>[^:]*):(?P<port>\d+)", bind)
+    if not m:
+        raise ValueError(f"bind {bind!r}: expected 'host:port' with a numeric port")
+    port = int(m.group("port"))
+    if not 0 < port < 65536:
+        raise ValueError(f"bind {bind!r}: port {port} out of range 1-65535")
+    return m.group("host"), port
+
+
 def server_plan(cfg: ServerConfig) -> dict:
     """Map a ServerConfig onto engine.serve kwargs (+ ClickHouse sink)."""
-    host, _, port = cfg.bind.rpartition(":")
+    host, port = _parse_bind(cfg.bind)
     return {
         "host": host or "0.0.0.0",
-        "port": int(port),
+        "port": port,
         "keys": cfg.keys or None,
         "clickhouse": (
             {
