@@ -377,3 +377,116 @@ def test_decode_png_short_ihdr_raises_valueerror():
     payload = b"\x89PNG\r\n\x1a\n" + chunk
     with pytest.raises(ValueError):
         decode_png(payload)
+
+
+# --- vendored baseline JPEG codec --------------------------------------
+
+
+def test_jpeg_tables_and_zigzag_valid():
+    """Annex K table specs are internally consistent and the generated
+    zigzag is a permutation of 0..63 with the spec's first diagonal."""
+    from yamon_spark.operators.multimodal import (
+        JPEG_AC_BITS,
+        JPEG_AC_VALS,
+        JPEG_DC_BITS,
+        JPEG_DC_VALS,
+        JPEG_ZIGZAG,
+    )
+
+    assert sum(JPEG_DC_BITS) == len(JPEG_DC_VALS) == 12
+    assert sum(JPEG_AC_BITS) == len(JPEG_AC_VALS) == 162
+    assert sorted(JPEG_ZIGZAG) == list(range(64))
+    assert JPEG_ZIGZAG[:8] == [0, 1, 8, 16, 9, 2, 3, 10]
+
+
+def test_jpeg_roundtrip_pixel_exact():
+    """The coefficient-domain construction (DC + AC at raster (4,4),
+    flat quant 8) decodes to the closed form 128 + dc + s(x)s(y)*ac,
+    so the general Huffman+IDCT path is pixel-exact."""
+    from yamon_spark.operators.multimodal import JPEG_ZIGZAG, decode_jpeg, encode_jpeg
+
+    qt = [8] * 64
+    ac_zz = JPEG_ZIGZAG.index(36)
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    for d in range(12):
+        wb, hb = d % 3 + 1, d % 2 + 1
+        blocks = []
+        for b in range(wb * hb):
+            zz = [0] * 64
+            zz[0] = (d * 7 + b * 13) % 201 - 100
+            zz[ac_zz] = (d + b * 5) % 41 - 20
+            blocks.append(zz)
+        w, h, pix = decode_jpeg(encode_jpeg(8 * wb, 8 * hb, blocks, qt))
+        assert (w, h) == (8 * wb, 8 * hb)
+        for y in range(h):
+            for x in range(w):
+                bi = (y // 8) * wb + (x // 8)
+                dc = (d * 7 + bi * 13) % 201 - 100
+                ac = (d + bi * 5) % 41 - 20
+                assert pix[y * w + x] == 128 + dc + s[x % 8] * s[y % 8] * ac
+
+
+def test_jpeg_byte_stuffing_and_crop():
+    """Scans containing stuffed 0xFF bytes decode identically, and
+    non-multiple-of-8 dims crop block edges correctly."""
+    from yamon_spark.operators.multimodal import JPEG_ZIGZAG, decode_jpeg, encode_jpeg
+
+    qt = [8] * 64
+    ac_zz = JPEG_ZIGZAG.index(36)
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    zz = [0] * 64
+    zz[0], zz[ac_zz] = -100, -20  # known to produce a stuffed 0xFF
+    b = encode_jpeg(16, 8, [zz, zz], qt)
+    assert b"\xff\x00" in b[b.find(b"\xff\xda") + 14 : -2]
+    w, h, pix = decode_jpeg(b)
+    assert all(
+        pix[y * 16 + x] == 128 - 100 + s[x % 8] * s[y % 8] * -20
+        for y in range(8)
+        for x in range(16)
+    )
+    # crop: 12x10 = 2x2 blocks with right/bottom edges dropped
+    blocks = []
+    for b_ in range(4):
+        z = [0] * 64
+        z[0], z[ac_zz] = 10 * b_ - 15, b_ * 3 - 4
+        blocks.append(z)
+    w, h, pix = decode_jpeg(encode_jpeg(12, 10, blocks, qt))
+    assert (w, h, len(pix)) == (12, 10, 120)
+    assert all(
+        pix[y * 12 + x] == 128 + (10 * ((y // 8) * 2 + x // 8) - 15)
+        + s[x % 8] * s[y % 8] * (((y // 8) * 2 + x // 8) * 3 - 4)
+        for y in range(10)
+        for x in range(12)
+    )
+
+
+def test_jpeg_decoder_rejects_malformed():
+    """Every malformed input raises ValueError (the decode_media
+    fallback contract), never struct.error/IndexError."""
+    import pytest
+
+    from yamon_spark.operators.multimodal import decode_jpeg, encode_jpeg
+
+    qt = [8] * 64
+    good = encode_jpeg(8, 8, [[0] * 64], qt)
+    for bad in (
+        b"\x00\x11",  # no SOI
+        b"\xff\xd8\xff\xd9",  # no SOF/SOS
+        good[:-3],  # truncated scan
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg(bad)
+
+
+def test_jpeg_real_decode_media_branch(spark):
+    """decode_media's real path routes JPEG payloads through the
+    vendored decoder — no Pillow required."""
+    from yamon_spark.operators.multimodal import decode_jpeg, decode_media, encode_jpeg
+
+    qt = [8] * 64
+    payload = encode_jpeg(16, 8, [[0] * 64, [0] * 64], qt)
+    media = spark.createDataFrame([(1, payload)], "doc_id bigint, payload binary")
+    row = decode_media(media, decode_stub=False).collect()[0]
+    assert (row.width, row.height, row.n_frames) == (16, 8, 1)
+    assert decode_jpeg(payload)[:2] == (16, 8)

@@ -269,6 +269,16 @@ def decode_media(media: DataFrame, decode_stub: bool = True) -> DataFrame:
                             continue
                         except ValueError:
                             pass
+                    if b[:2] == b"\xff\xd8":
+                        # vendored baseline decoder (SOF0 grayscale);
+                        # progressive/subsampled/color fall through to
+                        # Pillow rather than failing the batch
+                        try:
+                            w, h, _pix = decode_jpeg(b)
+                            dims.append((w, h, 1))
+                            continue
+                        except ValueError:
+                            pass
                     if b[:2] == b"BM":
                         # vendored real codec first (no Pillow needed), but
                         # it covers uncompressed BMP only — fall back to
@@ -768,3 +778,392 @@ def audio_windows(
             )
 
     return media.mapInPandas(window_batches, AUDIO_WINDOWS_SCHEMA)
+
+
+# --- vendored baseline JPEG (ITU T.81 / JFIF, public spec) -------------
+#
+# SOF0 8-bit grayscale, no subsampling: the last production codec gap.
+# decode_jpeg runs the full general baseline path — marker walk, DQT /
+# DHT parsing with canonical Huffman reconstruction, byte-unstuffed bit
+# reading, DC prediction, ZRL/EOB run-length decode, dequantization,
+# de-zigzag, full 2-D IDCT, level shift + clamp + edge crop. encode_jpeg
+# is the fixture half: it entropy-codes caller-supplied QUANTIZED
+# coefficients (no FDCT — the roundtrip query constructs images in the
+# coefficient domain so the lossy transform is exactly invertible and
+# the oracle can recompute pixel statistics arithmetically).
+# Layout knowledge only (ITU T.81 Annex B/C/F, Annex K tables); no code
+# taken from anywhere.
+
+# zigzag index -> raster index, generated (not typed) from the diagonal
+# rule: even-sum diagonals walk row-descending, odd-sum row-ascending
+JPEG_ZIGZAG = [
+    8 * r + c
+    for s in range(15)
+    for r, c in (
+        [(s - c, c) for c in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0
+        else [(r, s - r) for r in range(max(0, s - 7), min(s, 7) + 1)]
+    )
+]
+
+# Annex K: standard luminance Huffman table specs (BITS, HUFFVAL)
+JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+JPEG_DC_VALS = tuple(range(12))
+JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _jpeg_huff_encode_table(bits, vals) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman construction (T.81 C.2): symbol -> (code, length)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code, k = code + 1, k + 1
+        code <<= 1
+    return table
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map `size` received bits to a signed value."""
+    return v if v >= 1 << (size - 1) else v - (1 << size) + 1
+
+
+class _JpegBitWriter:
+    """MSB-first bit emitter with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits per spec
+        return bytes(self.out)
+
+
+def encode_jpeg(width: int, height: int, blocks: list[list[int]], qt: list[int]) -> bytes:
+    """Entropy-code quantized coefficient blocks into a real baseline
+    JPEG: SOI, DQT, SOF0 (8-bit, 1 component, 1x1 sampling), two DHT
+    segments carrying the Annex K luminance tables, SOS, the
+    Huffman-coded scan (DC prediction, ZRL runs, EOB), EOI.
+
+    `blocks`: one 64-entry list per 8x8 block in raster block order,
+    coefficients in ZIGZAG order, already quantized. `qt`: 64 quant
+    values in zigzag order (1..255)."""
+    import struct
+
+    dc_tab = _jpeg_huff_encode_table(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_tab = _jpeg_huff_encode_table(JPEG_AC_BITS, JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    pred = 0
+    for blk in blocks:
+        diff = blk[0] - pred
+        pred = blk[0]
+        size = diff.bit_length() if diff else 0
+        w.put(*dc_tab[size])
+        if size:
+            w.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.put(*ac_tab[0xF0])  # ZRL: 16 zeros
+                run -= 16
+            size = abs(v).bit_length()
+            w.put(*ac_tab[(run << 4) | size])
+            w.put(v if v > 0 else v + (1 << size) - 1, size)
+            run = 0
+        if run:
+            w.put(*ac_tab[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(qt))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00]) + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + w.flush() + b"\xff\xd9"
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded scan: un-stuffs
+    0xFF 0x00, stops at any real marker (EOI terminates the scan)."""
+
+    def __init__(self, b: bytes, off: int):
+        self.b, self.off, self.acc, self.nbits = b, off, 0, 0
+
+    def _fill(self) -> None:
+        if self.off >= len(self.b):
+            raise ValueError("JPEG scan data exhausted before EOI")
+        byte = self.b[self.off]
+        if byte == 0xFF:
+            nxt = self.b[self.off + 1] if self.off + 1 < len(self.b) else None
+            if nxt == 0x00:
+                self.off += 2  # stuffed literal 0xFF
+            else:
+                raise ValueError("JPEG marker inside entropy data (truncated scan)")
+        else:
+            self.off += 1
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bits(1)
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, canonical construction as the encoder."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code, k = code + 1, k + 1
+        code <<= 1
+    return table
+
+
+def _jpeg_idct_cos() -> list[list[float]]:
+    """cos((2x+1)·u·π/16) lookup, computed once per process."""
+    return [[math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)] for x in range(8)]
+
+
+_IDCT_COS = _jpeg_idct_cos()
+_IDCT_C = [1 / math.sqrt(2)] + [1.0] * 7
+
+
+def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
+    """Full baseline JPEG decode for 8-bit grayscale SOF0 (the general
+    path — arbitrary DQT/DHT from the file, any dims with edge crop):
+    returns (width, height, pixels) with pixels row-major uint8 bytes.
+    Raises ValueError on anything outside baseline 1-component 1x1
+    grayscale (progressive, subsampled, or color payloads fall back to
+    Pillow in decode_media, same contract as decode_png/decode_bmp)."""
+    import struct
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    qts: dict[int, list[int]] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    width = height = None
+    qt_id = dc_id = ac_id = 0
+    off = 2
+    scan_off = None
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise ValueError(f"expected JPEG marker at offset {off}")
+        marker = b[off + 1]
+        if marker == 0xD9:  # EOI with no scan
+            break
+        (length,) = struct.unpack_from(">H", b, off + 2)
+        seg = b[off + 4 : off + 2 + length]
+        if len(seg) != length - 2:
+            raise ValueError("JPEG segment extends past payload")
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = seg[p + 1 : p + 1 + n]
+                if len(raw) != n:
+                    raise ValueError("truncated DQT")
+                qts[tid] = (
+                    [v for v in raw]
+                    if not prec
+                    else [struct.unpack_from(">H", raw, 2 * i)[0] for i in range(64)]
+                )
+                p += 1 + n
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nvals])
+                if len(vals) != nvals:
+                    raise ValueError("truncated DHT")
+                (ac_tabs if cls else dc_tabs)[tid] = _jpeg_huff_decode_table(bits, vals)
+                p += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component (grayscale) JPEG supported")
+            _cid, sampling, qt_id = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise ValueError("subsampled JPEG not supported")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/extended) not supported")
+        elif marker == 0xDD:
+            raise ValueError("JPEG restart intervals not supported")
+        elif marker == 0xDA:  # SOS: entropy-coded scan follows
+            if seg[0] != 1:
+                raise ValueError("multi-component scan not supported")
+            dc_id, ac_id = seg[2] >> 4, seg[2] & 0x0F
+            scan_off = off + 2 + length
+            break
+        # else: APPn / COM / other segments skipped by length
+        off += 2 + length
+    if width is None or scan_off is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    if qt_id not in qts or dc_id not in dc_tabs or ac_id not in ac_tabs:
+        raise ValueError("JPEG scan references undeclared quant/Huffman table")
+    qt, dct, act = qts[qt_id], dc_tabs[dc_id], ac_tabs[ac_id]
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    r = _JpegBitReader(b, scan_off)
+    img = bytearray(width * height)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = [0] * 64
+            size = r.huff(dct)
+            diff = _jpeg_extend(r.bits(size), size) if size else 0
+            pred += diff
+            zz[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                rs = r.huff(act)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient index out of range")
+                zz[k] = _jpeg_extend(r.bits(rs & 0x0F), rs & 0x0F) * qt[k]
+                k += 1
+            coef = [0.0] * 64
+            for i, v in enumerate(zz):
+                if v:
+                    coef[JPEG_ZIGZAG[i]] = float(v)
+            for y in range(min(8, height - by * 8)):
+                row_base = (by * 8 + y) * width + bx * 8
+                for x in range(min(8, width - bx * 8)):
+                    s = 0.0
+                    for v in range(8):
+                        cvy = _IDCT_C[v] * _IDCT_COS[y][v]
+                        base = v * 8
+                        for u in range(8):
+                            c = coef[base + u]
+                            if c:
+                                s += _IDCT_C[u] * cvy * _IDCT_COS[x][u] * c
+                    p = int(math.floor(s / 4 + 128 + 0.5))
+                    img[row_base + x] = 0 if p < 0 else (255 if p > 255 else p)
+    # the scan must terminate at EOI (possibly after pad bits)
+    tail = b[r.off :]
+    if not tail.startswith(b"\xff\xd9") and b"\xff\xd9" not in tail[:8]:
+        raise ValueError("JPEG scan not terminated by EOI")
+    return width, height, bytes(img)
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, pixel_sum bigint, wxy_sum bigint"
+)
+
+
+def jpeg_roundtrip(docs: DataFrame) -> DataFrame:
+    """LOSSY-codec round-trip under the oracle gate: per doc, derive a
+    multi-block coefficient-domain image (one DC + one AC at raster
+    (4,4) per 8x8 block, flat quant table 8) whose IDCT is EXACTLY
+    integral — cos((2x+1)π/4) = ±√2/2, so the (4,4) basis contributes
+    s(x)s(y)·ac with s = [+,−,−,+,+,−,−,+] and pixel(x,y) =
+    128 + dc + s(x%8)s(y%8)·ac, clamping never fires. Encode a real
+    baseline JPEG (DC prediction, ZRL runs over the 38 leading zeros,
+    EOB, Annex K Huffman tables, byte stuffing), fully decode it back
+    through the general SOF0 path, and emit two integer statistics the
+    oracle recomputes arithmetically:
+
+      pixel_sum = Σ pixels               (per block: 64·(dc+128); the
+                                          ±ac checkerboard sums to 0)
+      wxy_sum   = Σ pixels·(x%8)²·(y%8)² (per block: 19600·(dc+128)
+                                          + 64·ac, since Σ s(x)·x² = 8)
+
+    pixel_sum pins the DC path; wxy_sum pins AC magnitude AND sign.
+    A hash match means Huffman decode, dequant, and the full 2-D IDCT
+    reproduced every pixel of a genuinely lossy-format bitstream.
+    Shuffle-free Arrow mapInPandas, same batch shape as decode_media."""
+    ac_zz = JPEG_ZIGZAG.index(8 * 4 + 4)  # zigzag position of raster (4,4)
+    qt = [8] * 64
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "pixel_sum", "wxy_sum")}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d = int(doc_id)
+                wb, hb = int(n_chars) % 3 + 1, d % 2 + 1
+                blocks = []
+                for bidx in range(wb * hb):
+                    zz = [0] * 64
+                    zz[0] = (d * 7 + bidx * 13) % 201 - 100
+                    zz[ac_zz] = (d + bidx * 5) % 41 - 20
+                    blocks.append(zz)
+                w, h, pix = decode_jpeg(encode_jpeg(8 * wb, 8 * hb, blocks, qt))
+                psum = sum(pix)
+                wxy = sum(
+                    pix[y * w + x] * (x % 8) ** 2 * (y % 8) ** 2
+                    for y in range(h)
+                    for x in range(w)
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["pixel_sum"].append(psum)
+                out["wxy_sum"].append(wxy)
+            yield pd.DataFrame(out)
+
+    return (
+        docs.select("doc_id", "n_chars")
+        .mapInPandas(roundtrip, JPEG_ROUNDTRIP_SCHEMA)
+        .orderBy("doc_id")
+    )

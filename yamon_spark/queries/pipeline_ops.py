@@ -650,6 +650,44 @@ def multimodal_png_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_roundtrip",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars % 3 + 1 AS wb, doc_id % 2 + 1 AS hb
+      FROM documents
+    )
+    SELECT doc_id, CAST(8 * wb AS BIGINT) AS width,
+           CAST(8 * hb AS BIGINT) AS height,
+           CAST(list_reduce(list_transform(range(0, wb * hb),
+                  b -> 64 * ((doc_id * 7 + b * 13) % 201 + 28)),
+                (a, b) -> a + b) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_transform(range(0, wb * hb),
+                  b -> 19600 * ((doc_id * 7 + b * 13) % 201 + 28)
+                       + 64 * ((doc_id + b * 5) % 41 - 20)),
+                (a, b) -> a + b) AS BIGINT) AS wxy_sum
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "LOSSY-codec round-trip: encode a real baseline JPEG per doc "
+        "(SOF0 grayscale, Annex K Huffman tables, DC prediction, ZRL "
+        "runs, byte stuffing), fully decode it back (marker walk, "
+        "canonical Huffman rebuild, dequant, de-zigzag, full 2-D IDCT), "
+        "emit dims + two integer pixel statistics. Coefficients are "
+        "chosen so the IDCT is exactly integral (one DC + one AC at "
+        "raster (4,4), flat quant 8), so the oracle recomputes both "
+        "stats arithmetically: pixel_sum pins the DC path, wxy_sum "
+        "(x\u00b2y\u00b2-weighted) pins AC magnitude and sign. A hash match "
+        "proves the entropy-coded lossy bitstream reconstructed every "
+        "pixel \u2014 the production image format the PNG/BMP trio lacked."
+    ),
+)
+def multimodal_jpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import jpeg_roundtrip
+
+    return jpeg_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_wav_roundtrip",
     """
     WITH d AS (SELECT doc_id, n_chars % 50 + 1 AS n FROM documents)
