@@ -363,3 +363,62 @@ def test_bpe_apply_survives_exhausted_vocabulary(spark):
     assert set(out) == {0, 1}
     assert out[0].n_words == 5 and out[0].n_units_char == 5
     assert out[0].n_units_bpe == out[0].n_units_char  # nothing merged
+
+
+def test_simhash64_two_word_packing_and_pairs(spark):
+    """The 64-bit two-word fingerprint: hi/lo pack the first 16 md5
+    nibbles exactly (brute-force recompute per doc), identical docs pair
+    at Hamming 0, every pair is inside the declared ball, and no ball
+    member is missed. The mask table is C(64,1)+C(64,2) = 2,080 rows
+    and the plan broadcasts it (no shuffle for the expansion)."""
+    import hashlib
+
+    from yamon_spark.operators.dedup import (
+        simhash64,
+        simhash64_hamming_pairs,
+        simhash64_masks,
+    )
+
+    masks = simhash64_masks(2)
+    assert len(masks) == 64 + 64 * 63 // 2 == 2080
+    assert all(0 <= mhi < 2**32 and 0 <= mlo < 2**32 for mhi, mlo in masks)
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+        (2, "qq ww ee rr tt yy uu ii oo pp"),  # disjoint vocab
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r.doc_id: (r.sim_hi, r.sim_lo) for r in simhash64(docs).collect()}
+
+    def brute(text: str) -> tuple[int, int]:
+        votes = [0] * 64
+        for w in set(text.split()):
+            h = hashlib.md5(w.encode()).hexdigest()
+            for j in range(64):
+                bit = (int(h[j // 4], 16) >> (3 - j % 4)) & 1
+                votes[j] += 2 * bit - 1
+        hi = sum(1 << (31 - j) for j in range(32) if votes[j] > 0)
+        lo = sum(1 << (63 - j) for j in range(32, 64) if votes[j] > 0)
+        return hi, lo
+
+    for doc_id, text in rows:
+        assert fps[doc_id] == brute(text), doc_id
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash64_hamming_pairs(docs).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert all(a < b for a, b in pairs)
+    assert all(h <= 2 for h in pairs.values())
+
+    def ham(a, b):
+        return bin(fps[a][0] ^ fps[b][0]).count("1") + bin(fps[a][1] ^ fps[b][1]).count("1")
+
+    for (a, b), h in pairs.items():
+        assert ham(a, b) == h
+    for a in fps:
+        for b in fps:
+            if a < b and ham(a, b) <= 2:
+                assert (a, b) in pairs
+
+    plan = simhash64_hamming_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # the mask table never shuffles

@@ -588,3 +588,120 @@ def ngram_containment_pairs(
         .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash fingerprints as TWO 32-bit words (sim_hi = bits
+    0-31, sim_lo = bits 32-63), each stored in a BIGINT — the Manku
+    et al. 2007 production operating point, where the fingerprint space
+    (2^64) cannot saturate at any corpus size. Two words rather than one
+    64-bit value because bit 0's weight 2^63 overflows signed BIGINT in
+    both engines; the split keeps every value exact and the Hamming
+    metric decomposes as bit_count(hi XOR) + bit_count(lo XOR).
+
+    Same majority-vote construction as :func:`simhash`: word-hash bit
+    j = bit (3 - j%4) of hex nibble j//4 of md5(word) — 64 bits consume
+    all 16 leading nibbles of the digest. One explode + one groupBy, no
+    extra shuffle versus the 32-bit path."""
+    w = F.array_distinct(words_col(F.col("text")))
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
+    exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
+    hexmap = "0123456789abcdef"
+    nibs = [
+        (F.instr(F.lit(hexmap), F.substring("h", k + 1, 1)) - 1).alias(f"nib{k}")
+        for k in range(16)
+    ]
+    decoded = exploded.select("doc_id", *nibs)
+    bit_sums = []
+    for j in range(64):
+        bit = F.floor(F.col(f"nib{j // 4}") / (2 ** (3 - j % 4))) % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    votes = decoded.groupBy("doc_id").agg(*bit_sums)
+    hi = lo = None
+    for j in range(32):
+        t = F.when(F.col(f"b{j}") > 0, 2 ** (31 - j)).otherwise(0)
+        hi = t if hi is None else hi + t
+    for j in range(32, 64):
+        t = F.when(F.col(f"b{j}") > 0, 2 ** (63 - j)).otherwise(0)
+        lo = t if lo is None else lo + t
+    return votes.select(
+        "doc_id", hi.cast("bigint").alias("sim_hi"), lo.cast("bigint").alias("sim_lo")
+    ).orderBy("doc_id")
+
+
+def simhash64_masks(max_hamming: int = 2) -> list[tuple[int, int]]:
+    """(mhi, mlo) XOR-mask pairs for every Hamming ball point at
+    distance 1..max_hamming over 64 bit positions — 2,080 masks at
+    max_hamming=2 (C(64,1) + C(64,2)). Bit p < 32 lands in the hi word
+    with weight 2^(31-p); p >= 32 in the lo word with weight 2^(63-p),
+    matching :func:`simhash64`'s packing."""
+    from itertools import combinations
+
+    out = []
+    for r in range(1, max_hamming + 1):
+        for pos in combinations(range(64), r):
+            mhi = sum(1 << (31 - p) for p in pos if p < 32)
+            mlo = sum(1 << (63 - p) for p in pos if p >= 32)
+            out.append((mhi, mlo))
+    return out
+
+
+def simhash64_hamming_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup pairs at the 64-bit production operating point
+    — the two-word twin of :func:`simhash_hamming_pairs`. Candidates
+    come from the DISTINCT-(hi,lo) fingerprint table cross-joined with
+    a BROADCAST 2,080-row mask table (a driver-side constant — never a
+    shuffle), XOR-expanded, and hash-joined back against the distinct
+    table on both words; the final doc fan-out is bounded by true
+    duplication structure. |distinct fps| x 2,080 rows is linear in the
+    distinct-fingerprint count, and at 64 bits that count is the corpus
+    size (no saturation), so the plan's constant is the whole story —
+    measured sub-linear at 30x in SCALE_CURVE.json. Hamming is
+    integer-exact: bit_count(hi XOR) + bit_count(lo XOR)."""
+    spark = docs.sparkSession
+    fps = simhash64(docs)
+    masks = spark.createDataFrame(simhash64_masks(max_hamming), "mhi bigint, mlo bigint")
+    d = fps.select(F.col("sim_hi").alias("fa_hi"), F.col("sim_lo").alias("fa_lo")).distinct()
+    nb = (
+        d.crossJoin(F.broadcast(masks))
+        .select(
+            "fa_hi",
+            "fa_lo",
+            F.col("fa_hi").bitwiseXOR(F.col("mhi")).alias("fb_hi"),
+            F.col("fa_lo").bitwiseXOR(F.col("mlo")).alias("fb_lo"),
+        )
+        # lexicographic (hi, lo) direction fix halves the space
+        .where(
+            (F.col("fb_hi") > F.col("fa_hi"))
+            | ((F.col("fb_hi") == F.col("fa_hi")) & (F.col("fb_lo") > F.col("fa_lo")))
+        )
+    )
+    exists = d.select(F.col("fa_hi").alias("fb_hi"), F.col("fa_lo").alias("fb_lo"))
+    fpp = nb.join(exists, ["fb_hi", "fb_lo"])
+    a = fps.select(F.col("doc_id").alias("ida"), F.col("sim_hi").alias("fa_hi"), F.col("sim_lo").alias("fa_lo"))
+    b = fps.select(F.col("doc_id").alias("idb"), F.col("sim_hi").alias("fb_hi"), F.col("sim_lo").alias("fb_lo"))
+    cross = (
+        fpp.join(a, ["fa_hi", "fa_lo"])
+        .join(b, ["fb_hi", "fb_lo"])
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            (
+                F.bit_count(F.col("fa_hi").bitwiseXOR(F.col("fb_hi")))
+                + F.bit_count(F.col("fa_lo").bitwiseXOR(F.col("fb_lo")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    groups = (
+        fps.groupBy("sim_hi", "sim_lo")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("docs"))
+        .where(F.size("docs") >= 2)
+    )
+    lvl1 = groups.select("docs", F.posexplode("docs").alias("i", "doc_a"))
+    same = lvl1.select(
+        "doc_a",
+        F.explode(F.slice("docs", F.col("i") + 2, F.size("docs"))).alias("doc_b"),
+    ).select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    return cross.unionByName(same).orderBy("doc_a", "doc_b")

@@ -917,6 +917,114 @@ def simhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(table(spark, sf_dir, "documents"), bits=32, max_hamming=2)
 
 
+def _simhash64_cte() -> str:
+    """CTE chain ending in `sims(doc_id, sim_hi, sim_lo)` — the two-word
+    64-bit fingerprint (bit j of word-hash = bit (3 - j%4) of md5 nibble
+    j//4; hi = bits 0-31 weighted 2^(31-j), lo = bits 32-63 weighted
+    2^(63-j)), mirroring operators.dedup.simhash64 exactly."""
+    bit_exprs = []
+    for j in range(64):
+        nib = f"(strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({nib} // {2 ** (3 - j % 4)}) % 2)"
+        bit_exprs.append(f"sum({bit} * 2 - 1) AS b{j}")
+    hi = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (31 - j)} ELSE 0 END" for j in range(32))
+    lo = " + ".join(f"CASE WHEN b{j} > 0 THEN {2 ** (63 - j)} ELSE 0 END" for j in range(32, 64))
+    return f"""
+    wrds AS (
+      SELECT doc_id, unnest(list_distinct({_WORDS})) AS word FROM documents
+    ), hashed AS (
+      SELECT doc_id, md5(word) AS h FROM wrds
+    ), votes AS (
+      SELECT doc_id, {", ".join(bit_exprs)} FROM hashed GROUP BY doc_id
+    ), sims AS (
+      SELECT doc_id, CAST({hi} AS BIGINT) AS sim_hi, CAST({lo} AS BIGINT) AS sim_lo
+      FROM votes
+    )"""
+
+
+_SIMHASH64_PAIRS_ORACLE = f"""
+    WITH {{cte}},
+    single AS (
+      SELECT CAST(p AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2 FROM range(0, 64) t(p)
+    ),
+    duo AS (
+      SELECT CAST(a.p AS BIGINT) AS b1, CAST(b.p AS BIGINT) AS b2
+      FROM range(0, 64) a(p), range(0, 64) b(p) WHERE a.p < b.p
+    ),
+    masks AS (
+      SELECT (CASE WHEN b1 < 32 THEN (1::BIGINT << CAST(31 - b1 AS INT)) ELSE 0 END)
+           + (CASE WHEN b2 IS NOT NULL AND b2 < 32
+                   THEN (1::BIGINT << CAST(31 - b2 AS INT)) ELSE 0 END) AS mhi,
+             (CASE WHEN b1 >= 32 THEN (1::BIGINT << CAST(63 - b1 AS INT)) ELSE 0 END)
+           + (CASE WHEN b2 IS NOT NULL AND b2 >= 32
+                   THEN (1::BIGINT << CAST(63 - b2 AS INT)) ELSE 0 END) AS mlo
+      FROM (SELECT * FROM single UNION ALL SELECT * FROM duo)
+    ),
+    d AS (SELECT DISTINCT sim_hi AS fa_hi, sim_lo AS fa_lo FROM sims),
+    nb AS (
+      SELECT fa_hi, fa_lo, xor(fa_hi, mhi) AS fb_hi, xor(fa_lo, mlo) AS fb_lo
+      FROM d, masks
+      WHERE xor(fa_hi, mhi) > fa_hi
+         OR (xor(fa_hi, mhi) = fa_hi AND xor(fa_lo, mlo) > fa_lo)
+    ),
+    fpp AS (
+      SELECT nb.fa_hi, nb.fa_lo, nb.fb_hi, nb.fb_lo
+      FROM nb JOIN d d2 ON d2.fa_hi = nb.fb_hi AND d2.fa_lo = nb.fb_lo
+    ),
+    cross_p AS (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             CAST(bit_count(xor(p.fa_hi, p.fb_hi))
+                  + bit_count(xor(p.fa_lo, p.fb_lo)) AS INT) AS hamming
+      FROM fpp p
+      JOIN sims a ON a.sim_hi = p.fa_hi AND a.sim_lo = p.fa_lo
+      JOIN sims b ON b.sim_hi = p.fb_hi AND b.sim_lo = p.fb_lo
+    ),
+    same_p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(0 AS INT) AS hamming
+      FROM sims a JOIN sims b
+        ON a.sim_hi = b.sim_hi AND a.sim_lo = b.sim_lo AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT * FROM cross_p UNION ALL SELECT * FROM same_p
+    ) ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "dedup_simhash64",
+    "WITH" + _simhash64_cte()[4:] + " SELECT doc_id, sim_hi, sim_lo FROM sims ORDER BY doc_id",
+    doc=(
+        "64-bit SimHash fingerprints as two 32-bit BIGINT words (hi = "
+        "bits 0-31, lo = 32-63) - the Manku production operating point "
+        "where the fingerprint space cannot saturate; two words because "
+        "bit 0's 2^63 weight overflows signed BIGINT in both engines."
+    ),
+)
+def dedup_simhash64_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import simhash64
+
+    return simhash64(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash64_pairs",
+    _SIMHASH64_PAIRS_ORACLE.format(cte=_simhash64_cte()),
+    doc=(
+        "SimHash near-dup pairs within Hamming<=2 over 64-bit two-word "
+        "fingerprints (the Manku production configuration): distinct "
+        "(hi,lo) table cross-joined with a broadcast 2,080-row XOR-mask "
+        "table (C(64,1)+C(64,2)) and hash-joined back on both words - "
+        "|distinct fps| x 2,080 rows, linear; Hamming = bit_count(hi "
+        "XOR) + bit_count(lo XOR), integer-exact."
+    ),
+)
+def dedup_simhash64_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import simhash64_hamming_pairs
+
+    return simhash64_hamming_pairs(table(spark, sf_dir, "documents"), max_hamming=2)
+
+
 _INCR_ORACLE = (
     "WITH "
     + _shingle_cte(3)
