@@ -519,3 +519,83 @@ def test_salted_join_handles_nested_map_schema(spark):
         (r.host, r.v, r.dc) for r in salted_join(probe, build, ["host"], salt=4).collect()
     )
     assert salted == plain and len(plain) == 50
+
+
+def test_ivf_append_touches_only_batch_cells(spark, tmp_path, sf_dir):
+    """Incremental index maintenance: appending a batch (1) writes files
+    ONLY under the cells the batch maps to — every other cell's file set
+    is byte-identical; (2) assigns each vector to the same cell the
+    original quantizer would (nearest existing centroid); (3) a
+    full-probe search over built+appended equals exact brute force over
+    the union; (4) ivf_recall still reports healthy partial-probe recall
+    after the append."""
+    import os
+
+    from pyspark.sql import functions as FF
+
+    from yamon_spark.operators.similarity import (
+        cosine_sim,
+        ivf_append,
+        ivf_build,
+        ivf_recall,
+        ivf_search,
+    )
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.where("vec_id % 10 <> 7")
+    batch = emb.where("vec_id % 10 = 7")
+    idx = str(tmp_path / "ivf")
+    ivf_build(old, idx, n_cells=8)
+
+    def cell_files():
+        out = {}
+        for d in os.listdir(idx):
+            if d.startswith("cell="):
+                p = os.path.join(idx, d)
+                out[d] = {(f, os.path.getmtime(os.path.join(p, f))) for f in os.listdir(p)}
+        return out
+
+    before = cell_files()
+    touched = ivf_append(batch, idx)
+    after = cell_files()
+    assert touched  # the batch landed somewhere
+    for d, files in before.items():
+        if int(d.split("=")[1]) not in touched:
+            assert after[d] == files, f"untouched cell {d} was modified"
+
+    # assignment parity: appended rows sit in the nearest-centroid cell
+    cents = {
+        r.cell: r.centroid for r in spark.read.parquet(idx + "_centroids").collect()
+    }
+    idx_rows = {r.vec_id: r.cell for r in spark.read.parquet(idx).collect()}
+    for r in batch.limit(20).collect():
+        want = min(
+            cents,
+            key=lambda c: (sum((x - y) ** 2 for x, y in zip(r.embedding, cents[c])), c),
+        )
+        assert idx_rows[int(r.vec_id)] == want
+
+    # full probe over built+appended == exact brute force over the union
+    qv = [float(x) for x in emb.where("vec_id = 0").first().embedding]
+    q = FF.lit(qv).cast("array<double>")
+    exact = [
+        r.vec_id
+        for r in emb.where("vec_id <> 0")
+        .select("vec_id", FF.round(cosine_sim(FF.col("embedding").cast("array<double>"), q), 4).alias("s"))
+        .orderBy(FF.col("s").desc(), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    full = [
+        v
+        for v in (r.vec_id for r in ivf_search(spark, idx, qv, k=11, n_probe=8).collect())
+        if v != 0
+    ][:10]
+    assert full == exact
+
+    # recall health-check after the append
+    rec = ivf_recall(spark, idx, emb, k=5, n_probe=8, max_queries=4).first()
+    assert rec.recall == 1.0  # probing every cell is exhaustive
+    rec2 = ivf_recall(spark, idx, emb, k=5, n_probe=2, max_queries=4).first()
+    assert 0.0 <= rec2.recall <= 1.0

@@ -203,3 +203,27 @@ def test_dedup_funnel_attrition_is_consistent(spark):
     # invariant: n_docs[k] == n_docs[k-1] - removed[k]
     assert exact.n_docs == raw.n_docs - exact.removed
     assert near.n_docs == exact.n_docs - near.removed
+
+
+def test_quality_logit_train_learns_separable_gate(spark):
+    """On a corpus where the rule gate splits purely on word count, 12
+    rounds of standardized GD must (1) classify every doc correctly,
+    (2) learn a positive ln-words weight (short docs are the negatives),
+    and (3) emit exactly the five (term, value) rows sorted by term."""
+    from yamon_spark.operators.curation import quality_logit_train
+
+    stop = "the and for you that"  # keeps stop_ratio above the gate floor
+    rows = [(i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)]
+    rows += [(100 + i, f"tiny{i} doc") for i in range(10)]  # too_short negatives
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_logit_train(docs, iters=12, lr=4.0).collect()
+    assert [r.term for r in out] == [
+        "train_acc",
+        "w0_intercept",
+        "w1_ln_words",
+        "w2_avg_word_len",
+        "w3_stop_ratio",
+    ]
+    vals = {r.term: r.value for r in out}
+    assert vals["train_acc"] == 1.0
+    assert vals["w1_ln_words"] > 0.5  # word count is the separating feature

