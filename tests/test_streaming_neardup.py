@@ -144,3 +144,73 @@ def test_exact_dup_hits_all_bands(spark, tmp_path):
     assert got[2].verdict == "near"
     assert got[2].matched_id == 1
     assert got[2].n_bands_hit == 4
+
+
+def test_hot_bucket_flood_state_bounded_and_evictions_observable(spark, tmp_path):
+    """A flood of byte-identical docs hammers the SAME 4 band buckets:
+    the state store must hold exactly n_bands rows (one owner long per
+    bucket) no matter how many docs arrive — the TTL-bounded-state
+    contract. After the 1 s TTL lapses, a later unrelated batch makes
+    the timed-out buckets evict, and the monitor listener surfaces both
+    observables (yamon.state.rows gauge, yamon.state.evicted counter)
+    from the engine's own StateOperatorProgress."""
+    import time
+
+    from yamon_spark.streaming import monitor
+    from yamon_spark.streaming.neardup import near_dup_flags_live
+
+    listener = monitor.attach(spark)
+    try:
+        src = tmp_path / "docs"
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        _land(src, [{"doc_id": i, "text": text} for i in range(50)])  # hot flood
+
+        stream = spark.readStream.schema(DOC_SCHEMA).json(str(src))
+        flags = near_dup_flags_live(stream, state_ttl_s=1)
+        q = (
+            flags.writeStream.format("parquet")
+            .outputMode("append")
+            .queryName("neardup_flood")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .option("path", str(tmp_path / "out"))
+            .start()
+        )
+        try:
+            deadline = time.time() + 120
+            read = lambda: spark.read.schema(flags.schema).parquet(str(tmp_path / "out"))  # noqa: E731
+            while time.time() < deadline:
+                assert q.exception() is None
+                try:
+                    if read().count() >= 200:  # 50 docs x 4 bands
+                        break
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            assert read().count() >= 200
+            # state bounded by buckets, not docs: 4 bands x 1 hot bucket
+            deadline = time.time() + 60
+            while time.time() < deadline and listener.state_rows.get("neardup_flood", -1) != 4:
+                time.sleep(0.5)
+            assert listener.state_rows["neardup_flood"] == 4
+
+            # TTL eviction: land an unrelated batch after the TTL lapsed;
+            # the next micro-batch fires the timeouts and removes state
+            time.sleep(1.5)
+            _land(src, [{"doc_id": 999, "text": "totally different words everywhere now"}])
+            deadline = time.time() + 60
+            while time.time() < deadline and listener.state_evicted.get("neardup_flood", 0) < 4:
+                time.sleep(0.5)
+            assert listener.state_evicted["neardup_flood"] >= 4
+        finally:
+            q.stop()
+            q.awaitTermination(60)
+
+        snap = {
+            r.name: r.value
+            for r in listener.snapshot_metrics(spark).collect()
+            if "state" in r.name
+        }
+        assert snap["yamon.state.evicted.neardup_flood"] >= 4.0
+        assert "yamon.state.rows.neardup_flood" in snap
+    finally:
+        spark.streams.removeListener(listener)

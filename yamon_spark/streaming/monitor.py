@@ -37,6 +37,13 @@ class IngestCounters(StreamingQueryListener):
         self._lock = threading.Lock()
         self.rows_in: dict[str, int] = defaultdict(int)
         self.batches: dict[str, int] = defaultdict(int)
+        # stateful-operator health (the TTL-sizing observables for
+        # neardup triage / sessionization): latest state-store row count
+        # per query (gauge) and cumulative evictions (counter) from the
+        # engine's own StateOperatorProgress — numRowsRemoved counts
+        # rows dropped by timeout/eviction each micro-batch
+        self.state_rows: dict[str, int] = defaultdict(int)
+        self.state_evicted: dict[str, int] = defaultdict(int)
 
     # StreamingQueryListener interface -----------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -45,9 +52,15 @@ class IngestCounters(StreamingQueryListener):
     def onQueryProgress(self, event) -> None:  # noqa: N802
         p = event.progress
         name = p.name or p.id
+        ops = p.stateOperators or []
+        total = sum(int(op.numRowsTotal) for op in ops)
+        removed = sum(int(op.numRowsRemoved) for op in ops)
         with self._lock:
             self.rows_in[str(name)] += int(p.numInputRows)
             self.batches[str(name)] += 1
+            if ops:
+                self.state_rows[str(name)] = total
+                self.state_evicted[str(name)] += removed
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -63,10 +76,17 @@ class IngestCounters(StreamingQueryListener):
                 (name, float(n), float(self.batches.get(name, 0)))
                 for name, n in sorted(self.rows_in.items())
             ]
+            state = [
+                (name, float(self.state_rows.get(name, 0)), float(n))
+                for name, n in sorted(self.state_evicted.items())
+            ]
         df = spark.createDataFrame(rows, "query string, rows_in double, batches double")
+        sdf = spark.createDataFrame(
+            state, "query string, state_rows double, state_evicted double"
+        )
 
-        def shape(name_prefix: str, value_col: str, tags):
-            return df.select(
+        def shape(name_prefix: str, value_col: str, tags, frame=None):
+            return (df if frame is None else frame).select(
                 F.current_timestamp().alias("when"),
                 F.lit("counter").alias("type"),
                 F.lit("").alias("host"),
@@ -75,10 +95,12 @@ class IngestCounters(StreamingQueryListener):
                 tags.alias("tags"),
             )
 
-        return shape(
-            "yamon.ingested.", "rows_in", F.create_map(F.lit("result"), F.lit("read"))
-        ).unionByName(
-            shape("yamon.batches.", "batches", F.create_map().cast("map<string,string>"))
+        no_tags = F.create_map().cast("map<string,string>")
+        return (
+            shape("yamon.ingested.", "rows_in", F.create_map(F.lit("result"), F.lit("read")))
+            .unionByName(shape("yamon.batches.", "batches", no_tags))
+            .unionByName(shape("yamon.state.rows.", "state_rows", no_tags, frame=sdf))
+            .unionByName(shape("yamon.state.evicted.", "state_evicted", no_tags, frame=sdf))
         )
 
 
