@@ -64,6 +64,8 @@ BNLJ_OK = {
     "embed_pca_power",  # broadcast mean-row + d-element iterate vector rounds
     "source_divergence",  # broadcast of the ONE corpus-total row
     "text_tfidf_pairs",  # broadcast of the ONE corpus-count row
+    "dedup_simhash64_pairs",  # broadcast of the constant 2,080-row mask table
+    "quality_logit_train",  # broadcast 1-row stats + weight frames each round
 }
 
 
@@ -192,3 +194,19 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
         for s in schemas:
             got = {c.split(":")[0] for c in s.split(",") if c}
             assert got <= want_cols, f"{name}: scan reads {got}, want subset of {want_cols}"
+
+
+def test_operators_md_in_sync():
+    """OPERATORS.md is generated from the registry docstrings
+    (scripts/gen_operators_md.py); a drifted checked-in copy fails here
+    instead of rotting."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_operators_md
+
+    with open(gen_operators_md.OUT) as f:
+        assert f.read() == gen_operators_md.render(), (
+            "OPERATORS.md is stale - run: python scripts/gen_operators_md.py"
+        )

@@ -96,23 +96,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r1-vintage (oldest — front of the verified segment)
-    "q10_inner_join_dims": 1, "q11_left_outer_count": 1, "q12_semi_join": 1,
-    "q13_anti_join": 1, "q14_range_join": 1, "q15_asof_join": 1,
-    "q16_cross_join_pairs": 1, "q24_rollup": 1, "q25_gauge_rollup_mv": 1,
-    "q26_counter_rollup_mv": 1, "q38_approx_quantile": 1,
-    "q39_cond_aggs": 1, "q44_union_all": 1, "q47_exists_correlated": 1,
-    "q48_cte_reuse": 1, "q49_first_last_window": 1, "q50_string_funcs": 1,
-    "q51_datetime_funcs": 1, "q52_math_funcs": 1, "q53_json_extract": 1,
-    "q54_map_tag_ops": 1, "q55_array_funcs": 1, "q56_struct_ops": 1,
-    "q57_conditionals": 1, "q58_regex_funcs": 1, "q65_interval_join": 1,
-    "q73_unpivot": 1, "q74_lateral_explode": 1, "q75_bitmap_distinct": 1,
-    "q76_zip_with": 1, "q77_cube_grouping": 1, "q78_median_stats": 1,
-    "q79_fuzzy_match": 1, "text_bigrams": 1,
-    # r2-vintage
-    "ann_range_search": 2, "dedup_canonical": 2, "dedup_clusters": 2,
-    "domain_mix": 2, "embed_centroids": 2, "embed_norm_stats": 2,
-    "pack_sequences": 2, "pq_codes": 2, "vocab_coverage": 2,
+    # r2-vintage (oldest — front of the verified segment)
+    "ann_range_search": 2, "dedup_clusters": 2, "embed_centroids": 2,
+    "embed_norm_stats": 2, "pq_codes": 2, "vocab_coverage": 2,
     # r3-vintage
     "contamination_ngram": 3, "corpus_profile": 3,
     "domain_mix_temperature": 3, "pq_topk": 3, "q66_hll_rollup_merge": 3,
@@ -140,7 +126,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "sim_near_dup_pairs": 4, "sim_truncation_recall": 4, "text_bm25": 4,
     "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
     "text_stats": 4, "text_token_count": 4, "text_unigram_logprob": 4,
-    # r5-vintage (freshest — back of the queue)
+    # r5-vintage
     "bpe_merge_step": 5, "bpe_pair_counts": 5, "chunk_dup_groups": 5,
     "dedup_containment": 5, "dedup_funnel": 5, "dedup_semantic": 5,
     "dsir_weights": 5, "embed_label_metrics": 5, "hard_negative_mining": 5,
@@ -160,6 +146,25 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_chunk_windows": 5, "text_entropy": 5,
     "text_perplexity_buckets": 5, "text_search": 5, "text_zipf_slope": 5,
     "vocab_growth": 5,
+    # r6-vintage (freshest — back of the queue)
+    "bpe_apply": 6, "dedup_canonical": 6, "dedup_incremental": 6,
+    "dedup_minhash_err": 6, "dedup_simhash_pairs": 6, "domain_mix": 6,
+    "embed_kmeans": 6, "embed_pca_power": 6, "multimodal_png_roundtrip": 6,
+    "pack_sequences": 6, "q10_inner_join_dims": 6,
+    "q11_left_outer_count": 6, "q12_semi_join": 6, "q13_anti_join": 6,
+    "q14_range_join": 6, "q15_asof_join": 6, "q16_cross_join_pairs": 6,
+    "q24_rollup": 6, "q25_gauge_rollup_mv": 6, "q26_counter_rollup_mv": 6,
+    "q38_approx_quantile": 6, "q39_cond_aggs": 6, "q44_union_all": 6,
+    "q47_exists_correlated": 6, "q48_cte_reuse": 6,
+    "q49_first_last_window": 6, "q50_string_funcs": 6,
+    "q51_datetime_funcs": 6, "q52_math_funcs": 6, "q53_json_extract": 6,
+    "q54_map_tag_ops": 6, "q55_array_funcs": 6, "q56_struct_ops": 6,
+    "q57_conditionals": 6, "q58_regex_funcs": 6, "q65_interval_join": 6,
+    "q73_unpivot": 6, "q74_lateral_explode": 6, "q75_bitmap_distinct": 6,
+    "q76_zip_with": 6, "q77_cube_grouping": 6, "q78_median_stats": 6,
+    "q79_fuzzy_match": 6, "sample_weighted": 6, "source_divergence": 6,
+    "source_overlap": 6, "text_bigrams": 6, "text_ngram_novelty": 6,
+    "text_tfidf_pairs": 6, "train_test_split": 6,
 }
 
 

@@ -53,6 +53,7 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
+    doc="COUNT(DISTINCT) per group: two-phase expand + partial hash aggregation.",
 )
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
@@ -89,6 +90,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, cnt
     """,
+    doc="GROUPING SETS over order status/priority: one Expand node feeding a single hash aggregate, not one scan per set.",
 )
 def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "orders").createOrReplaceTempView("_q23_orders")
@@ -111,6 +113,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY ROLLUP (n_name, o_orderstatus)
     ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST, sum_price
     """,
+    doc="ROLLUP over nation x order status with two broadcast dim joins; subtotal rows from the same single-scan Expand.",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")

@@ -32,6 +32,7 @@ from yamon_spark.queries import register, table
            (p_name LIKE '%red%') AS has_red
     FROM part ORDER BY p_partkey
     """,
+    doc="Scalar string-function surface (substr/upper/trim/lpad/replace/instr) as codegen JVM expressions, exactness pinned by the oracle.",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
@@ -94,6 +95,7 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
            l_partkey % 7 AS mod7
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
+    doc="Scalar math-function surface (abs/ceil/floor/round/ln/sqrt/pow/mod) at a rounding precision where .xx5 ties cannot occur.",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")

@@ -90,6 +90,7 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey AS nationkey FROM customer
     UNION SELECT s_nationkey FROM supplier ORDER BY nationkey
     """,
+    doc="UNION DISTINCT of two filtered scans: union + hash-distinct with partial aggregation before the shuffle.",
 )
 def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -103,6 +104,7 @@ def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey AS nationkey FROM customer
     INTERSECT SELECT s_nationkey FROM supplier ORDER BY nationkey
     """,
+    doc="INTERSECT compiled to a left-semi hash join over distinct rows.",
 )
 def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
@@ -116,6 +118,7 @@ def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT SELECT s_nationkey FROM supplier ORDER BY nationkey
     """,
+    doc="EXCEPT compiled to a left-anti hash join over distinct rows.",
 )
 def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
