@@ -324,6 +324,13 @@ _SHORT_WHOLE.update({
     "text_search": "sch",
     "multimodal_meta": "mta",
 })
+# r7 additions
+_SHORT_WHOLE.update({
+    "multimodal_jpeg_roundtrip": "jpg",
+    "dedup_simhash64": "s64",
+    "dedup_simhash64_pairs": "s6p",
+    "quality_logit_train": "qlt",
+})
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
     ("sample_", "sp_"), ("embed_", "em_"), ("corpus_", "co_"),

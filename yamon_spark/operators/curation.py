@@ -631,8 +631,27 @@ def quality_logit(docs: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
-    """TRAIN the linear quality head in-engine: logistic regression by
+def _logit_z(w_prefix: str = "w"):
+    """Shared association order for the head's linear term — identical
+    chain in quality_logit_train, quality_head_calibration, and the SQL
+    oracles."""
+    return (
+        F.col(f"{w_prefix}0")
+        + F.col(f"{w_prefix}1") * F.col("x1")
+        + F.col(f"{w_prefix}2") * F.col("x2")
+        + F.col(f"{w_prefix}3") * F.col("x3")
+    )
+
+
+def _logit_sigmoid():
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit_z()))
+
+
+def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
+    """(standardized feature frame, trained 1-row weight frame) — the
+    shared GD core of quality_logit_train and quality_head_calibration.
+
+    TRAINS the linear quality head in-engine: logistic regression by
     unrolled batch gradient descent, distilling the rule gate
     (:func:`quality_filter`'s keep verdict with default thresholds) into
     the same three features :func:`quality_logit` scores with (ln word
@@ -700,16 +719,6 @@ def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> Da
         [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
     )
 
-    def _z():
-        return (
-            F.col("w0")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-        )
-
-    def _p():
-        return F.lit(1.0) / (F.lit(1.0) + F.exp(-_z()))
 
     # each round references the previous weight frame exactly ONCE: the
     # update folds into the gradient aggregate (w_j is constant over the
@@ -719,7 +728,7 @@ def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> Da
     xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3")]
     for _ in range(iters):
         j = feats.crossJoin(F.broadcast(w))
-        err = _p() - F.col("y")
+        err = _logit_sigmoid() - F.col("y")
         w = j.agg(
             *[
                 F.round(
@@ -728,10 +737,18 @@ def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> Da
                 for i in range(4)
             ]
         )
+    return feats, w
+
+
+def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
+    """TRAIN the linear quality head in-engine (see _logit_train_frames
+    for the GD core): emits (term, value) rows — the four learned
+    weights after `iters` rounds plus final training accuracy."""
+    feats, w = _logit_train_frames(docs, iters, lr)
     final = feats.crossJoin(F.broadcast(w))
     acc = final.agg(
         F.round(
-            F.avg(F.when((_p() >= 0.5) == (F.col("y") >= 0.5), 1.0).otherwise(0.0)), 4
+            F.avg(F.when((_logit_sigmoid() >= 0.5) == (F.col("y") >= 0.5), 1.0).otherwise(0.0)), 4
         ).alias("value")
     ).select(F.lit("train_acc").alias("term"), "value")
     weights = w.selectExpr(
@@ -739,6 +756,40 @@ def quality_logit_train(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> Da
         "'w2_avg_word_len', w2, 'w3_stop_ratio', w3) AS (term, value)"
     )
     return weights.unionByName(acc).orderBy("term")
+
+
+def quality_head_calibration(
+    docs: DataFrame, iters: int = 12, lr: float = 4.0, n_bins: int = 10
+) -> DataFrame:
+    """Reliability diagram for the TRAINED quality head: train the
+    logistic head (the :func:`_logit_train_frames` GD core), then bin
+    every doc by its 4dp-rounded predicted keep-probability into
+    `n_bins` deciles and report per bin (count, mean prediction,
+    observed keep fraction against the rule gate). A calibrated head
+    shows mean_pred tracking frac_keep per bin — the evidence a mixing
+    pipeline needs before thresholding or importance-weighting on the
+    score; training accuracy alone can hide a head that is confidently
+    wrong in one probability band.
+
+    One extra scan over the training plan: the final broadcast-weights
+    pass projects (bin, p, y) and partial-agg groupBys into <= n_bins
+    rows. Bin edges floor(round(p,4)*n_bins) compute in IEEE double on
+    both engines (identical bits -> identical bin), top bin clamps p=1.
+    """
+    feats, w = _logit_train_frames(docs, iters, lr)
+    j = feats.crossJoin(F.broadcast(w))
+    p4 = F.round(_logit_sigmoid(), 4)
+    b = F.least(F.floor(p4 * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (
+        j.select(b.alias("bin"), p4.alias("p"), "y")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("mean_pred"),
+            F.round(F.avg("y"), 4).alias("frac_keep"),
+        )
+        .orderBy("bin")
+    )
 
 
 def perplexity_buckets(docs: DataFrame, top_k: int = 1000, sample_mod: int = 20) -> DataFrame:

@@ -166,6 +166,70 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def embedding_assign_delta(
+    embeddings: DataFrame, batch_mod: int = 10, batch_rem: int = 7
+) -> DataFrame:
+    """Incremental cell assignment under the driver oracle — the
+    SQL-expressible twin of :func:`ivf_append`'s core step. Vectors with
+    vec_id % batch_mod == batch_rem are the arriving DELTA batch; the
+    rest are the existing index. Per-label mean centroids are computed
+    over the INDEX side only (4dp-rounded, the embedding_centroids agg),
+    and each delta vector is assigned to its nearest centroid (squared
+    L2, 4dp-rounded before the argmin so cross-engine last-ulp noise
+    cannot flip a tie; ties break on lowest label). Emits per delta
+    vector the assigned cell, distance, and whether the assignment
+    matches the vector's own label (the drift signal: a fresh batch
+    whose hit-rate sags is a quantizer-rebuild trigger — ivf_recall's
+    oracle-gated cousin).
+
+    100 TB shape: centroids are a |labels| x dim bounded aggregate that
+    BROADCASTS back; assignment is one map-side pass over the delta
+    batch (batch x |labels| compares) — per-batch cost independent of
+    index size, exactly ivf_append's plan."""
+    from pyspark.sql import Window
+
+    is_delta = (F.col("vec_id") % batch_mod) == batch_rem
+    emb = embeddings.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e"), is_delta.alias("d")
+    )
+    cents = (
+        emb.where(~F.col("d"))
+        .select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("carr")
+        )
+        .select(F.col("label").alias("cell"), "carr")
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("e", "carr", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        4,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    return (
+        emb.where(F.col("d"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("assigned_cell"),
+            F.col("dist").alias("sq_dist"),
+            (F.col("cell") == F.col("label")).cast("int").alias("label_hit"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 3) -> DataFrame:
     """Unsupervised Lloyd's k-means over the embedding column, unrolled
     to a FIXED iteration count — the iterative algorithm the ANN shelf

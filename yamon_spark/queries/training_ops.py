@@ -73,7 +73,7 @@ def bpe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_counts(table(spark, sf_dir, "documents"), top_n=50)
 
 
-def _logit_train_oracle(iters: int = 12, lr: float = 4.0) -> str:
+def _logit_train_ctes(iters: int, lr: float) -> tuple[list[str], str]:
     """Unrolled gradient-descent CTE chain mirroring
     operators.curation.quality_logit_train: raw features -> 4dp-rounded
     standardization stats -> z-scored features, then per round one
@@ -127,6 +127,11 @@ def _logit_train_oracle(iters: int = 12, lr: float = 4.0) -> str:
       FROM feats, wt{t - 1}
     )"""
         )
+    return ctes, p
+
+
+def _logit_train_oracle(iters: int = 12, lr: float = 4.0) -> str:
+    ctes, p = _logit_train_ctes(iters, lr)
     return f"""
     WITH {", ".join(ctes)}
     SELECT term, value FROM (
@@ -139,6 +144,23 @@ def _logit_train_oracle(iters: int = 12, lr: float = 4.0) -> str:
              round(avg(CASE WHEN ({p} >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END), 4)
       FROM feats, wt{iters}
     ) ORDER BY term
+    """
+
+
+def _logit_calibration_oracle(iters: int = 12, lr: float = 4.0, n_bins: int = 10) -> str:
+    """Reliability-bin oracle over the SAME unrolled training chain:
+    bin = floor(round(p,4)*n_bins) clamped to the top bin, computed in
+    IEEE double on both engines (identical bits, identical bin)."""
+    ctes, p = _logit_train_ctes(iters, lr)
+    p4 = f"round({p}, 4)"
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(least(floor({p4} * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg({p4}), 4) AS mean_pred,
+           round(avg(y), 4) AS frac_keep
+    FROM feats, wt{iters}
+    GROUP BY 1 ORDER BY 1
     """
 
 
