@@ -599,3 +599,35 @@ def test_ivf_append_touches_only_batch_cells(spark, tmp_path, sf_dir):
     assert rec.recall == 1.0  # probing every cell is exhaustive
     rec2 = ivf_recall(spark, idx, emb, k=5, n_probe=2, max_queries=4).first()
     assert 0.0 <= rec2.recall <= 1.0
+
+
+def test_embedding_assign_delta_assigns_nearest_and_flags_drift(spark):
+    """Two tight clusters at opposite corners: delta vectors near their
+    own label's centroid assign home (label_hit=1); a delta vector
+    planted on the OTHER cluster's centroid assigns there (label_hit=0)
+    — the drift signal ivf_append's health gate thresholds on."""
+    from yamon_spark.operators.similarity import embedding_assign_delta
+
+    d = 8
+
+    def vec(base, eps):
+        return [float(base)] * (d // 2) + [float(eps)] * (d // 2)
+
+    rows = []
+    # index side (vec_id % 10 != 7): labels 0 and 1, well separated
+    for i in range(20):
+        if i % 10 == 7:
+            continue
+        rows.append((i, vec(0.0, 0.01 * (i % 3)), 0))
+        rows.append((100 + i, vec(1.0, 0.01 * (i % 3)), 1))
+    # delta batch: vec 7 near cluster 0, vec 17 near cluster 1,
+    # vec 107 labeled 0 but sitting ON cluster 1 (drifted)
+    rows.append((7, vec(0.0, 0.0), 0))
+    rows.append((17, vec(1.0, 0.0), 1))
+    rows.append((107, vec(1.0, 0.0), 0))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in embedding_assign_delta(emb, 10, 7).collect()}
+    assert set(out) == {7, 17, 107}
+    assert out[7].assigned_cell == 0 and out[7].label_hit == 1
+    assert out[17].assigned_cell == 1 and out[17].label_hit == 1
+    assert out[107].assigned_cell == 1 and out[107].label_hit == 0

@@ -227,3 +227,27 @@ def test_quality_logit_train_learns_separable_gate(spark):
     vals = {r.term: r.value for r in out}
     assert vals["train_acc"] == 1.0
     assert vals["w1_ln_words"] > 0.5  # word count is the separating feature
+
+
+def test_quality_head_calibration_separable_corpus_is_polarized(spark):
+    """On the same separable corpus the trained head is confident, so the
+    reliability diagram must (1) partition the corpus (n_docs sums to
+    |corpus|), (2) keep every bin's mean_pred inside the bin's
+    probability range, and (3) show frac_keep 0 in the bottom occupied
+    bin and 1 in the top occupied bin — predictions agree with the rule
+    gate at both extremes."""
+    from yamon_spark.operators.curation import quality_head_calibration
+
+    stop = "the and for you that"
+    rows = [(i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)]
+    rows += [(100 + i, f"tiny{i} doc") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_head_calibration(docs, iters=12, lr=4.0, n_bins=10).collect()
+    assert sum(r.n_docs for r in out) == 40
+    bins = [r.bin for r in out]
+    assert bins == sorted(bins) and all(0 <= b <= 9 for b in bins)
+    for r in out:
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0001
+        assert lo - 1e-4 <= r.mean_pred <= hi + 1e-4
+    assert out[0].frac_keep == 0.0  # short docs: confidently (and correctly) dropped
+    assert out[-1].frac_keep == 1.0  # long docs: confidently (and correctly) kept

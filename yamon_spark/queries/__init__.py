@@ -196,6 +196,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         analytics_ext4,
         training_ops2,
         eval_ops,
+        maintenance_ops,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}

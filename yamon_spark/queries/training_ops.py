@@ -186,6 +186,26 @@ def quality_logit_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_head_calibration",
+    _logit_calibration_oracle(12, 4.0, 10),
+    doc=(
+        "Reliability diagram for the trained quality head: re-run the "
+        "unrolled-GD training chain, bin every doc by its 4dp-rounded "
+        "predicted keep-probability into 10 deciles, and report per bin "
+        "(count, mean prediction, observed keep fraction vs the rule "
+        "gate). The evidence a mixing pipeline needs before thresholding "
+        "on the score — training accuracy alone can hide a head that is "
+        "confidently wrong in one probability band. Bin edges "
+        "floor(round(p,4)*10) compute in IEEE double on both engines."
+    ),
+)
+def quality_head_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_head_calibration
+
+    return quality_head_calibration(table(spark, sf_dir, "documents"), iters=12, lr=4.0, n_bins=10)
+
+
+@register(
     "quality_logit",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
