@@ -474,6 +474,8 @@ def test_jpeg_decoder_rejects_malformed():
         b"\xff\xd8\xff\xd9",  # no SOF/SOS
         good[:-3],  # truncated scan
         good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",  # short SOF0 payload (struct.error path)
+        b"\xff\xd8\xff\xda\x00\x02",  # empty SOS payload (IndexError path)
     ):
         with pytest.raises(ValueError):
             decode_jpeg(bad)

@@ -601,6 +601,33 @@ def test_ivf_append_touches_only_batch_cells(spark, tmp_path, sf_dir):
     assert 0.0 <= rec2.recall <= 1.0
 
 
+def test_ivf_append_log_and_recall_gate_cadence(spark, tmp_path, sf_dir):
+    """Every append logs one row to <index>_log; with recall_every=2 the
+    gate fires on exactly the 2nd append (recall recorded, full probe ->
+    1.0) and stays null on appends 1 and 3."""
+    from yamon_spark.operators.similarity import ivf_append, ivf_build
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.where("vec_id % 10 < 6")
+    idx = str(tmp_path / "ivf")
+    ivf_build(old, idx, n_cells=4)
+    for rem in (6, 7, 8):
+        ivf_append(
+            emb.where(f"vec_id % 10 = {rem}"),
+            idx,
+            recall_every=2,
+            recall_embeddings=emb,
+            recall_k=5,
+            recall_n_probe=4,
+        )
+    log = {r.append_seq: r for r in spark.read.parquet(idx + "_log").collect()}
+    assert sorted(log) == [1, 2, 3]
+    assert log[1].recall is None and log[3].recall is None
+    assert log[2].recall == 1.0  # n_probe=4 over a 4-cell index is exhaustive
+    assert all(log[s].n_rows > 0 and log[s].n_cells_touched > 0 for s in log)
+
+
 def test_embedding_assign_delta_assigns_nearest_and_flags_drift(spark):
     """Two tight clusters at opposite corners: delta vectors near their
     own label's centroid assign home (label_hit=1); a delta vector

@@ -206,11 +206,13 @@ def test_hot_bucket_flood_state_bounded_and_evictions_observable(spark, tmp_path
             q.awaitTermination(60)
 
         snap = {
-            r.name: r.value
+            r.name: r
             for r in listener.snapshot_metrics(spark).collect()
             if "state" in r.name
         }
-        assert snap["yamon.state.evicted.neardup_flood"] >= 4.0
-        assert "yamon.state.rows.neardup_flood" in snap
+        assert snap["yamon.state.evicted.neardup_flood"].value >= 4.0
+        assert snap["yamon.state.evicted.neardup_flood"].type == "counter"
+        # rows is the LATEST level per query, not an accumulation
+        assert snap["yamon.state.rows.neardup_flood"].type == "gauge"
     finally:
         spark.streams.removeListener(listener)

@@ -988,7 +988,19 @@ def decode_jpeg(b: bytes) -> tuple[int, int, bytes]:
     returns (width, height, pixels) with pixels row-major uint8 bytes.
     Raises ValueError on anything outside baseline 1-component 1x1
     grayscale (progressive, subsampled, or color payloads fall back to
-    Pillow in decode_media, same contract as decode_png/decode_bmp)."""
+    Pillow in decode_media, same contract as decode_png/decode_bmp).
+    Malformed bitstreams that would surface as struct.error/IndexError
+    mid-parse (short SOF0/SOS payloads, truncated scans) are normalized
+    to ValueError so decode_media's fallback contract holds."""
+    import struct
+
+    try:
+        return _decode_jpeg_impl(b)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_impl(b: bytes) -> tuple[int, int, bytes]:
     import struct
 
     if len(b) < 4 or b[:2] != b"\xff\xd8":

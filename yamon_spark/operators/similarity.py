@@ -613,7 +613,14 @@ def ivf_search(
     )
 
 
-def ivf_append(new_vectors: DataFrame, index_path: str) -> list[int]:
+def ivf_append(
+    new_vectors: DataFrame,
+    index_path: str,
+    recall_every: int = 0,
+    recall_embeddings: DataFrame | None = None,
+    recall_k: int = 10,
+    recall_n_probe: int = 2,
+) -> list[int]:
     """Incremental IVF index maintenance: assign a NEW vector batch to
     the EXISTING persisted cells (nearest centroid under the same
     squared-Euclidean argmin KMeans.transform uses, lowest-cell ties)
@@ -625,11 +632,20 @@ def ivf_append(new_vectors: DataFrame, index_path: str) -> list[int]:
     (partitionBy append creates files solely for partition values
     present in the batch). Returns the sorted list of touched cells.
 
+    Drift gate cadence: every append logs one row to ``<index>_log``
+    (n_rows, n_cells_touched, recall nullable). With ``recall_every=N``
+    (and ``recall_embeddings`` as the query pool), every Nth append runs
+    the one-pass :func:`ivf_recall` health check and records recall@k in
+    its log row — the number a pipeline alerts on to schedule a
+    quantizer rebuild. The log is one tiny row per batch; the count that
+    drives the cadence comes from the log itself, so the gate needs no
+    external state.
+
     100 TB shape: per batch cost is O(batch x n_cells) compares and a
     write of batch size — independent of index size. Centroid drift
     under sustained appends degrades recall, not correctness (probes
-    rerank exactly inside cells); re-check with :func:`ivf_recall` and
-    rebuild when it sags."""
+    rerank exactly inside cells); the recall gate is what detects the
+    sag."""
     from pyspark.sql import Window
 
     spark = new_vectors.sparkSession
@@ -648,8 +664,27 @@ def ivf_append(new_vectors: DataFrame, index_path: str) -> list[int]:
         .where(F.col("rn") == 1)
         .select("vec_id", "embedding", "cell")
     )
-    touched = sorted(r.cell for r in assigned.select("cell").distinct().collect())
+    counts = assigned.groupBy("cell").count().collect()
+    touched = sorted(r.cell for r in counts)
+    n_rows = sum(r["count"] for r in counts)
     assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+    log_path = index_path.rstrip("/") + "_log"
+    try:
+        n_prior = spark.read.parquet(log_path).count()
+    except Exception:  # noqa: BLE001 — first append: no log yet
+        n_prior = 0
+    recall = None
+    if recall_every > 0 and recall_embeddings is not None and (n_prior + 1) % recall_every == 0:
+        recall = float(
+            ivf_recall(
+                spark, index_path, recall_embeddings, k=recall_k, n_probe=recall_n_probe
+            ).first()["recall"]
+        )
+    spark.createDataFrame(
+        [(n_prior + 1, int(n_rows), len(touched), recall)],
+        "append_seq long, n_rows long, n_cells_touched int, recall double",
+    ).write.mode("append").parquet(log_path)
     return touched
 
 
@@ -669,41 +704,61 @@ def ivf_recall(
     mean recall@k. The number a production pipeline watches after N
     appends to decide when centroid drift warrants a quantizer rebuild.
 
-    Bounded like knn_join: the query batch is hard-capped, each query's
-    probe reads ~n_probe/n_cells of the index (directory-pruned), and
-    the exact reference pass is one broadcast-queries scan — O(queries
-    x index), affordable at health-check cadence on a sample."""
-    idx = spark.read.parquet(index_path)
-    queries = [
-        (int(r.vec_id), [float(x) for x in r.embedding])
-        for r in embeddings.where(F.col("vec_id") % query_mod == 0)
+    One-pass broadcast kernel (the sim_ivf_recall_batch shape): the
+    hard-capped query batch broadcasts once; probe routing is a
+    queries x centroids rank (both bounded), the probed rerank is a
+    broadcast hash join on the index's cell partition column (DPP-
+    eligible: only probed cell directories are read), and the exact
+    reference ranking is ONE broadcast-queries scan — O(queries x
+    index) total, a single Spark job instead of a 2-jobs-per-query
+    driver loop. The query itself is excluded BEFORE ranking on both
+    sides, so each side is exactly its top-k."""
+    from pyspark.sql import Window
+
+    idx = spark.read.parquet(index_path).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "cell"
+    )
+    queries = (
+        embeddings.where(F.col("vec_id") % query_mod == 0)
         .orderBy("vec_id")
         .limit(max_queries)
-        .collect()
-    ]
-    hits = total = 0
-    for qid, qv in queries:
-        q = F.lit(qv).cast("array<double>")
-        sim = F.round(cosine_sim(F.col("embedding").cast("array<double>"), q), 4)
-        exact = {
-            r.vec_id
-            for r in idx.where(F.col("vec_id") != qid)
-            .select("vec_id", sim.alias("s"))
-            .orderBy(F.col("s").desc(), "vec_id")
-            .limit(k)
-            .collect()
-        }
-        probed = {
-            r.vec_id
-            for r in ivf_search(spark, index_path, qv, k=k + 1, n_probe=n_probe).collect()
-            if r.vec_id != qid
-        }
-        hits += len(exact & set(list(probed)[: k + 1]))
-        total += len(exact)
-    recall = round(hits / total, 4) if total else 1.0
-    return spark.createDataFrame(
-        [(len(queries), k, n_probe, recall)],
-        "n_queries int, k int, n_probe int, recall double",
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_emb"),
+        )
+    )
+    cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
+    cdist = _fold_sum(F.zip_with("centroid", "q_emb", lambda c, x: (c - x) * (c - x)))
+    wq = Window.partitionBy("q_id").orderBy("cd", "cell")
+    probe_cells = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("cd", cdist)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("q_id", "q_emb", "cell")
+    )
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    wr = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "vec_id")
+
+    def topk(cands: DataFrame) -> DataFrame:
+        return (
+            cands.where(F.col("vec_id") != F.col("q_id"))
+            .withColumn("cs", sim)
+            .withColumn("rk", F.row_number().over(wr))
+            .where(F.col("rk") <= k)
+            .select("q_id", "vec_id")
+        )
+
+    exact = topk(idx.crossJoin(F.broadcast(queries)))
+    probed = topk(idx.join(F.broadcast(probe_cells), "cell"))
+    flagged = exact.join(probed.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
+    return flagged.agg(
+        F.count_distinct("q_id").cast("int").alias("n_queries"),
+        F.lit(k).cast("int").alias("k"),
+        F.lit(n_probe).cast("int").alias("n_probe"),
+        F.coalesce(
+            F.round(F.sum(F.coalesce("hit", F.lit(0))) / F.count(F.lit(1)), 4), F.lit(1.0)
+        ).alias("recall"),
     )
 
 

@@ -85,10 +85,10 @@ class IngestCounters(StreamingQueryListener):
             state, "query string, state_rows double, state_evicted double"
         )
 
-        def shape(name_prefix: str, value_col: str, tags, frame=None):
+        def shape(name_prefix: str, value_col: str, tags, frame=None, mtype="counter"):
             return (df if frame is None else frame).select(
                 F.current_timestamp().alias("when"),
-                F.lit("counter").alias("type"),
+                F.lit(mtype).alias("type"),
                 F.lit("").alias("host"),
                 F.concat(F.lit(name_prefix), F.col("query")).alias("name"),
                 F.col(value_col).alias("value"),
@@ -99,7 +99,12 @@ class IngestCounters(StreamingQueryListener):
         return (
             shape("yamon.ingested.", "rows_in", F.create_map(F.lit("result"), F.lit("read")))
             .unionByName(shape("yamon.batches.", "batches", no_tags))
-            .unionByName(shape("yamon.state.rows.", "state_rows", no_tags, frame=sdf))
+            .unionByName(
+                # latest numRowsTotal per query is a level, not an
+                # accumulation — downstream rate/delta math must not
+                # treat it as a counter
+                shape("yamon.state.rows.", "state_rows", no_tags, frame=sdf, mtype="gauge")
+            )
             .unionByName(shape("yamon.state.evicted.", "state_evicted", no_tags, frame=sdf))
         )
 
