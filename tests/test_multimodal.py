@@ -492,3 +492,67 @@ def test_jpeg_real_decode_media_branch(spark):
     row = decode_media(media, decode_stub=False).collect()[0]
     assert (row.width, row.height, row.n_frames) == (16, 8, 1)
     assert decode_jpeg(payload)[:2] == (16, 8)
+
+
+def test_mjpeg_avi_mux_demux_decodes_every_frame():
+    """encode_mjpeg_avi -> demux_mjpeg_avi round-trips a compressed
+    video stream: every '00dc' JPEG frame fully decodes to the closed
+    form 128 + dc + s(x)s(y)*ac, and the demuxer enforces the MJPG
+    handler and frame/container dim agreement."""
+    import pytest
+
+    from yamon_spark.operators.multimodal import (
+        JPEG_ZIGZAG,
+        demux_avi,
+        demux_mjpeg_avi,
+        encode_jpeg,
+        encode_mjpeg_avi,
+    )
+
+    qt = [8] * 64
+    ac_zz = JPEG_ZIGZAG.index(36)
+    s = [1, -1, -1, 1, 1, -1, -1, 1]
+    coeffs = [(-100, -20), (0, 7), (93, 20)]
+    jpegs = []
+    for dc, ac in coeffs:
+        zz = [0] * 64
+        zz[0], zz[ac_zz] = dc, ac
+        jpegs.append(encode_jpeg(8, 8, [zz], qt))
+    avi = encode_mjpeg_avi(8, 8, jpegs)
+    w, h, frames = demux_mjpeg_avi(avi)
+    assert (w, h, len(frames)) == (8, 8, 3)
+    for (dc, ac), (fw, fh, pix) in zip(coeffs, frames):
+        assert (fw, fh) == (8, 8)
+        assert all(
+            pix[y * 8 + x] == 128 + dc + s[x] * s[y] * ac
+            for y in range(8)
+            for x in range(8)
+        )
+    # the uncompressed demuxer refuses '..dc' chunks (contract unchanged)
+    with pytest.raises(ValueError, match="compressed"):
+        demux_avi(avi)
+    # non-MJPG handler is rejected
+    with pytest.raises(ValueError, match="not an AVI|not MJPG"):
+        demux_mjpeg_avi(avi.replace(b"MJPG", b"H264", 1))
+    # frame dims must match the container
+    with pytest.raises(ValueError, match="!= container"):
+        demux_mjpeg_avi(encode_mjpeg_avi(16, 8, jpegs))
+
+
+def test_mjpeg_roundtrip_operator(spark):
+    """mjpeg_roundtrip emits per-doc stats matching the closed form the
+    oracle recomputes (pixel_sum = sum_f 64*(dc_f+128), wxy_sum =
+    sum_f 19600*(dc_f+128) + 64*ac_f)."""
+    from yamon_spark.operators.multimodal import mjpeg_roundtrip
+
+    docs = spark.createDataFrame([(i, f"doc {i}") for i in range(9)], "doc_id long, text string")
+    rows = {r.doc_id: r for r in mjpeg_roundtrip(docs).collect()}
+    assert len(rows) == 9
+    for d, r in rows.items():
+        nf = d % 3 + 1
+        assert (r.width, r.height, r.n_frames) == (8, 8, nf)
+        assert r.pixel_sum == sum(64 * ((d * 7 + f * 13) % 201 + 28) for f in range(nf))
+        assert r.wxy_sum == sum(
+            19600 * ((d * 7 + f * 13) % 201 + 28) + 64 * ((d + f * 5) % 41 - 20)
+            for f in range(nf)
+        )

@@ -744,6 +744,41 @@ def multimodal_avi_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_mjpeg_roundtrip",
+    """
+    WITH d AS (SELECT doc_id, doc_id % 3 + 1 AS nf FROM documents)
+    SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(list_reduce(list_transform(range(0, nf),
+                  f -> 64 * ((doc_id * 7 + f * 13) % 201 + 28)),
+                (a, b) -> a + b) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_transform(range(0, nf),
+                  f -> 19600 * ((doc_id * 7 + f * 13) % 201 + 28)
+                       + 64 * ((doc_id + f * 5) % 41 - 20)),
+                (a, b) -> a + b) AS BIGINT) AS wxy_sum
+    FROM d ORDER BY doc_id
+    """,
+    doc=(
+        "COMPRESSED-VIDEO round-trip: per doc, entropy-code nf "
+        "coefficient-domain frames into standalone baseline JPEGs, mux "
+        "them as '00dc' MJPG chunks in a real RIFF/AVI (avih + "
+        "'vids'/'MJPG' strh + movi), then demux and FULLY decode every "
+        "frame back (container walk, handler check, Huffman decode, "
+        "dequant, 2-D IDCT) and emit per-doc pixel statistics the "
+        "oracle recomputes arithmetically. Closes the 'no compressed "
+        "video bitstream has ever executed' gap: the AVI path was "
+        "uncompressed frames, the JPEG path single images — this is "
+        "the composition, a genuine MJPEG video stream under the "
+        "driver's hash gate."
+    ),
+)
+def multimodal_mjpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import mjpeg_roundtrip
+
+    return mjpeg_roundtrip(table(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_audio_windows",
     """
     WITH b AS (
