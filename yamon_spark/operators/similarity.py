@@ -613,6 +613,31 @@ def ivf_search(
     )
 
 
+def assign_cells(new_vectors: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment — the shared kernel of
+    :func:`ivf_append` and the streaming maintenance twin: squared-
+    Euclidean argmin against the BROADCAST centroid table (the same
+    rule as KMeans.transform), ties to the lowest cell id. One map-side
+    pass over the batch: O(batch x n_cells), independent of index
+    size."""
+    from pyspark.sql import Window
+
+    dist = _fold_sum(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"), "centroid", lambda x, c: (x - c) * (x - c)
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cell")
+    return (
+        new_vectors.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("d", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+
 def ivf_append(
     new_vectors: DataFrame,
     index_path: str,
@@ -646,24 +671,9 @@ def ivf_append(
     under sustained appends degrades recall, not correctness (probes
     rerank exactly inside cells); the recall gate is what detects the
     sag."""
-    from pyspark.sql import Window
-
     spark = new_vectors.sparkSession
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
-    dist = _fold_sum(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), "centroid", lambda x, c: (x - c) * (x - c)
-        )
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
-    assigned = (
-        new_vectors.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
-    )
+    assigned = assign_cells(new_vectors, cents)
     counts = assigned.groupBy("cell").count().collect()
     touched = sorted(r.cell for r in counts)
     n_rows = sum(r["count"] for r in counts)
