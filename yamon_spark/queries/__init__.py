@@ -96,36 +96,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r2-vintage (oldest — front of the verified segment)
-    "ann_range_search": 2, "dedup_clusters": 2, "embed_centroids": 2,
-    "embed_norm_stats": 2, "pq_codes": 2, "vocab_coverage": 2,
-    # r3-vintage
-    "contamination_ngram": 3, "corpus_profile": 3,
-    "domain_mix_temperature": 3, "pq_topk": 3, "q66_hll_rollup_merge": 3,
-    "q67_funnel": 3, "q68_cohort_retention": 3, "q72_grouped_agg_udaf": 3,
-    "q80_runtime_filter": 3, "sample_rebalanced": 3, "sample_stratified": 3,
-    "sim_near_dup_lsh": 3, "text_pii_scrub": 3, "text_quality_filter": 3,
-    "text_repetition": 3, "text_winnow": 3,
-    # r4-vintage
-    "corpus_shuffle": 4, "dedup_exact": 4, "dedup_jaccard": 4,
-    "dedup_minhash_lsh": 4, "dedup_simhash": 4, "dedup_substring": 4,
-    "hybrid_rank_rrf": 4, "multimodal_audio_windows": 4,
-    "multimodal_features": 4, "multimodal_frames": 4, "multimodal_meta": 4,
-    "multimodal_video_frames": 4, "q01_filter_project": 4,
-    "q02_pushdown_predicates": 4, "q03_distinct": 4,
+    # r4-vintage (oldest — front of the verified segment)
+    "corpus_shuffle": 4, "dedup_substring": 4, "hybrid_rank_rrf": 4,
     "q30_topk_per_group": 4, "q31_counter_delta": 4, "q32_moving_avg": 4,
-    "q33_running_sum": 4, "q34_counter_rate": 4, "q40_global_topk": 4,
-    "q41_union_distinct": 4, "q42_intersect": 4, "q43_except": 4,
-    "q60_tumbling_window": 4, "q61_sliding_window": 4,
-    "q62_session_window": 4, "q63_watermark_late_drop": 4,
-    "q64_stateful_dedup": 4, "q69_time_range_window": 4,
-    "q70_scalar_pandas_udf": 4, "q71_grouped_map_zscore": 4,
-    "q81_asof_tolerance": 4, "q82_deadman": 4, "q83_event_transitions": 4,
-    "sim_cosine_topk": 4, "sim_ivf_recall": 4, "sim_ivf_recall_batch": 4,
-    "sim_ivf_topk": 4, "sim_knn_join": 4, "sim_lsh_topk": 4,
-    "sim_near_dup_pairs": 4, "sim_truncation_recall": 4, "text_bm25": 4,
-    "text_fingerprint": 4, "text_lang_id": 4, "text_pmi": 4,
-    "text_stats": 4, "text_token_count": 4, "text_unigram_logprob": 4,
+    "q33_running_sum": 4, "q34_counter_rate": 4, "q60_tumbling_window": 4,
+    "q61_sliding_window": 4, "q62_session_window": 4,
+    "q63_watermark_late_drop": 4, "q64_stateful_dedup": 4,
+    "q69_time_range_window": 4, "q70_scalar_pandas_udf": 4,
+    "q71_grouped_map_zscore": 4, "q81_asof_tolerance": 4, "q82_deadman": 4,
+    "q83_event_transitions": 4, "sim_ivf_recall": 4,
+    "sim_ivf_recall_batch": 4, "sim_knn_join": 4,
+    "sim_truncation_recall": 4, "text_bm25": 4, "text_pmi": 4,
+    "text_unigram_logprob": 4,
     # r5-vintage
     "bpe_merge_step": 5, "bpe_pair_counts": 5, "chunk_dup_groups": 5,
     "dedup_containment": 5, "dedup_funnel": 5, "dedup_semantic": 5,
@@ -146,7 +128,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_chunk_windows": 5, "text_entropy": 5,
     "text_perplexity_buckets": 5, "text_search": 5, "text_zipf_slope": 5,
     "vocab_growth": 5,
-    # r6-vintage (freshest — back of the queue)
+    # r6-vintage
     "bpe_apply": 6, "dedup_canonical": 6, "dedup_incremental": 6,
     "dedup_minhash_err": 6, "dedup_simhash_pairs": 6, "domain_mix": 6,
     "embed_kmeans": 6, "embed_pca_power": 6, "multimodal_png_roundtrip": 6,
@@ -165,6 +147,26 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q79_fuzzy_match": 6, "sample_weighted": 6, "source_divergence": 6,
     "source_overlap": 6, "text_bigrams": 6, "text_ngram_novelty": 6,
     "text_tfidf_pairs": 6, "train_test_split": 6,
+    # r7-vintage (freshest — back of the queue)
+    "ann_range_search": 7, "contamination_ngram": 7, "corpus_profile": 7,
+    "dedup_clusters": 7, "dedup_exact": 7, "dedup_jaccard": 7,
+    "dedup_minhash_lsh": 7, "dedup_simhash": 7, "dedup_simhash64": 7,
+    "dedup_simhash64_pairs": 7, "domain_mix_temperature": 7,
+    "embed_centroids": 7, "embed_norm_stats": 7,
+    "multimodal_audio_windows": 7, "multimodal_features": 7,
+    "multimodal_frames": 7, "multimodal_jpeg_roundtrip": 7,
+    "multimodal_meta": 7, "multimodal_video_frames": 7, "pq_codes": 7,
+    "pq_topk": 7, "q01_filter_project": 7, "q02_pushdown_predicates": 7,
+    "q03_distinct": 7, "q40_global_topk": 7, "q41_union_distinct": 7,
+    "q42_intersect": 7, "q43_except": 7, "q66_hll_rollup_merge": 7,
+    "q67_funnel": 7, "q68_cohort_retention": 7, "q72_grouped_agg_udaf": 7,
+    "q80_runtime_filter": 7, "quality_logit_train": 7,
+    "sample_rebalanced": 7, "sample_stratified": 7, "sim_cosine_topk": 7,
+    "sim_ivf_topk": 7, "sim_lsh_topk": 7, "sim_near_dup_lsh": 7,
+    "sim_near_dup_pairs": 7, "text_fingerprint": 7, "text_lang_id": 7,
+    "text_pii_scrub": 7, "text_quality_filter": 7, "text_repetition": 7,
+    "text_stats": 7, "text_token_count": 7, "text_winnow": 7,
+    "vocab_coverage": 7,
 }
 
 
