@@ -628,6 +628,35 @@ def test_ivf_append_log_and_recall_gate_cadence(spark, tmp_path, sf_dir):
     assert all(log[s].n_rows > 0 and log[s].n_cells_touched > 0 for s in log)
 
 
+def test_contamination_semantic_flags_planted_leak(spark):
+    """A corpus vector that IS a benchmark vector (paraphrase stand-in:
+    identical embedding, different id) scores cos 1.0 to that benchmark
+    item and flags contaminated; an orthogonal vector scores 0 and
+    passes."""
+    from yamon_spark.operators.similarity import contamination_semantic
+
+    d = 8
+
+    def unit(axis):
+        v = [0.0] * d
+        v[axis] = 1.0
+        return v
+
+    rows = [
+        (0, unit(0), 0),  # benchmark item (vec_id % 5 == 0)
+        (5, unit(1), 0),  # benchmark item
+        (1, unit(0), 0),  # planted leak: equals benchmark vec 0
+        (2, unit(2), 0),  # orthogonal to every benchmark vector
+        (3, [x * 0.5 for x in unit(1)], 0),  # scaled copy: cosine still 1.0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in contamination_semantic(emb, bench_mod=5, threshold=0.9).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].nearest_bench == 0 and out[1].cos_sim == 1.0 and out[1].contaminated == 1
+    assert out[2].contaminated == 0 and out[2].cos_sim == 0.0
+    assert out[3].nearest_bench == 5 and out[3].contaminated == 1
+
+
 def test_embedding_assign_delta_assigns_nearest_and_flags_drift(spark):
     """Two tight clusters at opposite corners: delta vectors near their
     own label's centroid assign home (label_hit=1); a delta vector

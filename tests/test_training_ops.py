@@ -229,6 +229,29 @@ def test_quality_logit_train_learns_separable_gate(spark):
     assert vals["w1_ln_words"] > 0.5  # word count is the separating feature
 
 
+def test_quality_threshold_sweep_separable_corpus(spark):
+    """On the separable corpus the head is near-perfect, so every
+    threshold row must (1) have monotonically non-increasing n_kept as
+    the threshold rises, (2) keep exactly the 30 long docs at mid
+    thresholds with precision = recall = f1 = 1.0, and (3) never emit a
+    metric outside [0, 1]."""
+    from yamon_spark.operators.curation import quality_threshold_sweep
+
+    stop = "the and for you that"
+    rows = [(i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)]
+    rows += [(100 + i, f"tiny{i} doc") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = quality_threshold_sweep(docs, iters=12, lr=4.0).collect()
+    assert [round(r.threshold, 1) for r in out] == [round(0.1 * i, 1) for i in range(1, 10)]
+    kept = [r.n_kept for r in out]
+    assert kept == sorted(kept, reverse=True)
+    mid = out[4]  # threshold 0.5
+    assert (mid.n_kept, mid.prec, mid.rec, mid.f1) == (30, 1.0, 1.0, 1.0)
+    for r in out:
+        for v in (r.prec, r.rec, r.f1):
+            assert v is None or 0.0 <= v <= 1.0
+
+
 def test_quality_head_calibration_separable_corpus_is_polarized(spark):
     """On the same separable corpus the trained head is confident, so the
     reliability diagram must (1) partition the corpus (n_docs sums to

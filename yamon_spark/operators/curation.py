@@ -792,6 +792,52 @@ def quality_head_calibration(
     )
 
 
+def quality_threshold_sweep(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
+    """Operating-point selection for the trained quality head — the step
+    after :func:`quality_head_calibration`: sweep keep-thresholds
+    0.1..0.9 over the head's 4dp-rounded predictions and report, per
+    threshold, how many docs survive and the precision/recall/F1 of the
+    head's verdict against the rule gate. The table a pipeline owner
+    reads to pick THE threshold (max F1, or fixed precision) before the
+    head starts dropping data.
+
+    One extra scan over the training plan: the final broadcast-weights
+    pass computes 27 conditional sums (tp/fp/fn per threshold) in a
+    single aggregate, then a 1-row stack fans them into 9 rows — no
+    per-threshold rescans. F1 uses the harmonic identity
+    2·tp/(2·tp+fp+fn) so only one terminal 4dp rounding happens per
+    metric; thresholds are i/10.0 in IEEE double on both engines.
+    Zero-denominator cells are NULL (no kept docs / no positive docs)."""
+    feats, w = _logit_train_frames(docs, iters, lr)
+    j = feats.crossJoin(F.broadcast(w))
+    p4 = F.round(_logit_sigmoid(), 4)
+    ths = [i / 10.0 for i in range(1, 10)]
+    aggs = []
+    for i, t in enumerate(ths):
+        pred = (p4 >= F.lit(t)).cast("double")
+        aggs += [
+            F.sum(pred * F.col("y")).alias(f"tp{i}"),
+            F.sum(pred * (F.lit(1.0) - F.col("y"))).alias(f"fp{i}"),
+            F.sum((F.lit(1.0) - pred) * F.col("y")).alias(f"fn{i}"),
+        ]
+    row = j.agg(*aggs)
+    stack = "stack(9, " + ", ".join(
+        f"{t!r}D, tp{i}, fp{i}, fn{i}" for i, t in enumerate(ths)
+    ) + ") AS (threshold, tp, fp, fn)"
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return (
+        row.selectExpr(stack)
+        .select(
+            "threshold",
+            (tp + fp).cast("bigint").alias("n_kept"),
+            F.when(tp + fp > 0, F.round(tp / (tp + fp), 4)).alias("prec"),
+            F.when(tp + fn > 0, F.round(tp / (tp + fn), 4)).alias("rec"),
+            F.when(2 * tp + fp + fn > 0, F.round(2 * tp / (2 * tp + fp + fn), 4)).alias("f1"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def perplexity_buckets(docs: DataFrame, top_k: int = 1000, sample_mod: int = 20) -> DataFrame:
     """CCNet-style head/middle/tail split: score every doc with the mean
     unigram log-probability (unigram_logprob), learn the two tercile

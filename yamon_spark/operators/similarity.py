@@ -948,6 +948,45 @@ def semantic_dedup(
     )
 
 
+def contamination_semantic(
+    embeddings: DataFrame, bench_mod: int = 50, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic twin of
+    curation.contamination_check (n-gram overlap misses paraphrased or
+    translated eval leakage; cosine against the benchmark's embeddings
+    catches it). Vectors with vec_id % bench_mod == 0 stand in for the
+    held-out eval suite; every other vector scores its nearest benchmark
+    item (4dp-rounded cosine, ties to lowest benchmark id) and flags
+    contaminated when it clears `threshold`.
+
+    The default threshold is calibrated to the synthetic fixture (max
+    observed ~0.45); production embeddings run this at ~0.9. Scale
+    shape: a real benchmark suite is a small FIXED set, so the bench
+    side is bounded by construction and BROADCASTS; scoring is one
+    map-side pass — |corpus| x |bench| compares, linear in corpus."""
+    from pyspark.sql import Window
+
+    bench = embeddings.where((F.col("vec_id") % bench_mod) == 0).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    )
+    corpus = embeddings.where((F.col("vec_id") % bench_mod) != 0)
+    sim = F.round(cosine_sim(F.col("embedding"), F.col("b_emb")), 4)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "b_id")
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", "b_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("b_id").alias("nearest_bench"),
+            "cos_sim",
+            (F.col("cos_sim") >= threshold).cast("int").alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar quantization (SQ8) — the light compressed-index scale path
 # ---------------------------------------------------------------------------

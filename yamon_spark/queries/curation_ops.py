@@ -106,6 +106,42 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_semantic",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS b_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+    ), s AS (
+      SELECT e.vec_id, q.b_id, {_COS_EXPRS}
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id % 50 <> 0
+    ), r AS (
+      SELECT vec_id, b_id, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s
+    ), best AS (
+      SELECT vec_id, b_id, cos_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, b_id) AS rn
+      FROM r
+    )
+    SELECT vec_id, b_id AS nearest_bench, cos_sim,
+           CAST(cos_sim >= 0.3 AS INT) AS contaminated
+    FROM best WHERE rn = 1 ORDER BY vec_id
+    """,
+    doc=(
+        "Embedding-space benchmark decontamination (semantic twin of "
+        "contamination_ngram — n-gram overlap misses paraphrased eval "
+        "leakage): every corpus vector scores its nearest benchmark "
+        "embedding (vec_id % 50 = 0 stands in for the eval suite; "
+        "4dp-rounded cosine, ties to lowest bench id) and flags "
+        "contaminated above the threshold. Benchmark side is a bounded "
+        "broadcast; one map-side pass over the corpus."
+    ),
+)
+def contamination_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import contamination_semantic
+
+    return contamination_semantic(table(spark, sf_dir, "embeddings"), bench_mod=50, threshold=0.3)
+
+
+@register(
     "sample_stratified",
     """
     WITH r AS (

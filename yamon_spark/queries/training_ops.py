@@ -164,6 +164,50 @@ def _logit_calibration_oracle(iters: int = 12, lr: float = 4.0, n_bins: int = 10
     """
 
 
+def _logit_threshold_sweep_oracle(iters: int = 12, lr: float = 4.0) -> str:
+    """Threshold-sweep oracle over the SAME unrolled training chain:
+    thresholds are i/10.0 in IEEE double on both engines, predictions
+    compare at 4dp, F1 via the harmonic identity 2tp/(2tp+fp+fn)."""
+    ctes, p = _logit_train_ctes(iters, lr)
+    return f"""
+    WITH {", ".join(ctes)},
+    scored AS (SELECT y, round({p}, 4) AS p4 FROM feats, wt{iters}),
+    ts AS (SELECT unnest(list_transform(range(1, 10), i -> i / 10.0)) AS t),
+    c AS (
+      SELECT t,
+             sum(CASE WHEN p4 >= t THEN y ELSE 0.0 END) AS tp,
+             sum(CASE WHEN p4 >= t THEN 1.0 - y ELSE 0.0 END) AS fp,
+             sum(CASE WHEN p4 < t THEN y ELSE 0.0 END) AS fn
+      FROM scored, ts GROUP BY t
+    )
+    SELECT t AS threshold, CAST(tp + fp AS BIGINT) AS n_kept,
+           CASE WHEN tp + fp > 0 THEN round(tp / (tp + fp), 4) END AS prec,
+           CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 4) END AS rec,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2 * tp / (2 * tp + fp + fn), 4) END AS f1
+    FROM c ORDER BY threshold
+    """
+
+
+@register(
+    "quality_threshold_sweep",
+    _logit_threshold_sweep_oracle(12, 4.0),
+    doc=(
+        "Operating-point selection for the trained quality head — the "
+        "step after calibration: sweep keep-thresholds 0.1..0.9 over "
+        "the head's 4dp-rounded predictions and report per threshold "
+        "the surviving doc count and precision/recall/F1 against the "
+        "rule gate. One conditional-sum aggregate (27 cells) + a 1-row "
+        "stack — no per-threshold rescans; the table a pipeline owner "
+        "reads to pick THE threshold before the head drops data."
+    ),
+)
+def quality_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_threshold_sweep
+
+    return quality_threshold_sweep(table(spark, sf_dir, "documents"), iters=12, lr=4.0)
+
+
 @register(
     "quality_logit_train",
     _logit_train_oracle(12, 4.0),
