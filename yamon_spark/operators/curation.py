@@ -714,6 +714,13 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
             for i in (1, 2, 3)
         ],
     )
+    # materialize the 4-column feature frame once (the bpe_apply
+    # localCheckpoint pattern): every GD round — and the downstream
+    # accuracy/calibration/threshold passes — then scans z-scored
+    # doubles instead of re-reading and re-featurizing raw text per
+    # round. Values are identical (checkpoint is a cache, not a
+    # recompute); at corpus scale this turns 12 text scans into one.
+    feats = feats.localCheckpoint(eager=False)
     spark = docs.sparkSession
     w = spark.createDataFrame(
         [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
