@@ -1099,17 +1099,25 @@ def _decode_jpeg_impl(b: bytes) -> tuple[int, int, bytes]:
             for i, v in enumerate(zz):
                 if v:
                     coef[JPEG_ZIGZAG[i]] = float(v)
+            # sparse IDCT: real blocks carry a handful of nonzero
+            # coefficients, so enumerate them ONCE per block — in the
+            # same (v, u) order and with the same multiply association
+            # as the dense loop, so every float op is bit-identical —
+            # instead of walking all 64 cells per pixel
+            nz = [
+                (u, v, coef[v * 8 + u])
+                for v in range(8)
+                for u in range(8)
+                if coef[v * 8 + u]
+            ]
             for y in range(min(8, height - by * 8)):
                 row_base = (by * 8 + y) * width + bx * 8
+                cy = _IDCT_COS[y]
                 for x in range(min(8, width - bx * 8)):
+                    cx = _IDCT_COS[x]
                     s = 0.0
-                    for v in range(8):
-                        cvy = _IDCT_C[v] * _IDCT_COS[y][v]
-                        base = v * 8
-                        for u in range(8):
-                            c = coef[base + u]
-                            if c:
-                                s += _IDCT_C[u] * cvy * _IDCT_COS[x][u] * c
+                    for u, v, c in nz:
+                        s += _IDCT_C[u] * (_IDCT_C[v] * cy[v]) * cx[u] * c
                     p = int(math.floor(s / 4 + 128 + 0.5))
                     img[row_base + x] = 0 if p < 0 else (255 if p > 255 else p)
     # the scan must terminate at EOI (possibly after pad bits)
