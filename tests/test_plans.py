@@ -66,6 +66,10 @@ BNLJ_OK = {
     "text_tfidf_pairs",  # broadcast of the ONE corpus-count row
     "dedup_simhash64_pairs",  # broadcast of the constant 2,080-row mask table
     "quality_logit_train",  # broadcast 1-row stats + weight frames each round
+    "quality_head_calibration",  # same 1-row stats/weight broadcasts + bin agg
+    "quality_threshold_sweep",  # same chain + one 27-cell conditional-sum agg
+    "contamination_semantic",  # broadcast of the HARD-CAPPED (<=256) bench side
+    "embedding_assign_delta",  # broadcast of the bounded |labels|-row centroid table
 }
 
 
