@@ -334,3 +334,24 @@ def test_source_overlap_counts_shared_shingles(spark):
     )
     out = {(r.src_a, r.src_b): r.n_shared for r in source_overlap(docs, ngram=8).collect()}
     assert out == {("sA", "sB"): 1}  # only the one copied 8-gram window
+
+
+def test_dedup_budget_impact_policies(spark):
+    """Planted duplicate structure: 3 copies of a 4-token doc (ids 0-2)
+    + 1 unique 2-token doc (id 3). raw = 4 docs / 14 tokens; hard = 2
+    docs / 6 tokens; count_aware upweights the duplicated survivor by
+    1+ln(3) -> 4*(1+ln 3) + 2*(1+ln 1) tokens — strictly between hard
+    and raw, which is the policy's point."""
+    import math
+
+    from yamon_spark.operators.dedup import dedup_budget_impact
+
+    rows = [(i, "a b c d") for i in range(3)] + [(3, "x y")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.policy: r for r in dedup_budget_impact(docs).collect()}
+    assert set(out) == {"raw", "hard", "count_aware"}
+    assert (out["raw"].eff_docs, out["raw"].eff_tokens) == (4, 14.0)
+    assert (out["hard"].eff_docs, out["hard"].eff_tokens) == (2, 6.0)
+    assert out["count_aware"].eff_docs == 2
+    assert out["count_aware"].eff_tokens == round(4 * (1 + math.log(3)) + 2, 4)
+    assert out["hard"].eff_tokens < out["count_aware"].eff_tokens < out["raw"].eff_tokens

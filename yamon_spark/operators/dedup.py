@@ -59,6 +59,50 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def dedup_budget_impact(docs: DataFrame) -> DataFrame:
+    """Dedup-policy planning report — what each policy does to the
+    training token budget BEFORE anyone commits to one:
+
+      raw          keep every copy at weight 1 (no dedup)
+      hard         keep only the min-doc_id survivor per content digest
+      count_aware  keep the survivor UPWEIGHTED by 1 + ln(n_copies) —
+                   the sublinear count-aware sampling that preserves
+                   duplication as a popularity signal after hard dedup
+                   (pure 1/n soft-dedup is omitted: for byte-identical
+                   copies its token mass provably equals hard's)
+
+    Emits one row per policy: (policy, eff_docs, eff_tokens), tokens =
+    whitespace word count; count_aware's doc mass is the distinct-digest
+    count, its token mass sums surv·(1+ln n) in double and rounds 4dp
+    (ln of a small integer is bit-identical on both engines).
+
+    Scale shape: one scan -> digest groupBy with map-side combine
+    (count, token sum, min_by survivor tokens) -> a 3-row aggregate.
+    Linear, one shuffle on the uniform digest key."""
+    t = docs.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("dg"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("tokens"),
+    )
+    g = t.groupBy("dg").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("tokens").alias("tot"),
+        F.min_by("tokens", "doc_id").alias("surv"),
+    )
+    pol = g.agg(
+        F.sum("n").cast("bigint").alias("raw_docs"),
+        F.round(F.sum("tot"), 4).alias("raw_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("hard_docs"),
+        F.round(F.sum("surv"), 4).alias("hard_tokens"),
+        F.round(F.sum(F.col("surv") * (F.lit(1.0) + F.log("n"))), 4).alias("ca_tokens"),
+    )
+    return pol.selectExpr(
+        "stack(3, 'count_aware', hard_docs, ca_tokens,"
+        "         'hard', hard_docs, hard_tokens,"
+        "         'raw', raw_docs, raw_tokens) AS (policy, eff_docs, eff_tokens)"
+    ).orderBy("policy")
+
+
 def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, n_sh, shingle) inverted index. n_sh (the doc's distinct-
     shingle count) rides along with every row so downstream Jaccard math

@@ -61,6 +61,45 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_budget_impact",
+    f"""
+    WITH t AS (
+      SELECT doc_id, sha256(text) AS dg,
+             CAST(len({_WORDS}) AS DOUBLE) AS tokens
+      FROM documents
+    ), g AS (
+      SELECT dg, CAST(count(*) AS DOUBLE) AS n, sum(tokens) AS tot,
+             arg_min(tokens, doc_id) AS surv
+      FROM t GROUP BY dg
+    ), pol AS (
+      SELECT CAST(sum(n) AS BIGINT) AS raw_docs, round(sum(tot), 4) AS raw_tokens,
+             CAST(count(*) AS BIGINT) AS hard_docs, round(sum(surv), 4) AS hard_tokens,
+             round(sum(surv * (1.0 + ln(n))), 4) AS ca_tokens
+      FROM g
+    )
+    SELECT policy, eff_docs, eff_tokens FROM (
+      SELECT 'count_aware' AS policy, hard_docs AS eff_docs, ca_tokens AS eff_tokens FROM pol
+      UNION ALL SELECT 'hard', hard_docs, hard_tokens FROM pol
+      UNION ALL SELECT 'raw', raw_docs, raw_tokens FROM pol
+    ) ORDER BY policy
+    """,
+    doc=(
+        "Dedup-policy planning report: effective doc and token mass "
+        "under raw (keep all), hard (min-id survivor per digest), and "
+        "count-aware survivor upweighting (surv x (1+ln n), the "
+        "sublinear policy that keeps duplication as a popularity signal "
+        "after hard dedup). One digest groupBy with map-side combine -> "
+        "a 3-row stack; the numbers that decide a dedup policy before "
+        "it drops data."
+    ),
+)
+def dedup_budget_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import dedup_budget_impact
+
+    return dedup_budget_impact(table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_jaccard",
     "WITH " + _shingle_cte(3) + _JACCARD_TAIL.format(thr=0.5),
     doc="Exact 3-gram Jaccard near-dup pairs via inverted shingle index.",
