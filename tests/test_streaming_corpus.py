@@ -166,3 +166,37 @@ def test_streaming_batch_dedup_quality_parity(spark, tmp_path):
     assert corpus.count() == len(batch_digests) == 12  # one survivor per unique good text
     rejects = spark.read.parquet(str(tmp_path / "out" / "rejects"))
     assert sorted(r.doc_id for r in rejects.collect()) == [200, 201, 202, 203]
+
+
+def test_corpus_pipeline_contamination_stamp_at_ingest(spark, tmp_path):
+    """With a benchmark shingle set wired in, a landed doc that contains
+    the benchmark text verbatim stamps contaminated=1 (ratio covering
+    the overlap), a clean doc stamps (0.0, 0), and the stamp marks
+    rather than drops (both docs land in the corpus)."""
+    from yamon_spark.operators.curation import benchmark_shingles
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    leak = bench_text + " plus a tail of clearly original trailing words here"
+    base = {"lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"}
+    _land(tmp_path / "landing", "b1.jsonl", [
+        dict(base, doc_id=1, text=leak),
+        dict(base, doc_id=2, text=GOOD),
+    ])
+    q = start_corpus_pipeline(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        benchmark_shingles=benchmark_shingles(bench, ngram=5),
+        contam_threshold=0.3,
+    )
+    q.awaitTermination()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()}
+    assert set(rows) == {1, 2}  # stamp marks, never drops
+    assert rows[1].contaminated == 1 and rows[1].contam_ratio >= 0.3
+    assert rows[2].contaminated == 0 and rows[2].contam_ratio == 0.0
+    # parity with the batch operator's ratio semantics: 10-word benchmark
+    # inside a 19-word doc -> 6 of 15 distinct 5-gram shingles overlap
+    assert rows[1].contam_ratio == round(6 / 15, 4)

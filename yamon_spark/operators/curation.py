@@ -159,6 +159,53 @@ def contamination_check(
     )
 
 
+def benchmark_shingles(bench_docs: DataFrame, ngram: int = 5) -> DataFrame:
+    """Distinct word n-gram shingles of an eval suite — the broadcastable
+    benchmark side contamination_stamp checks incoming docs against."""
+    words = bench_docs.select(words_col(F.col("text")).alias("w"))
+    return words.select(
+        F.explode(F.array_distinct(_shingles(F.col("w"), ngram))).alias("shingle")
+    ).distinct()
+
+
+def contamination_stamp(
+    docs: DataFrame, bench_shingles: DataFrame, ngram: int = 5, threshold: float = 0.5
+) -> DataFrame:
+    """Stamp per-doc contamination columns against a PROVIDED benchmark
+    shingle set — the streaming form of :func:`contamination_check`,
+    where the benchmark is an external eval suite rather than a modulo
+    sample of the corpus itself. Same ratio semantics: fraction of the
+    doc's distinct n-grams present anywhere in the benchmark. Docs too
+    short to shingle stamp (0.0, 0).
+
+    Scale shape: the benchmark set is tiny vs the stream and BROADCASTS;
+    per batch one shingle explode + map-side join + a batch-sized
+    groupBy — the same at-ingest gate shape as the quality filter, one
+    bounded shuffle per micro-batch."""
+    words = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    shingled = words.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("w"), ngram))).alias("shingle")
+    )
+    bench = bench_shingles.select("shingle").distinct().withColumn("bench_hit", F.lit(1))
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    scores = (
+        shingled.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.count("bench_hit").cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            F.round(ratio, 4).alias("contam_ratio"),
+            (ratio >= threshold).cast("int").alias("contaminated"),
+        )
+    )
+    return docs.join(scores, "doc_id", "left").fillna(
+        {"contam_ratio": 0.0, "contaminated": 0}
+    )
+
+
 # doc_id folds into [0, 2^31) BEFORE the multiply: a raw doc_id past
 # ~3.47e9 would overflow int64 in the product (ANSI abort, or a negative
 # hash that defeats the permille gate under non-ANSI). The fold keeps the

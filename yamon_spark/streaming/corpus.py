@@ -80,11 +80,23 @@ def start_corpus_pipeline(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     trigger: dict | None = None,
+    benchmark_shingles: DataFrame | None = None,
+    contam_ngram: int = 5,
+    contam_threshold: float = 0.5,
 ) -> StreamingQuery:
     """Wire and start the streaming corpus pipeline. Curated docs append
     to <out_dir>/corpus partitioned by (lang, date); quality rejects to
-    <out_dir>/rejects with their failing rule."""
-    from yamon_spark.operators.curation import pii_scrub, quality_filter
+    <out_dir>/rejects with their failing rule.
+
+    With ``benchmark_shingles`` (a distinct-shingle frame from
+    curation.benchmark_shingles over the eval suite), every curated doc
+    is additionally STAMPED at ingest with (contam_ratio, contaminated)
+    against the broadcast benchmark — the live twin of
+    contamination_check, so eval leakage is visible the moment a doc
+    lands instead of at the next batch decontamination sweep. The stamp
+    marks rather than drops: decontamination policy (drop vs quarantine
+    vs re-split) stays a downstream decision on a recorded column."""
+    from yamon_spark.operators.curation import contamination_stamp, pii_scrub, quality_filter
 
     docs = stream_documents(spark, landing_dir)
     # cross-batch digest dedup: bounded state inside the ARRIVAL-time
@@ -109,8 +121,16 @@ def start_corpus_pipeline(
             )
             from yamon_spark.operators.curation import split_bucket_col
 
+            curated = kept.join(scrubbed, "doc_id")
+            if benchmark_shingles is not None:
+                # stamp against the ORIGINAL text (the text the leak
+                # arrived in; scrubbing placeholders would perturb the
+                # shingles the benchmark was built from)
+                curated = contamination_stamp(
+                    curated, benchmark_shingles, ngram=contam_ngram, threshold=contam_threshold
+                )
             (
-                kept.join(scrubbed, "doc_id")
+                curated
                 .withColumn("date", F.to_date("when"))
                 .drop("text", "n_chars", "arrival")  # scrubbed text IS the corpus text
                 .withColumnRenamed("text_scrubbed", "text")
