@@ -103,6 +103,43 @@ def dedup_budget_impact(docs: DataFrame) -> DataFrame:
     ).orderBy("policy")
 
 
+def corpus_snapshot_diff(docs: DataFrame) -> DataFrame:
+    """Dataset-versioning diff between two corpus snapshots — the audit
+    a managed training corpus runs on every release: per status (added /
+    removed / changed / unchanged), doc and token counts. The fixture
+    derives both snapshots from the one documents table (old = ids not
+    ending in 7, new = ids not ending in 3, with every 13th doc's text
+    edited in the new snapshot); the operator itself compares CONTENT,
+    not the synthetic rule — a full-outer join on doc_id with text
+    inequality deciding 'changed'.
+
+    Scale shape: a snapshot diff is a big-big equi-join on a UNIQUE key,
+    where the scalable plan is a shuffle HASH join (no sort is needed on
+    a unique key — hinted explicitly so Spark does not fall back to
+    sort-merge); one uniform-key shuffle, then a 4-row aggregate."""
+    toks = lambda c: F.size(F.split(F.trim(c), r"\s+")).cast("bigint")  # noqa: E731
+    old = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", F.col("text").alias("old_text"))
+    new = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("new_text"),
+    )
+    j = old.hint("shuffle_hash").join(new.hint("shuffle_hash"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("old_text").isNull(), "added")
+        .when(F.col("new_text").isNull(), "removed")
+        .when(F.col("old_text") != F.col("new_text"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"), toks(F.coalesce("new_text", "old_text")).alias("t"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"), F.sum("t").alias("n_tokens"))
+        .orderBy("status")
+    )
+
+
 def shingle_table(docs: DataFrame, ngram: int = 3) -> DataFrame:
     """(doc_id, n_sh, shingle) inverted index. n_sh (the doc's distinct-
     shingle count) rides along with every row so downstream Jaccard math

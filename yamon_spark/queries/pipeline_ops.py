@@ -100,6 +100,43 @@ def dedup_budget_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_snapshot_diff",
+    f"""
+    WITH old AS (
+      SELECT doc_id, text AS old_text FROM documents WHERE doc_id % 10 <> 7
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS new_text
+      FROM documents WHERE doc_id % 10 <> 3
+    ), j AS (
+      SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_text, new_text
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    )
+    SELECT CASE WHEN old_text IS NULL THEN 'added'
+                WHEN new_text IS NULL THEN 'removed'
+                WHEN old_text <> new_text THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(trim(coalesce(new_text, old_text)), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc=(
+        "Dataset-versioning diff between two corpus snapshots: per "
+        "status (added/removed/changed/unchanged) doc and token counts, "
+        "decided by CONTENT comparison under a full-outer join on "
+        "doc_id. Unique-key big-big join -> explicit shuffle-hash hint "
+        "(no sort needed on a unique key), one uniform-key shuffle, "
+        "4-row aggregate — the release audit a managed corpus runs."
+    ),
+)
+def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import corpus_snapshot_diff
+
+    return corpus_snapshot_diff(table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_jaccard",
     "WITH " + _shingle_cte(3) + _JACCARD_TAIL.format(thr=0.5),
     doc="Exact 3-gram Jaccard near-dup pairs via inverted shingle index.",
