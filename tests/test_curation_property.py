@@ -94,3 +94,58 @@ def test_bm25_tf_monotonic(spark, filler, extra):
     scores = {r.doc_id: r.bm25 for r in bm25_scores(docs, ["data"]).collect()}
     assert scores[1] > scores[2]
     assert 3 not in scores  # no term, no row
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.lists(_word, min_size=1, max_size=6)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_dedup_budget_ordering_invariant(spark, docs_spec):
+    """For ANY corpus: hard <= count_aware <= raw in token mass, raw doc
+    count >= hard doc count, and count_aware == hard iff no group has
+    duplicates (1+ln(1) = 1)."""
+    import math
+
+    from yamon_spark.operators.dedup import dedup_budget_impact
+
+    rows = [(i, " ".join(ws)) for i, ws in docs_spec]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.policy: r for r in dedup_budget_impact(docs).collect()}
+    assert out["hard"].eff_tokens <= out["count_aware"].eff_tokens + 1e-9
+    assert out["count_aware"].eff_tokens <= out["raw"].eff_tokens + 1e-9
+    assert out["raw"].eff_docs >= out["hard"].eff_docs
+    has_dups = out["raw"].eff_docs > out["hard"].eff_docs
+    diverges = abs(out["count_aware"].eff_tokens - out["hard"].eff_tokens) > 1e-9
+    assert diverges == has_dups
+
+
+@given(
+    st.lists(st.lists(_word, min_size=1, max_size=12), min_size=1, max_size=8),
+    st.lists(st.lists(_word, min_size=5, max_size=10), min_size=1, max_size=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_contamination_stamp_bounds_and_verbatim_leak(spark, corpus_words, bench_words):
+    """For ANY corpus and benchmark: stamped ratios sit in [0, 1], every
+    doc is stamped exactly once, and a doc that IS a benchmark document
+    verbatim stamps ratio 1.0."""
+    from yamon_spark.operators.curation import benchmark_shingles, contamination_stamp
+
+    bench_rows = [(" ".join(ws),) for ws in bench_words]
+    bench = spark.createDataFrame(bench_rows, "text string")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus_words)]
+    leak_id = 1000
+    rows.append((leak_id, bench_rows[0][0]))  # verbatim benchmark doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = contamination_stamp(docs, benchmark_shingles(bench, ngram=5), ngram=5)
+    got = out.collect()
+    assert len(got) == len(rows)
+    for r in got:
+        assert 0.0 <= r.contam_ratio <= 1.0
+        assert r.contaminated in (0, 1)
+    leak = next(r for r in got if r.doc_id == leak_id)
+    assert leak.contam_ratio == 1.0 and leak.contaminated == 1
