@@ -709,3 +709,49 @@ def test_embedding_assign_delta_assigns_nearest_and_flags_drift(spark):
     assert out[7].assigned_cell == 0 and out[7].label_hit == 1
     assert out[17].assigned_cell == 1 and out[17].label_hit == 1
     assert out[107].assigned_cell == 1 and out[107].label_hit == 0
+
+
+def test_ivf_rebuild_swaps_quantizer_and_preserves_contents(spark, tmp_path, sf_dir):
+    """After drift-heavy appends, rebuilding (1) preserves the index's
+    exact (vec_id, embedding) contents, (2) re-fits the quantizer at the
+    requested cell count with every vector on its nearest new centroid,
+    (3) leaves no tmp/old dirs behind, and (4) recovery restores a live
+    dir from a leftover .rebuild-old after a simulated mid-swap crash."""
+    import os
+    import shutil
+
+    from yamon_spark.operators.similarity import ivf_append, ivf_build, ivf_rebuild
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb.where("vec_id % 10 < 5"), idx, n_cells=2)
+    ivf_append(emb.where("vec_id % 10 >= 5"), idx)
+
+    def contents(path):
+        return {
+            int(r.vec_id): tuple(round(float(x), 6) for x in r.embedding)
+            for r in spark.read.parquet(path).select("vec_id", "embedding").collect()
+        }
+
+    before = contents(idx)
+    ivf_rebuild(spark, idx, n_cells=8)
+    assert contents(idx) == before
+    cells = {r.cell for r in spark.read.parquet(idx + "_centroids").collect()}
+    assert len(cells) == 8
+    # assignment parity vs the new centroids
+    cents = {r.cell: r.centroid for r in spark.read.parquet(idx + "_centroids").collect()}
+    for r in spark.read.parquet(idx).limit(20).collect():
+        want = min(
+            cents,
+            key=lambda c: (sum((x - y) ** 2 for x, y in zip(r.embedding, cents[c])), c),
+        )
+        assert r.cell == want
+    leftovers = [d for d in os.listdir(tmp_path) if ".rebuild" in d]
+    assert leftovers == []
+
+    # simulated mid-swap crash: live index dir gone, .rebuild-old present
+    shutil.move(idx, str(tmp_path / ".ivf.rebuild-old"))
+    ivf_rebuild(spark, idx, n_cells=4)  # recovery restores, then rebuilds
+    assert contents(idx) == before
+    assert len({r.cell for r in spark.read.parquet(idx + "_centroids").collect()}) == 4

@@ -698,6 +698,69 @@ def ivf_append(
     return touched
 
 
+def _ivf_recover(parent, name: str) -> None:
+    """Crash recovery for ivf_rebuild (compaction's contract): a leftover
+    ``.{name}.rebuild-old`` whose live dir is missing means the process
+    died mid-swap — restore it; any other rebuild tmp/old leftover is
+    stale and dropped."""
+    import shutil
+
+    for p in list(parent.iterdir()):
+        if not p.is_dir() or not p.name.startswith("."):
+            continue
+        if p.name.endswith(".rebuild-old"):
+            live = parent / p.name[1 : -len(".rebuild-old")]
+            if not live.exists():
+                p.rename(live)
+                continue
+        if p.name.endswith(".rebuild-old") or p.name.endswith(".rebuild-tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def ivf_rebuild(
+    spark, index_path: str, n_cells: int = 16, sample_fraction: float = 1.0, seed: int = 7
+) -> None:
+    """Quantizer rebuild with an atomic versioned swap — the ACTION the
+    recall drift gate calls for: when sustained :func:`ivf_append` drift
+    sags recall@k below the pipeline's floor, re-fit the coarse
+    quantizer over the index's current contents and swap it in without
+    a reader-visible gap. The new index + centroids build under
+    DOT-PREFIXED tmp siblings (invisible to Spark's file listing, the
+    compaction trick), then swap by directory rename: index first, then
+    centroids.
+
+    Crash contract (compaction's): each rename is atomic; dying between
+    the two dir swaps leaves a NEW index with OLD centroids — probe
+    routing degrades but results stay correct (probes rerank exactly
+    inside cells), and the next rebuild's recovery pass clears it. A
+    leftover ``.rebuild-old`` with its live dir missing is restored.
+
+    Cost: one KMeans fit on a sample + one full assignment scan — the
+    ivf_build price, paid at drift cadence (weeks), not per batch. The
+    epochal STREAMING index must pair a rebuild with a checkpoint reset
+    (a replayed old epoch would re-add vectors the rebuild folded in)."""
+    from pathlib import Path
+
+    import shutil
+
+    root = Path(index_path.rstrip("/"))
+    cents = Path(index_path.rstrip("/") + "_centroids")
+    _ivf_recover(root.parent, root.name)
+    vecs = spark.read.parquet(str(root)).select("vec_id", "embedding")
+    tmp = root.parent / f".{root.name}.rebuild-tmp"
+    ivf_build(vecs, str(tmp), n_cells=n_cells, sample_fraction=sample_fraction, seed=seed)
+    tmp_cents = root.parent / f"{tmp.name}_centroids"
+
+    old = root.parent / f".{root.name}.rebuild-old"
+    old_cents = root.parent / f".{cents.name}.rebuild-old"
+    root.rename(old)
+    tmp.rename(root)
+    cents.rename(old_cents)
+    tmp_cents.rename(cents)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(old_cents, ignore_errors=True)
+
+
 def ivf_recall(
     spark,
     index_path: str,
