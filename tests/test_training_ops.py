@@ -274,3 +274,68 @@ def test_quality_head_calibration_separable_corpus_is_polarized(spark):
         assert lo - 1e-4 <= r.mean_pred <= hi + 1e-4
     assert out[0].frac_keep == 0.0  # short docs: confidently (and correctly) dropped
     assert out[-1].frac_keep == 1.0  # long docs: confidently (and correctly) kept
+
+
+def test_quality_head_fit_score_parity_with_training(spark):
+    """Serving parity: quality_head_score over the TRAINING corpus with
+    the fitted model row reproduces the training-time verdicts — the
+    thresholded predictions agree with quality_logit_train's reported
+    accuracy against the rule gate, and scores are 4dp-bounded."""
+    from yamon_spark.operators.curation import (
+        quality_head_fit,
+        quality_head_score,
+        quality_logit_train,
+    )
+
+    stop = "the and for you that"
+    rows = [(i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)]
+    rows += [(100 + i, f"tiny{i} doc") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = quality_head_fit(docs, iters=12, lr=4.0)
+    assert model.count() == 1 and set(model.columns) == {
+        "m1", "m2", "m3", "s1", "s2", "s3", "w0", "w1", "w2", "w3"
+    }
+    scored = quality_head_score(docs, model).collect()
+    assert len(scored) == 40
+    acc_row = {r.term: r.value for r in quality_logit_train(docs, iters=12, lr=4.0).collect()}
+    # rule gate on this corpus: long docs keep, tiny docs drop
+    agree = sum(1 for r in scored if r.keep_pred == (1 if r.doc_id < 100 else 0))
+    assert agree / 40 == acc_row["train_acc"]
+    assert all(r.quality_score is None or 0.0 <= r.quality_score <= 1.0 for r in scored)
+
+
+def test_corpus_pipeline_quality_model_stamp(spark, tmp_path):
+    """The streaming pipeline stamps the trained head's score at ingest:
+    a landed doc that passes the rule gate carries (quality_score,
+    keep_pred) from the broadcast model row."""
+    import json
+
+    from yamon_spark.operators.curation import quality_head_fit
+    from yamon_spark.streaming.corpus import start_corpus_pipeline
+
+    stop = "the and for you that"
+    train_rows = [
+        (i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)
+    ] + [(100 + i, f"tiny{i} doc") for i in range(10)]
+    model = quality_head_fit(
+        spark.createDataFrame(train_rows, "doc_id long, text string"), iters=12, lr=4.0
+    )
+
+    good = f"{stop} fresh doc " + " ".join(f"tok{j}" for j in range(30))
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "b1.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": good, "lang": "en", "source": "s",
+                    "ts": "2024-05-01T10:00:00Z"}) + "\n"
+    )
+    q = start_corpus_pipeline(
+        spark,
+        str(landing),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        quality_model=model,
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()
+    assert len(rows) == 1
+    assert rows[0].keep_pred == 1 and rows[0].quality_score > 0.5

@@ -846,6 +846,52 @@ def quality_head_calibration(
     )
 
 
+def quality_head_fit(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
+    """Train the quality head and return the DEPLOYABLE model as one
+    row: the z-score stats (m1..m3, s1..s3) alongside the learned
+    weights (w0..w3). quality_logit_train reports weights for a human;
+    this is the artifact a serving path broadcasts — scoring a new doc
+    needs the TRAINING stats, not the serving corpus's, or the features
+    drift with every batch. Persist it like any 1-row parquet."""
+    base = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 1)
+    feats, w = _logit_train_frames(docs, iters, lr)
+    wcol = F.col("w")
+    n_words = F.size(wcol).cast("double")
+    awl = F.aggregate(wcol, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
+    stop_ratio = F.size(F.filter(wcol, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    raw = base.select(F.log(n_words).alias("x1"), awl.alias("x2"), stop_ratio.alias("x3"))
+    stats = raw.agg(
+        *[F.round(F.avg(f"x{i}"), 4).alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.round(F.stddev_pop(f"x{i}"), 4).alias(f"s{i}") for i in (1, 2, 3)],
+    )
+    return stats.crossJoin(F.broadcast(w))
+
+
+def quality_head_score(docs: DataFrame, model: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Serve the trained quality head: stamp every doc with the model's
+    4dp keep-probability and the thresholded verdict. `model` is
+    quality_head_fit's 1-row frame (broadcast); features z-score against
+    the model's TRAINING stats, so serving is one shuffle-free map-side
+    pass — the at-ingest shape the streaming corpus pipeline wires in.
+    Docs with no words score NULL / keep_pred 0 (no feature signal)."""
+    wcol = words_col(F.col("text"))
+    n_words = F.size(wcol).cast("double")
+    awl = F.aggregate(wcol, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
+    stop_ratio = F.size(F.filter(wcol, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
+    xs = {1: F.log(n_words), 2: awl, 3: stop_ratio}
+    z = [
+        (xs[i] - F.col(f"m{i}")) / F.when(F.col(f"s{i}") == 0.0, 1.0).otherwise(F.col(f"s{i}"))
+        for i in (1, 2, 3)
+    ]
+    logit = F.col("w0") + F.col("w1") * z[0] + F.col("w2") * z[1] + F.col("w3") * z[2]
+    p = F.when(n_words >= 1, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4))
+    return docs.crossJoin(F.broadcast(model)).select(
+        *docs.columns,
+        p.alias("quality_score"),
+        F.coalesce((p >= threshold).cast("int"), F.lit(0)).alias("keep_pred"),
+    )
+
+
 def quality_threshold_sweep(docs: DataFrame, iters: int = 12, lr: float = 4.0) -> DataFrame:
     """Operating-point selection for the trained quality head — the step
     after :func:`quality_head_calibration`: sweep keep-thresholds

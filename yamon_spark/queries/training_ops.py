@@ -189,6 +189,34 @@ def _logit_threshold_sweep_oracle(iters: int = 12, lr: float = 4.0) -> str:
     """
 
 
+def _logit_model_oracle(iters: int = 12, lr: float = 4.0) -> str:
+    """The deployable model row: z-score stats + trained weights from
+    the same unrolled chain."""
+    ctes, _ = _logit_train_ctes(iters, lr)
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT m1, m2, m3, s1, s2, s3, w0, w1, w2, w3 FROM stats, wt{iters}
+    """
+
+
+@register(
+    "quality_head_model",
+    _logit_model_oracle(12, 4.0),
+    doc=(
+        "The trained quality head as a DEPLOYABLE 1-row artifact: the "
+        "z-score training stats alongside the learned weights — what a "
+        "serving path (quality_head_score, the streaming corpus "
+        "pipeline's at-ingest stamp) broadcasts. Scoring new docs needs "
+        "the TRAINING stats, not the serving corpus's; persisting them "
+        "together is what makes the head portable."
+    ),
+)
+def quality_head_model_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import quality_head_fit
+
+    return quality_head_fit(table(spark, sf_dir, "documents"), iters=12, lr=4.0)
+
+
 @register(
     "quality_threshold_sweep",
     _logit_threshold_sweep_oracle(12, 4.0),

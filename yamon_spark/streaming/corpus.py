@@ -83,6 +83,7 @@ def start_corpus_pipeline(
     benchmark_shingles: DataFrame | None = None,
     contam_ngram: int = 5,
     contam_threshold: float = 0.5,
+    quality_model: DataFrame | None = None,
 ) -> StreamingQuery:
     """Wire and start the streaming corpus pipeline. Curated docs append
     to <out_dir>/corpus partitioned by (lang, date); quality rejects to
@@ -95,8 +96,20 @@ def start_corpus_pipeline(
     contamination_check, so eval leakage is visible the moment a doc
     lands instead of at the next batch decontamination sweep. The stamp
     marks rather than drops: decontamination policy (drop vs quarantine
-    vs re-split) stays a downstream decision on a recorded column."""
-    from yamon_spark.operators.curation import contamination_stamp, pii_scrub, quality_filter
+    vs re-split) stays a downstream decision on a recorded column.
+
+    With ``quality_model`` (quality_head_fit's 1-row frame), every
+    curated doc is also stamped (quality_score, keep_pred) by the
+    TRAINED head — train offline, serve at ingest: the model row
+    broadcasts and scoring is map-side. Again a stamp, not a gate: the
+    rule gate already dropped; the head's score is the ranking signal
+    downstream mixing reads."""
+    from yamon_spark.operators.curation import (
+        contamination_stamp,
+        pii_scrub,
+        quality_filter,
+        quality_head_score,
+    )
 
     docs = stream_documents(spark, landing_dir)
     # cross-batch digest dedup: bounded state inside the ARRIVAL-time
@@ -122,6 +135,10 @@ def start_corpus_pipeline(
             from yamon_spark.operators.curation import split_bucket_col
 
             curated = kept.join(scrubbed, "doc_id")
+            if quality_model is not None:
+                # score the ORIGINAL text (the head was trained on
+                # unscrubbed features; placeholders would shift them)
+                curated = quality_head_score(curated, quality_model)
             if benchmark_shingles is not None:
                 # stamp against the ORIGINAL text (the text the leak
                 # arrived in; scrubbing placeholders would perturb the
