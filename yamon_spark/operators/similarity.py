@@ -698,11 +698,12 @@ def ivf_append(
     return touched
 
 
-def _ivf_recover(parent, name: str) -> None:
+def _ivf_recover(parent) -> None:
     """Crash recovery for ivf_rebuild (compaction's contract): a leftover
-    ``.{name}.rebuild-old`` whose live dir is missing means the process
+    ``.<name>.rebuild-old`` whose live dir is missing means the process
     died mid-swap — restore it; any other rebuild tmp/old leftover is
-    stale and dropped."""
+    stale and dropped. Sweeps every rebuild leftover under `parent`, so
+    sibling indexes recover each other's debris too."""
     import shutil
 
     for p in list(parent.iterdir()):
@@ -745,7 +746,7 @@ def ivf_rebuild(
 
     root = Path(index_path.rstrip("/"))
     cents = Path(index_path.rstrip("/") + "_centroids")
-    _ivf_recover(root.parent, root.name)
+    _ivf_recover(root.parent)
     vecs = spark.read.parquet(str(root)).select("vec_id", "embedding")
     tmp = root.parent / f".{root.name}.rebuild-tmp"
     ivf_build(vecs, str(tmp), n_cells=n_cells, sample_fraction=sample_fraction, seed=seed)
