@@ -755,3 +755,31 @@ def test_ivf_rebuild_swaps_quantizer_and_preserves_contents(spark, tmp_path, sf_
     ivf_rebuild(spark, idx, n_cells=4)  # recovery restores, then rebuilds
     assert contents(idx) == before
     assert len({r.cell for r in spark.read.parquet(idx + "_centroids").collect()}) == 4
+
+
+def test_embed_outlier_score_flags_planted_mislabel(spark):
+    """Two tight clusters; one vector carries cluster B's embedding but
+    cluster A's label — its distance to A's centroid z-scores far above
+    its labelmates and flags as an outlier; the well-labeled vectors
+    don't."""
+    from yamon_spark.operators.similarity import embed_outlier_score
+
+    d = 8
+
+    def vec(base, eps):
+        return [float(base) + eps] * d
+
+    rows = []
+    for i in range(20):
+        rows.append((i, vec(0.0, 0.001 * (i % 5)), 0))
+        rows.append((100 + i, vec(1.0, 0.001 * (i % 5)), 1))
+    rows.append((999, vec(1.0, 0.0), 0))  # mislabeled: B's embedding, A's label
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.vec_id: r for r in embed_outlier_score(emb, z_threshold=2.0).collect()}
+    assert len(out) == 41
+    assert out[999].is_outlier == 1 and out[999].z_dist > 2.0
+    clean = [r for v, r in out.items() if v != 999]
+    assert all(r.is_outlier == 0 for r in clean if r.label == 1)  # label B untouched
+    # label A's honest members are all non-outliers too (the planted
+    # vector absorbs the tail)
+    assert sum(r.is_outlier for r in clean if r.label == 0) == 0

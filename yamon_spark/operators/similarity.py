@@ -1012,6 +1012,66 @@ def semantic_dedup(
     )
 
 
+def embed_outlier_score(embeddings: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Embedding-space label-noise gate: per vector, the z-scored squared
+    L2 distance to its OWN label's centroid — the eval that justifies
+    dropping (or re-labeling) vectors whose embedding disagrees with
+    their label before those labels drive IVF cells, semantic dedup
+    anchors, or classifier training. |z| > z_threshold flags the vector.
+
+    Determinism (the embedding_assign_delta contract): centroid
+    components round 4dp, distances round 4dp BEFORE the label stats,
+    mean/stddev_pop round 4dp, z rounds 4dp; a zero std (degenerate
+    label) maps to divisor 1.
+
+    Scale shape: two bounded aggregates — |labels|×dim centroid cells
+    and |labels|-row distance stats — each broadcast back; distance and
+    z are map-side passes. No pairwise term, linear in corpus."""
+    from pyspark.sql import Window  # noqa: F401 — parity with siblings
+
+    emb = embeddings.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cents = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cv"))), lambda s: s["cv"]
+            ).alias("carr")
+        )
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("e", "carr", lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        4,
+    )
+    scored = emb.join(F.broadcast(cents), "label").select("vec_id", "label", dist.alias("dist"))
+    stats = scored.groupBy("label").agg(
+        F.round(F.avg("dist"), 4).alias("m"),
+        F.round(F.stddev_pop("dist"), 4).alias("s"),
+    )
+    z = F.round(
+        (F.col("dist") - F.col("m")) / F.when(F.col("s") == 0.0, 1.0).otherwise(F.col("s")), 4
+    )
+    return (
+        scored.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist",
+            z.alias("z_dist"),
+            (F.abs(z) > z_threshold).cast("int").alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def contamination_semantic(
     embeddings: DataFrame, bench_mod: int = 50, threshold: float = 0.3, max_bench: int = 256
 ) -> DataFrame:

@@ -129,3 +129,50 @@ def embed_label_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import label_separation
 
     return label_separation(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embed_outlier_score",
+    """
+    WITH cd AS (
+      SELECT label, CAST(d - 1 AS INT) AS dim,
+             round(avg(CAST(embedding[d] AS DOUBLE)), 4) AS c
+      FROM embeddings, range(1, 65) t(d) GROUP BY label, dim
+    ),
+    cent AS (SELECT label, list(c ORDER BY dim) AS carr FROM cd GROUP BY label),
+    s AS (
+      SELECT e.vec_id, e.label,
+             round(list_reduce(list_transform(range(1, 65),
+               k -> (CAST(e.embedding[k] AS DOUBLE) - cent.carr[k])
+                    * (CAST(e.embedding[k] AS DOUBLE) - cent.carr[k])),
+               (a, b) -> a + b), 4) AS dist
+      FROM embeddings e JOIN cent USING (label)
+    ),
+    st AS (
+      SELECT label, round(avg(dist), 4) AS m, round(stddev_pop(dist), 4) AS sd
+      FROM s GROUP BY label
+    ),
+    zed AS (
+      SELECT vec_id, s.label, dist,
+             round((dist - m) / (CASE WHEN sd = 0.0 THEN 1.0 ELSE sd END), 4) AS z_dist
+      FROM s JOIN st ON s.label = st.label
+    )
+    SELECT vec_id, label, dist, z_dist,
+           CAST(abs(z_dist) > 2.0 AS INT) AS is_outlier
+    FROM zed ORDER BY vec_id
+    """,
+    doc=(
+        "Embedding-space label-noise gate: per vector, the z-scored "
+        "squared L2 distance to its OWN label centroid; |z| > 2 flags "
+        "vectors whose embedding disagrees with their label — the eval "
+        "that justifies re-labeling/dropping before labels drive IVF "
+        "cells or semantic-dedup anchors. Two bounded broadcast "
+        "aggregates (|labels|xdim centroids, |labels|-row stats); "
+        "distance and z are map-side. 4dp rounding before every "
+        "cross-engine comparison point."
+    ),
+)
+def embed_outlier_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import embed_outlier_score
+
+    return embed_outlier_score(table(spark, sf_dir, "embeddings"), z_threshold=2.0)
