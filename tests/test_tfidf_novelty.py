@@ -100,3 +100,20 @@ def test_sample_weighted_matches_reference_formula(spark):
     expect = sorted(sorted(keys, key=lambda d: (-keys[d], d))[:5])
     got = [r.doc_id for r in sample_weighted(docs, n=5).collect()]
     assert got == expect
+
+
+def test_count_min_sketch_guarantee_and_exactness(spark):
+    """CMS invariants on a crafted stream: est >= exact for every word
+    (one-sided error), a word with no colliding buckets estimates
+    EXACTLY, and counters are reproducible (same hash idiom both
+    calls)."""
+    from yamon_spark.operators.text import count_min_sketch
+
+    text = " ".join(["alpha"] * 20 + ["beta"] * 10 + [f"tail{i}" for i in range(30)])
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = {r.word: r for r in count_min_sketch(docs, width=64, depth=4, top_n=50).collect()}
+    assert out["alpha"].exact_n == 20 and out["beta"].exact_n == 10
+    for r in out.values():
+        assert r.est_n >= r.exact_n and r.overcount == r.est_n - r.exact_n
+    again = {r.word: r.est_n for r in count_min_sketch(docs, width=64, depth=4, top_n=50).collect()}
+    assert again == {w: r.est_n for w, r in out.items()}

@@ -659,3 +659,64 @@ def ngram_novelty(docs: DataFrame, ngram: int = 8) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def count_min_sketch(
+    docs: DataFrame, width: int = 64, depth: int = 4, top_n: int = 50
+) -> DataFrame:
+    """Count-min sketch over the corpus word stream — the mergeable
+    point-frequency sketch that pairs with the HLL distinct sketch
+    (q66): depth x width integer counters built in ONE pass, point
+    estimates by min-over-rows, with the classic one-sided guarantee
+    est >= exact (collisions only ever ADD). Emits the top_n words by
+    exact count alongside their sketch estimate and overcount — the
+    sketch-vs-truth audit every approximate counter ships with here
+    (the recall-gate pattern applied to frequency sketching).
+
+    Determinism: bucket = first-8-hex of md5(word || ':' || row) mod
+    width (the repo's portable hash idiom — identical strings, identical
+    buckets cross-engine); all counters are exact integers.
+
+    Scale shape: the counter build is a depth-expanded word scan into a
+    groupBy of AT MOST depth x width cells (map-side combine does
+    almost all the work — the sketch IS the partial aggregate); the
+    bounded counter table broadcasts back for the estimate join. At
+    100 TB the sketch is the thing you CAN afford to keep per
+    source/day when exact per-word counts are not."""
+    w = docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+
+    def bucket(col, i: int):
+        return (
+            F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8), 16, 10)
+            .cast("bigint") % width
+        )
+
+    rows = F.array(
+        *[F.struct(F.lit(i).alias("i"), bucket(F.col("w"), i).alias("b")) for i in range(depth)]
+    )
+    cms = (
+        w.select(F.explode(rows).alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "w")
+        .limit(top_n)
+    )
+    q = top.select("w", "exact_n", F.explode(rows).alias("s")).select(
+        "w", "exact_n", F.col("s.i").alias("i"), F.col("s.b").alias("b")
+    )
+    return (
+        q.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("w", "exact_n")
+        .agg(F.min("c").alias("est_n"))
+        .select(
+            F.col("w").alias("word"),
+            "exact_n",
+            "est_n",
+            (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "word")
+    )

@@ -54,3 +54,45 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "sketch_count_min",
+    """
+    WITH w AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+    ),
+    cms AS (
+      SELECT i, CAST('0x' || substr(md5(w || ':' || i), 1, 8) AS BIGINT) % 64 AS b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM w, range(0, 4) t(i) GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS exact_n FROM w GROUP BY w
+      ORDER BY exact_n DESC, w LIMIT 50
+    ),
+    qb AS (
+      SELECT top.w, top.exact_n, i,
+             CAST('0x' || substr(md5(top.w || ':' || i), 1, 8) AS BIGINT) % 64 AS b
+      FROM top, range(0, 4) t(i)
+    )
+    SELECT qb.w AS word, qb.exact_n, min(cms.c) AS est_n,
+           min(cms.c) - qb.exact_n AS overcount
+    FROM qb JOIN cms ON cms.i = qb.i AND cms.b = qb.b
+    GROUP BY qb.w, qb.exact_n
+    ORDER BY qb.exact_n DESC, word
+    """,
+    doc=(
+        "Count-min sketch over the corpus word stream: depth 4 x width "
+        "64 integer counters in one pass (the sketch IS the partial "
+        "aggregate — map-side combine into <=256 cells), estimates by "
+        "min-over-rows with the one-sided est >= exact guarantee, "
+        "audited against exact counts for the top-50 words. The "
+        "mergeable point-frequency twin of the HLL distinct sketch; "
+        "buckets from the portable md5-hex idiom."
+    ),
+)
+def sketch_count_min_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import count_min_sketch
+
+    return count_min_sketch(table(spark, sf_dir, "documents"), width=64, depth=4, top_n=50)
