@@ -661,6 +661,39 @@ def ngram_novelty(docs: DataFrame, ngram: int = 8) -> DataFrame:
     )
 
 
+def _cms_bucket(col, i: int, width: int):
+    """Portable md5-hex bucket for CMS row i — identical strings,
+    identical buckets cross-engine (the split_bucket_col idiom)."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8), 16, 10).cast("bigint")
+        % width
+    )
+
+
+def _cms_rows(width: int, depth: int):
+    return F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), _cms_bucket(F.col("w"), i, width).alias("b"))
+            for i in range(depth)
+        ]
+    )
+
+
+def cms_counters(docs: DataFrame, width: int = 64, depth: int = 4) -> DataFrame:
+    """The count-min counter table (i, b, c) over the corpus word
+    stream: depth x width exact-integer cells, one depth-expanded scan
+    with map-side combine. Works unchanged on a STREAMING docs frame —
+    explode + groupBy count is a streaming aggregation whose state is
+    bounded at depth x width rows by construction, which is what makes
+    the live twin (streaming/sketch.py) trivial."""
+    w = docs.select(F.explode(words_col(F.col("text"))).alias("w"))
+    return (
+        w.select(F.explode(_cms_rows(width, depth)).alias("s"))
+        .groupBy(F.col("s.i").alias("i"), F.col("s.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
 def count_min_sketch(
     docs: DataFrame, width: int = 64, depth: int = 4, top_n: int = 50
 ) -> DataFrame:
@@ -684,21 +717,8 @@ def count_min_sketch(
     100 TB the sketch is the thing you CAN afford to keep per
     source/day when exact per-word counts are not."""
     w = docs.select(F.explode(words_col(F.col("text"))).alias("w"))
-
-    def bucket(col, i: int):
-        return (
-            F.conv(F.substring(F.md5(F.concat(col, F.lit(f":{i}"))), 1, 8), 16, 10)
-            .cast("bigint") % width
-        )
-
-    rows = F.array(
-        *[F.struct(F.lit(i).alias("i"), bucket(F.col("w"), i).alias("b")) for i in range(depth)]
-    )
-    cms = (
-        w.select(F.explode(rows).alias("s"))
-        .groupBy(F.col("s.i").alias("i"), F.col("s.b").alias("b"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
+    rows = _cms_rows(width, depth)
+    cms = cms_counters(docs, width=width, depth=depth)
     top = (
         w.groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
