@@ -378,3 +378,23 @@ def test_corpus_snapshot_diff_statuses_and_plan(spark):
     plan = corpus_snapshot_diff(docs)._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bigram_logprob_penalizes_word_soup(spark):
+    """Two docs over the same vocabulary: one repeats a fixed phrase
+    (high-probability bigrams), one is a scrambled soup of the same
+    words (bigrams mostly unseen -> unigram backoff only). The phrase
+    doc must score strictly higher, and every score is finite/negative."""
+    from yamon_spark.operators.curation import bigram_logprob
+
+    phrase = "the quick brown fox jumps " * 8
+    soup = "fox the jumps quick brown jumps the fox brown quick " * 4
+    docs = spark.createDataFrame(
+        [(0, phrase.strip()), (1, soup.strip()), (2, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs, top_k=50, lam=0.8).collect()}
+    assert set(out) == {0, 1}  # the 1-word doc has no bigrams
+    assert out[0].mean_logprob > out[1].mean_logprob
+    for r in out.values():
+        assert r.mean_logprob < 0.0 and r.n_bigrams > 0

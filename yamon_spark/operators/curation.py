@@ -633,6 +633,70 @@ def unigram_logprob(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, top_k: int = 2000, lam: float = 0.8) -> DataFrame:
+    """Interpolated bigram-LM quality score — the conditional-probability
+    step between :func:`unigram_logprob` and CCNet's 5-gram LM: per doc,
+    the mean log of P(w|prev) = lam·c(prev,w)/c(prev) + (1−lam)·P_uni(w),
+    where the bigram term applies only when BOTH the bigram is in the
+    top_k bigram model and prev is in the top_k unigram model (otherwise
+    it backs off to the unigram part alone, whose OOV half-count floor
+    keeps every probability positive). Word soup scores low even when
+    its words are individually common — the failure mode a unigram
+    filter cannot see. Docs with fewer than 2 words have no bigrams and
+    are absent from the output.
+
+    Scale shape: three bounded broadcasts (top_k unigrams, top_k
+    bigrams, the 1-row total) against one bigram-exploded scan, then a
+    per-doc partial agg. Model size is bounded by top_k, never
+    vocabulary or corpus size; expression association is shared verbatim
+    with the SQL oracle, mean rounds 4dp."""
+    t = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 2)
+    flat = t.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS prev, w[i] AS wrd))")
+        ).alias("s"),
+    ).select("doc_id", F.col("s.prev").alias("prev"), F.col("s.wrd").alias("wrd"))
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    univ = uni.orderBy(F.col("cnt").desc(), "word").limit(top_k)
+    biv = (
+        flat.groupBy("prev", "wrd")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .orderBy(F.col("bcnt").desc(), "prev", "wrd")
+        .limit(top_k)
+    )
+    scored = (
+        flat.join(F.broadcast(biv), ["prev", "wrd"], "left")
+        .join(
+            F.broadcast(univ.select(F.col("word").alias("prev"), F.col("cnt").alias("pcnt"))),
+            "prev",
+            "left",
+        )
+        .join(
+            F.broadcast(univ.select(F.col("word").alias("wrd"), F.col("cnt").alias("wcnt"))),
+            "wrd",
+            "left",
+        )
+        .crossJoin(F.broadcast(total_df))
+    )
+    bi_term = F.when(
+        F.col("bcnt").isNotNull() & F.col("pcnt").isNotNull(),
+        F.col("bcnt").cast("double") / F.col("pcnt"),
+    ).otherwise(F.lit(0.0))
+    uni_term = F.coalesce(F.col("wcnt").cast("double"), F.lit(0.5)) / F.col("total")
+    logp = F.log(F.lit(lam) * bi_term + F.lit(1.0 - lam) * uni_term)
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # fixed weights of the distilled linear quality head (quality_logit):
 # intercept, ln(n_words), avg_word_len, stop_ratio. Published-classifier
 # shape (fastText/logistic quality heads); constants are part of the

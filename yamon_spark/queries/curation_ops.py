@@ -106,6 +106,61 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    flat AS (
+      SELECT doc_id, s.prev AS prev, s.wrd AS wrd FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          i -> struct_pack(prev := w[i], wrd := w[i + 1]))) AS s
+        FROM t WHERE len(w) >= 2
+      )
+    ),
+    uni AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest({_WORDS}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+    univ AS (SELECT word, cnt FROM uni ORDER BY cnt DESC, word LIMIT 2000),
+    biv AS (
+      SELECT prev, wrd, count(*) AS bcnt FROM flat GROUP BY prev, wrd
+      ORDER BY bcnt DESC, prev, wrd LIMIT 2000
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             ln(0.8 * (CASE WHEN b.bcnt IS NOT NULL AND up.cnt IS NOT NULL
+                            THEN CAST(b.bcnt AS DOUBLE) / up.cnt ELSE 0.0 END)
+                + {1.0 - 0.8} * (coalesce(CAST(uw.cnt AS DOUBLE), 0.5) / tot.total)) AS logp
+      FROM flat f
+      LEFT JOIN biv b ON f.prev = b.prev AND f.wrd = b.wrd
+      LEFT JOIN univ up ON f.prev = up.word
+      LEFT JOIN univ uw ON f.wrd = uw.word
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(logp), 4) AS mean_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Interpolated bigram-LM quality score — the conditional-"
+        "probability step between the unigram perplexity input and "
+        "CCNet's 5-gram LM: mean log of lam*c(prev,w)/c(prev) + "
+        "(1-lam)*P_uni(w) per doc, bigram term only when both the "
+        "bigram and prev are inside the top-2000 models, unigram OOV "
+        "half-count floor keeping every probability positive. Word "
+        "soup of individually-common words scores low — the failure "
+        "mode a unigram filter cannot see. Three bounded broadcasts "
+        "against one bigram-exploded scan."
+    ),
+)
+def text_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import bigram_logprob
+
+    return bigram_logprob(table(spark, sf_dir, "documents"), top_k=2000, lam=0.8)
+
+
+@register(
     "contamination_semantic",
     f"""
     WITH q AS (
