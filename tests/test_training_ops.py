@@ -339,3 +339,24 @@ def test_corpus_pipeline_quality_model_stamp(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out" / "corpus")).collect()
     assert len(rows) == 1
     assert rows[0].keep_pred == 1 and rows[0].quality_score > 0.5
+
+
+def test_quality_head_ece_near_zero_on_separable_corpus(spark):
+    """On the separable corpus the head is near-perfectly calibrated at
+    the extremes, so the doc-weighted ECE is small; it covers exactly
+    the corpus and stays in [0, 1]."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import quality_head_calibration
+
+    stop = "the and for you that"
+    rows = [(i, f"{stop} word{i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(30)]
+    rows += [(100 + i, f"tiny{i} doc") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cal = quality_head_calibration(docs, iters=12, lr=4.0, n_bins=10)
+    row = cal.agg(
+        F.sum("n_docs").alias("n"),
+        (F.sum(F.col("n_docs") * F.abs(F.col("mean_pred") - F.col("frac_keep"))) / F.sum("n_docs")).alias("ece"),
+    ).first()
+    assert row.n == 40
+    assert 0.0 <= row.ece <= 0.1  # confidently-correct head -> tiny ECE

@@ -278,6 +278,43 @@ def quality_head_calibration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_head_ece",
+    f"""
+    WITH cal AS ({_logit_calibration_oracle(12, 4.0, 10)})
+    SELECT CAST(count(*) AS BIGINT) AS n_bins_occupied,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           round(sum(n_docs * abs(mean_pred - frac_keep))
+                 / CAST(sum(n_docs) AS DOUBLE), 4) AS ece
+    FROM cal
+    """,
+    doc=(
+        "Expected calibration error of the trained quality head — the "
+        "single number the reliability diagram reduces to: the doc-"
+        "weighted mean |mean_pred - frac_keep| across occupied bins. "
+        "The gate a pipeline alarms on (ECE drifting up means the "
+        "head's probabilities stopped meaning what the threshold sweep "
+        "assumed). One extra <=n_bins-row aggregate over the "
+        "calibration plan."
+    ),
+)
+def quality_head_ece_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import quality_head_calibration
+
+    cal = quality_head_calibration(table(spark, sf_dir, "documents"), iters=12, lr=4.0, n_bins=10)
+    return cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins_occupied"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum(F.col("n_docs") * F.abs(F.col("mean_pred") - F.col("frac_keep")))
+            / F.sum("n_docs").cast("double"),
+            4,
+        ).alias("ece"),
+    )
+
+
+@register(
     "quality_logit",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
