@@ -71,6 +71,7 @@ BNLJ_OK = {
     "contamination_semantic",  # broadcast of the HARD-CAPPED (<=256) bench side
     "embedding_assign_delta",  # broadcast of the bounded |labels|-row centroid table
     "quality_head_model",  # the 1-row stats x 1-row weights artifact join
+    "quality_head_ece",  # the calibration chain's 1-row broadcasts + bin agg
 }
 
 
