@@ -72,6 +72,7 @@ BNLJ_OK = {
     "embedding_assign_delta",  # broadcast of the bounded |labels|-row centroid table
     "quality_head_model",  # the 1-row stats x 1-row weights artifact join
     "quality_head_ece",  # the calibration chain's 1-row broadcasts + bin agg
+    "text_bigram_logprob",  # broadcast of the ONE corpus-total row
 }
 
 
