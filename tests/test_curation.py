@@ -398,3 +398,30 @@ def test_bigram_logprob_penalizes_word_soup(spark):
     assert out[0].mean_logprob > out[1].mean_logprob
     for r in out.values():
         assert r.mean_logprob < 0.0 and r.n_bigrams > 0
+
+
+def test_sample_eval_slice_exact_size_and_content_keyed(spark):
+    """Exactly per_group docs per (lang, source); the slice is keyed on
+    CONTENT, so re-assigning doc_ids (a re-crawl) keeps the same texts
+    in the slice."""
+    from yamon_spark.operators.curation import sample_eval_slice
+
+    rows = [(i, f"text number {i} with words", "en" if i % 2 else "de", f"s{i % 3}")
+            for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    out = sample_eval_slice(docs, per_group=5).collect()
+    sizes = {}
+    for r in out:
+        sizes[(r.lang, r.source)] = sizes.get((r.lang, r.source), 0) + 1
+        assert 1 <= r.rk <= 5
+    assert set(sizes.values()) == {5} and len(sizes) == 6
+
+    # re-crawl: same texts, doc_ids shifted by 1000 -> same slice contents
+    id_to_text = {i: t for i, t, _, _ in rows}
+    shuffled = spark.createDataFrame(
+        [(i + 1000, t, lang, s) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string",
+    )
+    texts_a = sorted(id_to_text[r.doc_id] for r in out)
+    texts_b = sorted(id_to_text[r.doc_id - 1000] for r in sample_eval_slice(shuffled, per_group=5).collect())
+    assert texts_a == texts_b

@@ -633,6 +633,34 @@ def unigram_logprob(docs: DataFrame, top_k: int = 1000) -> DataFrame:
     )
 
 
+def sample_eval_slice(docs: DataFrame, per_group: int = 20, salt: str = "eval") -> DataFrame:
+    """Fixed-size per-domain eval slice: the stable "N docs per (lang,
+    source)" sample an eval harness pins once and re-reads forever.
+    Rank docs inside each group by the salted CONTENT hash (the
+    split_bucket_col idiom — content-keyed, so a re-crawled corpus with
+    shuffled doc_ids yields the same slice for unchanged docs; ties on
+    doc_id) and keep the per_group lowest. Rate-based sampling
+    (stratified_sample) cannot promise exact slice sizes; eval sets
+    need exactly N.
+
+    Scale shape: one window rank per (lang, source) group — a single
+    shuffle on the group key; the rank prunes to per_group rows per
+    group before anything downstream runs. Skewed group sizes are fine:
+    rank is streaming-evaluated per partition after the shuffle."""
+    from pyspark.sql import Window
+
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lower(F.col("text")), F.lit(":" + salt))), 1, 8), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("lang", "source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= per_group)
+        .select("doc_id", "lang", "source", F.col("rk").cast("int").alias("rk"))
+        .orderBy("lang", "source", "rk")
+    )
+
+
 def bigram_logprob(docs: DataFrame, top_k: int = 2000, lam: float = 0.8) -> DataFrame:
     """Interpolated bigram-LM quality score — the conditional-probability
     step between :func:`unigram_logprob` and CCNet's 5-gram LM: per doc,

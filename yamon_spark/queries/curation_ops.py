@@ -106,6 +106,36 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_eval_slice",
+    """
+    WITH r AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY CAST('0x' || substr(md5(lower(text) || ':eval'), 1, 8) AS BIGINT),
+                        doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 20 ORDER BY lang, source, rk
+    """,
+    doc=(
+        "Fixed-size per-domain eval slice: exactly N docs per (lang, "
+        "source), ranked by the salted CONTENT hash (re-crawls with "
+        "shuffled doc_ids keep the same slice for unchanged docs; ties "
+        "on doc_id). Rate-based sampling cannot promise exact slice "
+        "sizes; eval sets need exactly N. One window rank per group — "
+        "a single group-key shuffle."
+    ),
+)
+def sample_eval_slice_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import sample_eval_slice
+
+    return sample_eval_slice(table(spark, sf_dir, "documents"), per_group=20, salt="eval")
+
+
+@register(
     "text_bigram_logprob",
     f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
