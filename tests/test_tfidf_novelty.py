@@ -117,3 +117,26 @@ def test_count_min_sketch_guarantee_and_exactness(spark):
         assert r.est_n >= r.exact_n and r.overcount == r.est_n - r.exact_n
     again = {r.word: r.est_n for r in count_min_sketch(docs, width=64, depth=4, top_n=50).collect()}
     assert again == {w: r.est_n for w, r in out.items()}
+
+
+def test_mattr_length_robust_and_flags_templates(spark):
+    """MATTR's reason to exist: a looping template scores low at any
+    length while diverse text scores high, and (unlike plain TTR) the
+    diverse score does NOT collapse as the doc grows. Short docs fall
+    back to TTR with windowed=0; closed form pinned for the constant
+    doc."""
+    from yamon_spark.operators.text import mattr
+
+    template = ("alpha beta gamma " * 40).strip()      # 120 words, 3 types
+    diverse = " ".join(f"w{i}" for i in range(120))     # 120 words, all distinct
+    diverse_long = " ".join(f"w{i}" for i in range(600))
+    short = "just five little words here"
+    docs = spark.createDataFrame(
+        [(0, template), (1, diverse), (2, diverse_long), (3, short)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mattr(docs, window=25).collect()}
+    assert out[0].windowed == 1 and out[0].mattr == round(3 / 25, 4)  # every window: 3 types
+    assert out[1].mattr == 1.0 and out[2].mattr == 1.0  # diversity stable with length
+    assert out[3].windowed == 0 and out[3].mattr == 1.0  # TTR fallback
+    assert out[0].mattr < 0.2 < out[1].mattr

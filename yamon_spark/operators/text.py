@@ -740,3 +740,35 @@ def count_min_sketch(
         )
         .orderBy(F.col("exact_n").desc(), "word")
     )
+
+
+def mattr(docs: DataFrame, window: int = 25) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall's MATTR) —
+    the length-robust lexical-diversity score corpus analysis uses where
+    plain TTR is confounded by doc length: mean over all `window`-word
+    sliding windows of (distinct words in window) / window. Templated or
+    looping text scores low at ANY length; short docs (< window words)
+    fall back to plain TTR and flag windowed=0 so downstream thresholds
+    can treat them separately.
+
+    Determinism: each per-window ratio is an exact small-int division;
+    the mean folds sequentially over the per-doc window list (not a
+    cross-partition sum), so both engines add in the identical order —
+    only the final value rounds 4dp. Shuffle-free per-doc array math,
+    O(n·window) per doc with a constant window."""
+    t = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    n = F.size("w")
+    wins = F.expr(
+        f"transform(sequence(1, size(w) - {window} + 1),"
+        f" i -> cast(size(array_distinct(slice(w, i, {window}))) as double) / {window})"
+    )
+    windowed_score = F.round(
+        F.aggregate(wins, F.lit(0.0), lambda a, x: a + x) / (n - window + 1).cast("double"), 4
+    )
+    ttr = F.round(F.size(F.array_distinct("w")).cast("double") / n, 4)
+    return t.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.when(n >= window, windowed_score).otherwise(ttr).alias("mattr"),
+        (n >= window).cast("int").alias("windowed"),
+    ).orderBy("doc_id")

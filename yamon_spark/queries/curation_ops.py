@@ -106,6 +106,36 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_mattr",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents)
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           CASE WHEN len(w) >= 25 THEN
+             round(list_reduce(list_transform(range(1, len(w) - 25 + 2),
+               i -> CAST(len(list_distinct(w[i:i+24])) AS DOUBLE) / 25),
+               (a, b) -> a + b) / CAST(len(w) - 25 + 1 AS DOUBLE), 4)
+           ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+           END AS mattr,
+           CAST(len(w) >= 25 AS INT) AS windowed
+    FROM t ORDER BY doc_id
+    """,
+    doc=(
+        "Moving-average type-token ratio (MATTR, window 25) — the "
+        "length-robust lexical-diversity gate plain TTR cannot be "
+        "(TTR is confounded by doc length): mean distinct-ratio over "
+        "all 25-word sliding windows; templated/looping text scores "
+        "low at any length. Short docs fall back to plain TTR with "
+        "windowed=0. Per-window ratios fold sequentially inside the "
+        "doc's own list (no cross-partition sum), shuffle-free."
+    ),
+)
+def text_mattr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import mattr
+
+    return mattr(table(spark, sf_dir, "documents"), window=25)
+
+
+@register(
     "sample_eval_slice",
     """
     WITH r AS (
