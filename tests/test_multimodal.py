@@ -556,3 +556,34 @@ def test_mjpeg_roundtrip_operator(spark):
             19600 * ((d * 7 + f * 13) % 201 + 28) + 64 * ((d + f * 5) % 41 - 20)
             for f in range(nf)
         )
+
+
+def test_audio_trim_silence_and_tone(spark):
+    """Synthetic PCM: silence, then a loud tone, then silence. The trim
+    must bound exactly the tone's windows (geometry first*hop ..
+    last*hop+win capped at length); an all-silent clip trims to 0 with
+    NULL bounds."""
+    import struct
+
+    from yamon_spark.operators.multimodal import audio_trim
+
+    silence = [0] * 320
+    tone = [20000, -20000] * 160  # 320 samples, RMS 20000
+    clip = silence + tone + silence  # 960 samples
+    payload = struct.pack(f"<{len(clip)}h", *clip)
+    quiet = struct.pack("<320h", *silence)
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(quiet))], "doc_id long, payload binary"
+    )
+    out = {r.doc_id: r for r in audio_trim(
+        media, win=64, hop=32, rms_threshold=1000.0
+    ).collect()}
+    r = out[1]
+    # windows overlapping the tone ([320, 640)): first touching index
+    # ceil((320-64)/32)=8, last start <= 639 -> idx 19 (window [608,672))
+    assert (r.first_active, r.last_active) == (9, 19)
+    assert r.trimmed_samples == min(19 * 32 + 64, 960) - 9 * 32
+    assert 0 < r.n_active < r.n_windows
+    q = out[2]
+    assert q.n_active == 0 and q.trimmed_samples == 0
+    assert q.first_active is None and q.last_active is None and q.active_ratio == 0.0

@@ -1332,3 +1332,48 @@ def mjpeg_roundtrip(docs: DataFrame) -> DataFrame:
         .mapInPandas(roundtrip, MJPEG_ROUNDTRIP_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+def audio_trim(
+    media: DataFrame,
+    win: int = 400,
+    hop: int = 160,
+    rms_threshold: float = 25500.0,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Silence trimming over the framed-RMS front end — the VAD pre-step
+    every ASR training pipeline runs before cutting clips: per doc, the
+    first and last analysis window whose RMS clears the energy floor,
+    the active-window count/ratio, and the trimmed sample span those
+    windows bound (first*hop .. last*hop + win, capped at the decoded
+    length). All-quiet docs trim to 0 samples with NULL bounds — the
+    rows a curation pass drops or routes to review.
+
+    Composes on :func:`audio_windows` (same codec paths, same framing
+    math), so the plan is the shuffle-free Arrow framing stage plus ONE
+    per-doc partial aggregate — linear, no new Python."""
+    wins = audio_windows(media, win=win, hop=hop, decode_stub=decode_stub)
+    hot = F.col("rms") >= rms_threshold
+    hot_idx = F.when(hot, F.col("win_idx"))
+    n_active = F.sum(hot.cast("int")).cast("bigint")
+    agg = wins.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        n_active.alias("n_active"),
+        F.min(hot_idx).alias("first_active"),
+        F.max(hot_idx).alias("last_active"),
+        F.first("n_samples").alias("n_samples"),
+    )
+    span = F.least(
+        F.col("last_active") * hop + win, F.col("n_samples")
+    ) - F.col("first_active") * hop
+    return agg.select(
+        "doc_id",
+        "n_windows",
+        "n_active",
+        "first_active",
+        "last_active",
+        F.when(F.col("n_active") > 0, span).otherwise(F.lit(0)).cast("bigint").alias(
+            "trimmed_samples"
+        ),
+        F.round(F.col("n_active").cast("double") / F.col("n_windows"), 4).alias("active_ratio"),
+    ).orderBy("doc_id")

@@ -854,9 +854,9 @@ def multimodal_mjpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mjpeg_roundtrip(table(spark, sf_dir, "documents"))
 
 
-@register(
-    "multimodal_audio_windows",
-    """
+# shared by multimodal_audio_windows and multimodal_audio_trim: the
+# hex-decoded little-endian PCM16 framing + per-window RMS derivation
+_AUDIO_WINDOWS_SQL = """
     WITH b AS (
       SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS nb
       FROM documents
@@ -889,7 +889,12 @@ def multimodal_mjpeg_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               x -> CAST(x * x AS DOUBLE)))
                       / len(arr[i*32+1 : i*32+64])), 4), 0.0) AS rms
     FROM w ORDER BY doc_id, win_idx
-    """,
+    """
+
+
+@register(
+    "multimodal_audio_windows",
+    _AUDIO_WINDOWS_SQL,
     doc=(
         "Audio framing plumbing: payload interpreted as little-endian "
         "PCM16 -> per-window RMS energy (64-sample windows every 32) via "
@@ -903,6 +908,42 @@ def multimodal_audio_windows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wins = audio_windows(attach_binary(table(spark, sf_dir, "documents")), win=64, hop=32)
     return wins.orderBy("doc_id", "win_idx")
+
+
+@register(
+    "multimodal_audio_trim",
+    f"""
+    WITH aw AS ({_AUDIO_WINDOWS_SQL.replace("ORDER BY doc_id, win_idx", "")})
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN rms >= 25500.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+           min(CASE WHEN rms >= 25500.0 THEN win_idx END) AS first_active,
+           max(CASE WHEN rms >= 25500.0 THEN win_idx END) AS last_active,
+           CASE WHEN sum(CASE WHEN rms >= 25500.0 THEN 1 ELSE 0 END) > 0
+                THEN least(max(CASE WHEN rms >= 25500.0 THEN win_idx END) * 32 + 64,
+                           any_value(n_samples))
+                     - min(CASE WHEN rms >= 25500.0 THEN win_idx END) * 32
+                ELSE 0 END AS trimmed_samples,
+           round(CAST(sum(CASE WHEN rms >= 25500.0 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 4) AS active_ratio
+    FROM aw GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Silence trimming over the framed-RMS audio front end (the VAD "
+        "pre-step every ASR training pipeline runs): per doc, the first "
+        "and last analysis window whose RMS clears the energy floor and "
+        "the trimmed sample span they bound (window*hop geometry, span "
+        "capped at the decoded length); all-quiet docs trim to 0. "
+        "Composes on the audio_windows plan — same shuffle-free Arrow "
+        "framing, one per-doc partial agg."
+    ),
+)
+def multimodal_audio_trim_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import attach_binary, audio_trim
+
+    return audio_trim(
+        attach_binary(table(spark, sf_dir, "documents")), win=64, hop=32, rms_threshold=25500.0
+    )
 
 
 def _minhash_err_oracle(num_hashes: int = 16) -> str:
