@@ -27,6 +27,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+
+    # Ingest headline FIRST, before the full-registry sweep heats the JVM
+    # and box (r6-r8 recorded three consecutive declines 1,061k -> 885k ->
+    # 826k rows/s while an idle re-measure showed 1.05-1.17M: the query
+    # sweep that used to precede this block is itself the contention).
+    # Every attempt is recorded in ingest["attempts"] so a contended
+    # snapshot is visible in the artifact of record, not just a side note.
+    try:
+        # untimed JIT warm-up: the first execution of the ingest path in
+        # a session measures ~550k rows/s cold vs 0.9-1.17M warm (probed
+        # best-of-4) — without this, attempt 1 is always a throwaway
+        ingest_bench(spark, n_lines=2000)
+        attempts: list[int] = []
+        ingest = ingest_bench(spark)
+        attempts.append(ingest["rows_per_sec"])
+        for i in range(3):
+            if i > 0 and ingest["rows_per_sec"] > 950_000:
+                break
+            again = ingest_bench(spark)
+            attempts.append(again["rows_per_sec"])
+            if again["rows_per_sec"] > ingest["rows_per_sec"]:
+                ingest = again
+        ingest["attempts"] = attempts
+    except Exception as e:  # noqa: BLE001 - ingest failure must not kill the query timings
+        ingest = {"rows_per_sec": -1, "hosts": 50, "error": f"{type(e).__name__}: {e}"[:200]}
+
     # steady-state warm-up: run every query once at the smallest SF so
     # whole-stage-codegen JIT + Arrow/python-worker startup are excluded
     # from the timed sf run (the first queries otherwise absorb all of it)
@@ -81,25 +107,6 @@ def main() -> None:
             timings[name] = min(timings[name], third)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    # ingest noise floor: same uniform min-of-2 (reported as max rows/s),
-    # with a third measurement only if still under the healthy floor.
-    # Floor raised 650k -> 950k after r7: an idle box measures 1.05-1.17M
-    # warm, so an 885k run (r7's recorded dip) is steal noise that
-    # deserved the retry the 650k floor skipped.
-    try:
-        # untimed JIT warm-up: the first execution of the ingest path in
-        # a session measures ~550k rows/s cold vs 0.9-1.17M warm (probed
-        # best-of-4) — without this, attempt 1 is always a throwaway
-        ingest_bench(spark, n_lines=2000)
-        ingest = ingest_bench(spark)
-        for i in range(3):
-            if i > 0 and ingest["rows_per_sec"] > 950_000:
-                break
-            again = ingest_bench(spark)
-            if again["rows_per_sec"] > ingest["rows_per_sec"]:
-                ingest = again
-    except Exception as e:  # noqa: BLE001 - ingest failure must not kill the query timings
-        ingest = {"rows_per_sec": -1, "hosts": 50, "error": f"{type(e).__name__}: {e}"[:200]}
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,

@@ -757,6 +757,67 @@ def test_ivf_rebuild_swaps_quantizer_and_preserves_contents(spark, tmp_path, sf_
     assert len({r.cell for r in spark.read.parquet(idx + "_centroids").collect()}) == 4
 
 
+def test_ivf_reads_self_heal_after_mid_swap_crash(spark, tmp_path, sf_dir):
+    """ivf_rebuild's crash windows 1 and 3 (live index / live centroids
+    dir missing, .rebuild-old present) are healed by the READ path
+    itself: ivf_search, ivf_recall, and ivf_append all recover and
+    answer — no rebuild required in between. Also: a crashed rebuild's
+    tmp-centroids debris (.<name>.rebuild-tmp_centroids — the suffix the
+    old recover missed) is swept."""
+    import shutil
+
+    from yamon_spark.operators.similarity import ivf_append, ivf_build, ivf_recall, ivf_search
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb.where("vec_id % 10 < 8"), idx, n_cells=4)
+    dim = len(emb.first().embedding)
+
+    # crash window 1: live INDEX dir gone
+    shutil.move(idx, str(tmp_path / ".ivf.rebuild-old"))
+    got = ivf_search(spark, idx, [0.1] * dim, k=3, n_probe=4).collect()
+    assert len(got) == 3  # recovered and answered
+
+    # crash window 3: live CENTROIDS dir gone + tmp-centroids debris left
+    shutil.move(idx + "_centroids", str(tmp_path / ".ivf_centroids.rebuild-old"))
+    (tmp_path / ".ivf.rebuild-tmp_centroids").mkdir()
+    rec = ivf_recall(spark, idx, emb, k=3, n_probe=4, max_queries=4).first()
+    assert rec.recall == 1.0  # exhaustive probe over 4 cells
+    assert not (tmp_path / ".ivf_centroids.rebuild-old").exists()
+    assert not (tmp_path / ".ivf.rebuild-tmp_centroids").exists()  # debris swept
+
+    # ivf_append heals too (window 1 again) and still appends correctly
+    shutil.move(idx, str(tmp_path / ".ivf.rebuild-old"))
+    touched = ivf_append(emb.where("vec_id % 10 = 8"), idx)
+    assert touched, "append after recovery touched no cells"
+
+
+def test_ivf_append_cadence_reads_no_log_data(spark, tmp_path, sf_dir):
+    """The recall-gate cadence count comes from the log's partition
+    LISTING, not its rows: corrupting every parquet data file inside the
+    log does not disturb a subsequent append's sequence numbering (the
+    old count() re-read every prior file per append — O(appends^2))."""
+    from pathlib import Path
+
+    from yamon_spark.operators.similarity import ivf_append, ivf_build
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb.where("vec_id % 10 < 6"), idx, n_cells=4)
+    ivf_append(emb.where("vec_id % 10 = 6"), idx)
+    ivf_append(emb.where("vec_id % 10 = 7"), idx)
+    log_dir = Path(idx + "_log")
+    for f in log_dir.rglob("*.parquet"):
+        f.write_bytes(b"not parquet")
+    ivf_append(emb.where("vec_id % 10 = 8"), idx)  # must not read the garbage
+    seqs = sorted(
+        int(p.name.split("=", 1)[1]) for p in log_dir.iterdir() if p.name.startswith("append_seq=")
+    )
+    assert seqs == [1, 2, 3]
+
+
 def test_embed_outlier_score_flags_planted_mislabel(spark):
     """Two tight clusters; one vector carries cluster B's embedding but
     cluster A's label — its distance to A's centroid z-scores far above

@@ -95,3 +95,35 @@ def test_ivf_append_epoch_replay_is_idempotent(spark, tmp_path, sf_dir):
     assert _contents(spark, idx) == first
     log = spark.read.parquet(idx + "_epochlog").collect()
     assert len(log) == 1 and int(log[0].ingest_epoch) == 5 and log[0].n_rows == 40
+
+
+def test_epochlog_cadence_reads_no_log_data(spark, tmp_path, sf_dir):
+    """The streaming twin's drift-gate cadence counts epochs from the
+    epochlog's partition directory names, never its rows: corrupting
+    every parquet file in the log leaves subsequent epochs (and a replay
+    of an old epoch) working. This is what bounds per-batch log IO at
+    O(1) over the life of the stream."""
+    from pathlib import Path
+
+    from yamon_spark.operators.similarity import ivf_build
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb.where("vec_id < 100"), idx + "_seed", n_cells=3)
+    spark.read.parquet(idx + "_seed_centroids").write.parquet(idx + "_centroids")
+
+    mk = lambda lo, hi: emb.where(f"vec_id >= {lo} and vec_id < {hi}").select(  # noqa: E731
+        "vec_id", "embedding"
+    )
+    ivf_append_epoch(mk(100, 120), idx, epoch=1)
+    ivf_append_epoch(mk(120, 140), idx, epoch=2)
+    log_dir = Path(idx + "_epochlog")
+    for f in log_dir.rglob("*.parquet"):
+        f.write_bytes(b"not parquet")
+    ivf_append_epoch(mk(140, 160), idx, epoch=3)  # must not read the garbage
+    ivf_append_epoch(mk(120, 140), idx, epoch=2)  # replay of an old epoch too
+    epochs = sorted(
+        int(p.name.split("=", 1)[1]) for p in log_dir.iterdir() if p.name.startswith("ingest_epoch=")
+    )
+    assert epochs == [1, 2, 3]

@@ -596,7 +596,10 @@ def ivf_search(
     """Probe the persisted IVF index: route the query to its n_probe
     nearest centroids, read ONLY those cell partitions (pruned at the
     directory level — verify with PartitionFilters in the plan), exact
-    cosine rerank inside the probed cells."""
+    cosine rerank inside the probed cells. Reads are self-healing: a
+    rebuild that crashed mid-swap is recovered here (:func:`_ivf_read_guard`)
+    rather than failing until the next rebuild."""
+    _ivf_read_guard(index_path)
     q = F.lit(query).cast("array<double>")
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
     dist = _fold_sum(F.zip_with("centroid", q, lambda c, x: (c - x) * (c - x)))
@@ -662,16 +665,21 @@ def ivf_append(
     (and ``recall_embeddings`` as the query pool), every Nth append runs
     the one-pass :func:`ivf_recall` health check and records recall@k in
     its log row — the number a pipeline alerts on to schedule a
-    quantizer rebuild. The log is one tiny row per batch; the count that
-    drives the cadence comes from the log itself, so the gate needs no
-    external state.
+    quantizer rebuild. The log is one tiny row per batch, PARTITIONED on
+    append_seq so the cadence count is a directory LISTING (no data
+    read): per-append log IO stays O(1) in data volume over the life of
+    the index instead of re-reading every prior row (which was
+    cumulative O(appends^2)). The gate still needs no external state.
 
     100 TB shape: per batch cost is O(batch x n_cells) compares and a
     write of batch size — independent of index size. Centroid drift
     under sustained appends degrades recall, not correctness (probes
     rerank exactly inside cells); the recall gate is what detects the
     sag."""
+    from pathlib import Path
+
     spark = new_vectors.sparkSession
+    _ivf_read_guard(index_path)
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
     assigned = assign_cells(new_vectors, cents)
     counts = assigned.groupBy("cell").count().collect()
@@ -679,11 +687,17 @@ def ivf_append(
     n_rows = sum(r["count"] for r in counts)
     assigned.write.mode("append").partitionBy("cell").parquet(index_path)
 
+    # cadence count from the log's partition LISTING — no data read, O(1)
+    # IO per append in data volume (the log is tiny-rows but its file
+    # count grows with stream age; re-reading it each append was
+    # cumulative O(appends^2))
     log_path = index_path.rstrip("/") + "_log"
-    try:
-        n_prior = spark.read.parquet(log_path).count()
-    except Exception:  # noqa: BLE001 — first append: no log yet
-        n_prior = 0
+    log_dir = Path(log_path)
+    n_prior = (
+        sum(1 for p in log_dir.iterdir() if p.name.startswith("append_seq="))
+        if log_dir.is_dir()
+        else 0
+    )
     recall = None
     if recall_every > 0 and recall_embeddings is not None and (n_prior + 1) % recall_every == 0:
         recall = float(
@@ -694,7 +708,7 @@ def ivf_append(
     spark.createDataFrame(
         [(n_prior + 1, int(n_rows), len(touched), recall)],
         "append_seq long, n_rows long, n_cells_touched int, recall double",
-    ).write.mode("append").parquet(log_path)
+    ).write.mode("append").partitionBy("append_seq").parquet(log_path)
     return touched
 
 
@@ -702,8 +716,11 @@ def _ivf_recover(parent) -> None:
     """Crash recovery for ivf_rebuild (compaction's contract): a leftover
     ``.<name>.rebuild-old`` whose live dir is missing means the process
     died mid-swap — restore it; any other rebuild tmp/old leftover is
-    stale and dropped. Sweeps every rebuild leftover under `parent`, so
-    sibling indexes recover each other's debris too."""
+    stale and dropped. Tmp matching is by SUBSTRING (``.rebuild-tmp``
+    appears mid-name in the tmp centroids dir
+    ``.<name>.rebuild-tmp_centroids``), so crashed rebuilds cannot leak
+    the new-centroids directory. Sweeps every rebuild leftover under
+    `parent`, so sibling indexes recover each other's debris too."""
     import shutil
 
     for p in list(parent.iterdir()):
@@ -714,8 +731,25 @@ def _ivf_recover(parent) -> None:
             if not live.exists():
                 p.rename(live)
                 continue
-        if p.name.endswith(".rebuild-old") or p.name.endswith(".rebuild-tmp"):
+        if p.name.endswith(".rebuild-old") or ".rebuild-tmp" in p.name:
             shutil.rmtree(p, ignore_errors=True)
+
+
+def _ivf_read_guard(index_path: str) -> None:
+    """Self-healing read path (the other half of ivf_rebuild's crash
+    contract): if the live index or centroids directory is MISSING but
+    rebuild debris exists next to it, a rebuild died inside the rename
+    window — run :func:`_ivf_recover` now instead of failing every
+    ivf_search/ivf_append/ivf_recall until the next rebuild happens to
+    sweep. Cost on the happy path is two existence checks; recovery
+    itself only ever renames/removes dot-prefixed rebuild leftovers."""
+    from pathlib import Path
+
+    root = Path(index_path.rstrip("/"))
+    cents = Path(index_path.rstrip("/") + "_centroids")
+    if (not root.exists() or not cents.exists()) and root.parent.exists():
+        if any(".rebuild-" in p.name for p in root.parent.iterdir()):
+            _ivf_recover(root.parent)
 
 
 def ivf_rebuild(
@@ -730,11 +764,20 @@ def ivf_rebuild(
     compaction trick), then swap by directory rename: index first, then
     centroids.
 
-    Crash contract (compaction's): each rename is atomic; dying between
-    the two dir swaps leaves a NEW index with OLD centroids — probe
-    routing degrades but results stay correct (probes rerank exactly
-    inside cells), and the next rebuild's recovery pass clears it. A
-    leftover ``.rebuild-old`` with its live dir missing is restored.
+    Crash contract (compaction's): each rename is atomic, but the swap is
+    FOUR renames, so three crash windows exist — (1) after
+    ``root.rename(old)``: the live INDEX dir is missing; (2) between the
+    index swap and ``cents.rename(old_cents)``: NEW index with OLD
+    centroids (routing degrades, results stay correct — probes rerank
+    exactly inside cells); (3) after ``cents.rename(old_cents)``: the
+    live CENTROIDS dir is missing. Windows 1 and 3 are healed by
+    restoring the ``.rebuild-old`` whose live dir is missing; recovery
+    runs both at the start of every rebuild AND lazily on the read path
+    (:func:`_ivf_read_guard` in ivf_search/ivf_append/ivf_recall), so a
+    crashed swap never strands readers until the next rebuild. Window 3's
+    restore yields OLD centroids with (possibly) a NEW index — again
+    routing-only degradation. Tmp debris (including the
+    ``.rebuild-tmp_centroids`` sibling) is dropped by substring match.
 
     Cost: one KMeans fit on a sample + one full assignment scan — the
     ivf_build price, paid at drift cadence (weeks), not per batch. The
@@ -789,6 +832,7 @@ def ivf_recall(
     sides, so each side is exactly its top-k."""
     from pyspark.sql import Window
 
+    _ivf_read_guard(index_path)
     idx = spark.read.parquet(index_path).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding"), "cell"
     )

@@ -61,10 +61,11 @@ def ivf_append_epoch(
     partitions, refresh the epoch's log row. Calling this twice with the
     same epoch (a foreachBatch replay) leaves the index byte-identical
     in content — the replay rewrites only its own partitions."""
-    from yamon_spark.operators.similarity import assign_cells, ivf_recall
+    from yamon_spark.operators.similarity import _ivf_read_guard, assign_cells, ivf_recall
 
     spark = batch.sparkSession
     root = index_path.rstrip("/")
+    _ivf_read_guard(index_path)
     cents = spark.read.parquet(root + "_centroids")
     assigned = assign_cells(batch.dropDuplicates(["vec_id"]), cents)
     counts = assigned.groupBy("cell").count().collect()
@@ -77,17 +78,25 @@ def ivf_append_epoch(
         .partitionBy("ingest_epoch", "cell")
         .parquet(index_path)
     )
+    # cadence count from the epochlog's partition LISTING — no data read
+    # (the log is epoch-partitioned, so distinct epochs ARE the directory
+    # names; the previous distinct().count() re-read every prior epoch's
+    # file on every batch: cumulative O(epochs^2) IO over a long stream).
+    # A replayed epoch's own directory is excluded so replay keeps the
+    # same n_prior it saw the first time (idempotent gate cadence).
+    from pathlib import Path
+
     log_path = root + "_epochlog"
-    try:
-        n_prior = (
-            spark.read.parquet(log_path)
-            .where(F.col("ingest_epoch") != int(epoch))
-            .select("ingest_epoch")
-            .distinct()
-            .count()
+    log_dir = Path(log_path)
+    n_prior = (
+        sum(
+            1
+            for p in log_dir.iterdir()
+            if p.name.startswith("ingest_epoch=") and p.name != f"ingest_epoch={int(epoch)}"
         )
-    except Exception:  # noqa: BLE001 — first epoch: no log yet
-        n_prior = 0
+        if log_dir.is_dir()
+        else 0
+    )
     recall = None
     if recall_every > 0 and recall_embeddings is not None and (n_prior + 1) % recall_every == 0:
         recall = float(
