@@ -43,6 +43,15 @@ def audit_plan(plan: str) -> dict:
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         # executedPlan().toString() renders codegen regions as "*(N)" prefixes
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
+        # a WindowExec with an EMPTY partition spec moves ALL rows to one
+        # partition (the "No Partition Defined" warning). In the plan
+        # string a Window line carries "], [" twice when partitioned
+        # (funcs], [partSpec], [orderSpec) and once when not.
+        "unpartitioned_windows": sum(
+            1
+            for line in plan.splitlines()
+            if "Window [" in line and line.count("], [") < 2
+        ),
     }
 
 
@@ -74,6 +83,9 @@ def main() -> None:
         ),
         "sort_merge_joins": sorted(k for k, r in rows.items() if r["sort_merge_joins"]),
         "bnl_joins": sorted(k for k, r in rows.items() if r["bnl_joins"]),
+        "unpartitioned_windows": sorted(
+            k for k, r in rows.items() if r["unpartitioned_windows"]
+        ),
     }
     out = {"sf_dir": SF, "summary": summary, "per_query": rows}
     if errors:

@@ -358,16 +358,23 @@ def test_dedup_budget_impact_policies(spark):
 
 
 def test_corpus_snapshot_diff_statuses_and_plan(spark):
-    """Handcrafted ids hit all four statuses with exact counts, and the
-    unique-key join must be a shuffle HASH join (no sort on a unique
-    key), never sort-merge."""
+    """The operator diffs two REAL (doc_id, text) snapshots (no baked-in
+    fixture): handcrafted ids hit all four statuses with exact counts,
+    and the unique-key join must be a shuffle HASH join (no sort on a
+    unique key), never sort-merge."""
     from yamon_spark.operators.dedup import corpus_snapshot_diff
 
-    # ids 0..25: 7,17 added (not in old); 3,13,23 removed (not in new);
-    # ids %13==0 present in BOTH snapshots -> changed: only 0 (13 is removed)
+    # ids 0..25: 7,17 added (only in new); 3,13,23 removed (only in old);
+    # id 0 edited in new -> changed
     rows = [(i, f"w{i} x y z") for i in range(26)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.status: r for r in corpus_snapshot_diff(docs).collect()}
+    old = spark.createDataFrame(
+        [r for r in rows if r[0] not in (7, 17)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, t + " edited" if i == 0 else t) for i, t in rows if i not in (3, 13, 23)],
+        "doc_id long, text string",
+    )
+    out = {r.status: r for r in corpus_snapshot_diff(old, new).collect()}
     assert out["added"].n_docs == 2  # 7, 17
     assert out["removed"].n_docs == 3  # 3, 13, 23
     assert out["changed"].n_docs == 1  # 0
@@ -375,7 +382,7 @@ def test_corpus_snapshot_diff_statuses_and_plan(spark):
     # token accounting: every doc is 4 tokens; changed docs carry +1 ('edited')
     assert out["unchanged"].n_tokens == out["unchanged"].n_docs * 4
     assert out["changed"].n_tokens == out["changed"].n_docs * 5
-    plan = corpus_snapshot_diff(docs)._jdf.queryExecution().executedPlan().toString()
+    plan = corpus_snapshot_diff(old, new)._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
 

@@ -54,3 +54,33 @@ def test_count_min_live_parity_restart_and_estimates(spark, tmp_path):
     assert set(est) == set(exact)
     assert all(est[w] >= exact[w] for w in exact)
     assert est["alpha"] >= 3 and est["delta"] >= 1
+
+
+def test_estimate_uses_stamped_geometry_not_caller_width(spark, tmp_path):
+    """A sketch built with non-default width=16/depth=2 answers correctly
+    with NO width argument (geometry read from the stamp); an empty
+    sketch raises instead of crashing on a None depth."""
+    import pytest
+
+    base = {"lang": "en", "source": "s", "ts": "2024-05-01T10:00:00Z"}
+    docs = [dict(base, doc_id=1, text="alpha alpha alpha beta")]
+    _land(tmp_path / "landing", "b1.jsonl", docs)
+    q = start_count_min(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "sketch"),
+        str(tmp_path / "ckpt"),
+        width=16,
+        depth=2,
+    )
+    q.awaitTermination()
+    est = {r.word: r.est_n for r in cms_estimate(spark, str(tmp_path / "sketch"), ["alpha", "beta"]).collect()}
+    assert est["alpha"] >= 3 and est["beta"] >= 1
+    # width=16 sketch has no bucket above 15
+    sk = spark.read.parquet(str(tmp_path / "sketch"))
+    assert sk.agg({"b": "max"}).first()[0] < 16
+
+    empty = str(tmp_path / "empty_sketch")
+    sk.limit(0).write.parquet(empty)
+    with pytest.raises(ValueError, match="empty count-min sketch"):
+        cms_estimate(spark, empty, ["alpha"])

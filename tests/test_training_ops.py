@@ -40,6 +40,36 @@ def test_zipf_natural_skew_is_negative(spark):
     assert row.zipf_slope < -0.5
 
 
+def test_zipf_rank_parity_and_no_unpartitioned_window(spark):
+    """The bucketed two-pass rank must reproduce the whole-vocab
+    row_number slope exactly (ties share a frequency, so the statistic is
+    tie-order invariant), including across the 64k chunk boundary — and
+    the plan must contain NO unpartitioned window (the old shape moved
+    the entire vocabulary to one partition)."""
+    import math
+
+    rows = [("x" + str(i), "s") for i in range(300)]  # 300 hapaxes
+    rows += [("big " * 9, "s")] * 3  # one type with freq 27
+    docs = _docs(spark, [(" ".join(r[0] for r in rows[:150]), "s"),
+                         (" ".join(r[0] for r in rows[150:300]), "s"),
+                         ("big " * 27, "s")])
+    got = zipf_slope(docs).collect()[0]
+    # reference slope from the definition, computed directly
+    pts = [(math.log(1), math.log(27.0))] + [
+        (math.log(r), math.log(1.0)) for r in range(2, 302)
+    ]
+    n = len(pts)
+    mx = sum(x for x, _ in pts) / n
+    my = sum(y for _, y in pts) / n
+    want = sum((x - mx) * (y - my) for x, y in pts) / sum((x - mx) ** 2 for x, _ in pts)
+    assert got.n_types == 301
+    assert abs(got.zipf_slope - want) < 1e-3
+
+    plan = zipf_slope(docs)._jdf.queryExecution().executedPlan().toString()
+    unpart = [l for l in plan.splitlines() if "Window [" in l and l.count("], [") < 2]
+    assert unpart == []
+
+
 def test_bpe_pairs_weighted_by_word_frequency(spark):
     # "ab" occurs in 'abab' (x2 per word, 3 words) and 'ab' (x1, 2 words)
     docs = _docs(spark, [("abab abab abab ab ab", "s")])

@@ -175,8 +175,13 @@ def contamination_stamp(
     shingle set — the streaming form of :func:`contamination_check`,
     where the benchmark is an external eval suite rather than a modulo
     sample of the corpus itself. Same ratio semantics: fraction of the
-    doc's distinct n-grams present anywhere in the benchmark. Docs too
-    short to shingle stamp (0.0, 0).
+    doc's distinct n-grams present anywhere in the benchmark. Shingling
+    follows the shared tail contract (:func:`~yamon_spark.operators.text.
+    shingles_col` / FIXTURES.md): a doc SHORTER than the n-gram yields
+    ONE whole-doc shingle, so every doc is scored — and a short doc
+    byte-identical to a short benchmark doc stamps contam_ratio 1.0
+    (correct: that IS verbatim leakage). No doc is ever absent from the
+    scores join; the trailing fillna is belt-and-braces only.
 
     Scale shape: the benchmark set is tiny vs the stream and BROADCASTS;
     per batch one shingle explode + map-side join + a batch-sized

@@ -103,28 +103,23 @@ def dedup_budget_impact(docs: DataFrame) -> DataFrame:
     ).orderBy("policy")
 
 
-def corpus_snapshot_diff(docs: DataFrame) -> DataFrame:
+def corpus_snapshot_diff(old_docs: DataFrame, new_docs: DataFrame) -> DataFrame:
     """Dataset-versioning diff between two corpus snapshots — the audit
     a managed training corpus runs on every release: per status (added /
-    removed / changed / unchanged), doc and token counts. The fixture
-    derives both snapshots from the one documents table (old = ids not
-    ending in 7, new = ids not ending in 3, with every 13th doc's text
-    edited in the new snapshot); the operator itself compares CONTENT,
-    not the synthetic rule — a full-outer join on doc_id with text
-    inequality deciding 'changed'.
+    removed / changed / unchanged), doc and token counts. Takes the two
+    REAL snapshots as (doc_id, text) frames and compares CONTENT: a
+    full-outer join on doc_id with text inequality deciding 'changed'.
+    (The registered query derives its synthetic old/new pair from the
+    one documents fixture in the query wrapper — pipeline_ops.py — not
+    here, so the operator diffs any two actual releases.)
 
     Scale shape: a snapshot diff is a big-big equi-join on a UNIQUE key,
     where the scalable plan is a shuffle HASH join (no sort is needed on
     a unique key — hinted explicitly so Spark does not fall back to
     sort-merge); one uniform-key shuffle, then a 4-row aggregate."""
     toks = lambda c: F.size(F.split(F.trim(c), r"\s+")).cast("bigint")  # noqa: E731
-    old = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", F.col("text").alias("old_text"))
-    new = docs.where(F.col("doc_id") % 10 != 3).select(
-        "doc_id",
-        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited")))
-        .otherwise(F.col("text"))
-        .alias("new_text"),
-    )
+    old = old_docs.select("doc_id", F.col("text").alias("old_text"))
+    new = new_docs.select("doc_id", F.col("text").alias("new_text"))
     j = old.hint("shuffle_hash").join(new.hint("shuffle_hash"), "doc_id", "full_outer")
     status = (
         F.when(F.col("old_text").isNull(), "added")

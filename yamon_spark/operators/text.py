@@ -274,21 +274,62 @@ def zipf_slope(docs: DataFrame) -> DataFrame:
     one-row health gauge for a training mix.
 
     Scale shape: one partial-agg wordcount shuffle builds the frequency
-    table (|vocab| rows, orders of magnitude smaller than the corpus);
-    the rank window and the closed-form slope aggregation run over vocab
-    rows only. No per-document state, no driver materialization."""
+    table (|vocab| rows, orders of magnitude smaller than the corpus).
+    The rank is then derived WITHOUT any global sort: ln(cnt) is constant
+    within a frequency tie group, so the OLS slope is invariant to tie
+    order and each group's ranks are just base+1..base+n, where base is
+    the cumulative size of all higher-frequency groups. The cumsum runs
+    over the frequency HISTOGRAM — |distinct cnt| rows, O(sqrt(total
+    tokens)) by the classic bound — and is itself two-level so NO
+    unpartitioned window exists anywhere in the plan: within-bucket
+    exclusive cumsum partitioned by floor(log2(cnt)) (monotone with the
+    rank order, <= 64 buckets), plus per-bucket bases from a <= 64-row
+    broadcast self-join. Rank values are regenerated in bounded 64k
+    chunks (repartitioned so the hapax group's chunks spread across
+    tasks) and folded straight into the closed-form slope aggregate — no
+    per-document state, no driver materialization, no single-partition
+    sort of the vocabulary (the old whole-vocab row_number)."""
     words = docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = freq.select(
-        F.col("cnt"),
-        F.row_number()
-        .over(Window.orderBy(F.col("cnt").desc(), F.col("w")))
-        .alias("rank"),
-    ).select(
+    hist = freq.groupBy("cnt").agg(F.count(F.lit(1)).alias("n"))
+    hist = hist.withColumn("bkt", F.floor(F.log2(F.col("cnt"))))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = hist.withColumn("in_base", F.coalesce(F.sum("n").over(w_in), F.lit(0)))
+    btot = hist.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    bkt_base = (
+        btot.alias("a")
+        .join(F.broadcast(btot.alias("b")), F.col("b.bkt") > F.col("a.bkt"), "left")
+        .groupBy(F.col("a.bkt").alias("bkt"))
+        .agg(F.coalesce(F.sum("b.bn"), F.lit(0)).alias("bkt_base"))
+    )
+    hist = hist.join(F.broadcast(bkt_base), "bkt").withColumn(
+        "base", F.col("bkt_base") + F.col("in_base")
+    )
+    chunk = 65536
+    chunks = hist.select(
+        "cnt",
+        "base",
+        "n",
+        F.explode(F.sequence(F.lit(0), ((F.col("n") - 1) / chunk).cast("long"))).alias("ci"),
+    ).repartition(F.col("cnt"), F.col("ci"))
+    ranks = chunks.select(
+        "cnt",
+        F.explode(
+            F.sequence(
+                F.col("base") + F.col("ci") * chunk + 1,
+                F.least(F.col("base") + (F.col("ci") + 1) * chunk, F.col("base") + F.col("n")),
+            )
+        ).alias("rank"),
+    )
+    xy = ranks.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("cnt").cast("double")).alias("y"),
     )
-    return ranked.agg(
+    return xy.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
         F.round(F.covar_pop("x", "y") / F.var_pop("x"), 4).alias("zipf_slope"),
     )

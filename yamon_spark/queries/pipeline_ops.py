@@ -131,9 +131,23 @@ def dedup_budget_impact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def corpus_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture lives HERE, not in the operator: the synthetic old/new pair
+    # (old = ids not ending in 7, new = ids not ending in 3, every 13th
+    # doc's text edited in the new snapshot) derives from the one
+    # documents table; the operator itself diffs any two real releases
+    from pyspark.sql import functions as F
+
     from yamon_spark.operators.dedup import corpus_snapshot_diff
 
-    return corpus_snapshot_diff(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_snapshot_diff(old, new)
 
 
 @register(

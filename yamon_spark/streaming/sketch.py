@@ -46,7 +46,13 @@ def start_count_min(
     counters = cms_counters(docs, width=width, depth=depth)
 
     def write_sketch(batch: DataFrame, epoch: int) -> None:
-        batch.write.mode("overwrite").parquet(out_path)
+        # the sketch's GEOMETRY travels with it: width/depth are stamped
+        # as columns so cms_estimate hashes with the width the sketch was
+        # BUILT with — a caller-supplied width that disagreed silently
+        # produced plausible-looking but wrong estimates
+        batch.withColumn("width", F.lit(int(width))).withColumn(
+            "depth", F.lit(int(depth))
+        ).write.mode("overwrite").parquet(out_path)
 
     return (
         counters.writeStream.outputMode("complete")
@@ -58,15 +64,39 @@ def start_count_min(
     )
 
 
-def cms_estimate(spark: SparkSession, sketch_path: str, words: list[str], width: int = 64) -> DataFrame:
+def cms_estimate(
+    spark: SparkSession, sketch_path: str, words: list[str], width: int | None = None
+) -> DataFrame:
     """Point-frequency estimates from a persisted sketch: min over the
     depth rows of each queried word's counters (est >= exact, one-sided).
     The query side is a bounded words x depth frame hash-joined against
-    the <= depth x width counter table."""
+    the <= depth x width counter table.
+
+    Geometry comes FROM THE SKETCH: width/depth are read back from the
+    stamped columns start_count_min persists (querying with a different
+    width than the sketch was built with hashes to the wrong buckets and
+    returns plausible-looking but wrong numbers — never trusted to a
+    parameter). The `width` argument remains only for legacy sketches
+    written before the stamp; an empty sketch raises rather than
+    producing a None-depth crash downstream."""
     from yamon_spark.operators.text import _cms_bucket
 
     cms = spark.read.parquet(sketch_path)
-    depth = cms.agg(F.max("i")).first()[0] + 1
+    if "width" in cms.columns and "depth" in cms.columns:
+        geo = cms.select("width", "depth").first()
+        if geo is None:
+            raise ValueError(f"empty count-min sketch at {sketch_path}")
+        width, depth = int(geo.width), int(geo.depth)
+        cms = cms.drop("width", "depth")
+    else:  # legacy un-stamped sketch: width from the caller, depth inferred
+        if width is None:
+            raise ValueError(
+                f"sketch at {sketch_path} has no width/depth stamp; pass width="
+            )
+        max_i = cms.agg(F.max("i")).first()[0]
+        if max_i is None:
+            raise ValueError(f"empty count-min sketch at {sketch_path}")
+        depth = int(max_i) + 1
     q = spark.createDataFrame([(w,) for w in words], "w string").select(
         "w",
         F.explode(
