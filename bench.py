@@ -173,6 +173,7 @@ _SHORT_WHOLE = {
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
     "multimodal_wav_roundtrip": "mm_wav",
+    "multimodal_adpcm_roundtrip": "mm_adpcm",
     "sim_near_dup_pairs": "ndp",
     "text_quality_filter": "qual",
     "ann_range_search": "annr",

@@ -587,3 +587,105 @@ def test_audio_trim_silence_and_tone(spark):
     q = out[2]
     assert q.n_active == 0 and q.trimmed_samples == 0
     assert q.first_active is None and q.last_active is None and q.active_ratio == 0.0
+
+
+def test_adpcm_codec_roundtrip_and_lattice_exactness():
+    """IMA-ADPCM vendored codec: (1) decode/encode state symmetry — a
+    signal on the decoder's reachable lattice re-encodes to the exact
+    code sequence; (2) the WAV format 0x11 container (fmt cbSize=2,
+    fact chunk, block header, low-first nibbles, pad crop) round-trips
+    bit-exactly; (3) a non-lattice signal still decodes within one step
+    of the input (lossy but bounded)."""
+    from yamon_spark.operators.multimodal import (
+        ADPCM_STEPS,
+        adpcm_decode,
+        adpcm_encode,
+        decode_adpcm_wav,
+        encode_adpcm_wav,
+    )
+
+    for did in (0, 1, 7, 499, 4999):
+        for n in (8, 9, 48):
+            p0 = (did * 29) % 2001 - 1000
+            i0 = did % 8
+            codes = [
+                ((did * 7 + k * 13) % 6) | (8 if (did + k * 5) % 2 == 1 else 0)
+                for k in range(1, n)
+            ]
+            samples = [p0] + adpcm_decode(codes, p0, i0)
+            assert adpcm_encode(samples[1:], p0, i0) == codes  # lattice exactness
+            wav = encode_adpcm_wav(samples, idx0=i0)
+            rate, back = decode_adpcm_wav(wav)
+            assert rate == 16000 and back == samples
+            assert len(wav) == 64 + n // 2  # 4:1 vs PCM16's 44 + 2n
+
+    # greedy-quantizer contract on an arbitrary (non-lattice) signal:
+    # each step moves the predictor TOWARD the sample and overshoots by
+    # at most step>>3 (the rounding term) — the codec may lag a jump it
+    # cannot reach yet (that is the lossy part), but never runs away
+    sig = [0, 500, -300, 1200, 1199, -4000, 32000, -32000, 7]
+    codes = adpcm_encode(sig[1:], sig[0], 0)
+    dec = [sig[0]] + adpcm_decode(codes, sig[0], 0)
+    idx, prev = 0, sig[0]
+    for s, d, c in zip(sig[1:], dec[1:], codes):
+        step = ADPCM_STEPS[idx]
+        resid, move = s - prev, d - prev
+        if resid >= 0:
+            assert -(step >> 3) <= move <= resid + (step >> 3), (s, d, prev, step)
+        else:
+            assert resid - (step >> 3) <= move <= (step >> 3), (s, d, prev, step)
+        prev, idx = d, max(0, min(88, idx + [-1, -1, -1, -1, 2, 4, 6, 8][c & 7]))
+
+
+def test_adpcm_wav_rejects_malformed():
+    """decode_adpcm_wav keeps the decode_jpeg error contract: malformed
+    input raises ValueError (never IndexError/struct.error)."""
+    import struct
+
+    import pytest
+
+    from yamon_spark.operators.multimodal import decode_adpcm_wav, encode_adpcm_wav
+
+    good = encode_adpcm_wav([100, 105, 95, 110], idx0=3)
+    cases = {
+        "empty": b"",
+        "not riff": b"JUNK" + good[4:],
+        "not wave": good[:8] + b"AVI " + good[12:],
+        "no chunks": good[:12],
+        "pcm tag": good[:20] + struct.pack("<H", 1) + good[22:],
+        "stereo": good[:22] + struct.pack("<H", 2) + good[24:],
+        "bad index": good.replace(struct.pack("<hBB", 100, 3, 0), struct.pack("<hBB", 100, 99, 0)),
+        "truncated block": good[:-len(good) + 60] if len(good) > 60 else good[:57],
+    }
+    for label, bad in cases.items():
+        with pytest.raises(ValueError):
+            decode_adpcm_wav(bad)
+        assert label  # keep the label used
+
+
+def test_adpcm_roundtrip_operator(spark):
+    """Operator end-to-end on a small frame: schema, per-doc exact stats
+    vs an independent Python replay, and the 4:1 size story."""
+    from yamon_spark.operators.multimodal import (
+        adpcm_decode,
+        adpcm_roundtrip,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, 40 + 7 * i) for i in range(6)], "doc_id long, n_chars long"
+    )
+    out = {r.doc_id: r for r in adpcm_roundtrip(docs).collect()}
+    assert set(out) == set(range(6))
+    for did in range(6):
+        n = (40 + 7 * did) % 41 + 8
+        p0 = (did * 29) % 2001 - 1000
+        codes = [
+            ((did * 7 + k * 13) % 6) | (8 if (did + k * 5) % 2 == 1 else 0)
+            for k in range(1, n)
+        ]
+        samples = [p0] + adpcm_decode(codes, p0, did % 8)
+        r = out[did]
+        assert r.n_samples == n
+        assert r.sample_sum == sum(samples)
+        assert r.code_sum == sum(codes)
+        assert r.n_bytes == 64 + n // 2

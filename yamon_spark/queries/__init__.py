@@ -96,27 +96,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r4-vintage (oldest — front of the verified segment)
-    "corpus_shuffle": 4, "dedup_substring": 4, "hybrid_rank_rrf": 4,
-    "q30_topk_per_group": 4, "q31_counter_delta": 4, "q32_moving_avg": 4,
-    "q33_running_sum": 4, "q34_counter_rate": 4, "q60_tumbling_window": 4,
-    "q61_sliding_window": 4, "q62_session_window": 4,
-    "q63_watermark_late_drop": 4, "q64_stateful_dedup": 4,
-    "q69_time_range_window": 4, "q70_scalar_pandas_udf": 4,
-    "q71_grouped_map_zscore": 4, "q81_asof_tolerance": 4, "q82_deadman": 4,
-    "q83_event_transitions": 4, "sim_ivf_recall": 4,
-    "sim_ivf_recall_batch": 4, "sim_knn_join": 4,
-    "sim_truncation_recall": 4, "text_bm25": 4, "text_pmi": 4,
-    "text_unigram_logprob": 4,
-    # r5-vintage
+    # r5-vintage (oldest — front of the verified segment)
     "bpe_merge_step": 5, "bpe_pair_counts": 5, "chunk_dup_groups": 5,
     "dedup_containment": 5, "dedup_funnel": 5, "dedup_semantic": 5,
     "dsir_weights": 5, "embed_label_metrics": 5, "hard_negative_mining": 5,
-    "lang_id_confusion": 5, "mix_budget_plan": 5,
-    "multimodal_avi_roundtrip": 5, "multimodal_bmp_roundtrip": 5,
-    "multimodal_wav_roundtrip": 5, "q20_hash_agg": 5, "q21_distinct_agg": 5,
-    "q22_approx_distinct": 5, "q23_grouping_sets": 5, "q27_pivot": 5,
-    "q28_percentiles": 5, "q29_heavy_hitters": 5, "q35_gap_fill": 5,
+    "lang_id_confusion": 5, "mix_budget_plan": 5, "q20_hash_agg": 5,
+    "q21_distinct_agg": 5, "q22_approx_distinct": 5, "q23_grouping_sets": 5,
     "q36_dist_windows": 5, "q37_histogram": 5, "q45_scalar_subquery": 5,
     "q46_in_subquery": 5, "q84_mad_outliers": 5,
     "q85_histogram_quantile": 5, "q86_seasonal_baseline": 5,
@@ -125,9 +110,8 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "sim_hamming_recall": 5, "sim_hamming_topk": 5, "sim_ivfpq_recall": 5,
     "sim_ivfpq_topk": 5, "sim_mmr_topk": 5, "sim_pq_recall": 5,
     "sim_sq8_recall": 5, "sim_sq8_topk": 5, "sq8_codes": 5,
-    "text_chunk_windows": 5, "text_entropy": 5,
-    "text_perplexity_buckets": 5, "text_search": 5, "text_zipf_slope": 5,
-    "vocab_growth": 5,
+    "text_chunk_windows": 5, "text_perplexity_buckets": 5, "text_search": 5,
+    "text_zipf_slope": 5, "vocab_growth": 5,
     # r6-vintage
     "bpe_apply": 6, "dedup_canonical": 6, "dedup_incremental": 6,
     "dedup_minhash_err": 6, "dedup_simhash_pairs": 6, "domain_mix": 6,
@@ -147,7 +131,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q79_fuzzy_match": 6, "sample_weighted": 6, "source_divergence": 6,
     "source_overlap": 6, "text_bigrams": 6, "text_ngram_novelty": 6,
     "text_tfidf_pairs": 6, "train_test_split": 6,
-    # r7-vintage (freshest — back of the queue)
+    # r7-vintage
     "ann_range_search": 7, "contamination_ngram": 7, "corpus_profile": 7,
     "dedup_clusters": 7, "dedup_exact": 7, "dedup_jaccard": 7,
     "dedup_minhash_lsh": 7, "dedup_simhash": 7, "dedup_simhash64": 7,
@@ -167,6 +151,28 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_pii_scrub": 7, "text_quality_filter": 7, "text_repetition": 7,
     "text_stats": 7, "text_token_count": 7, "text_winnow": 7,
     "vocab_coverage": 7,
+    # r8-vintage (freshest — back of the queue)
+    "contamination_semantic": 8, "corpus_shuffle": 8,
+    "corpus_snapshot_diff": 8, "dedup_budget_impact": 8,
+    "dedup_substring": 8, "embed_outlier_score": 8,
+    "embedding_assign_delta": 8, "hybrid_rank_rrf": 8,
+    "multimodal_audio_trim": 8, "multimodal_avi_roundtrip": 8,
+    "multimodal_bmp_roundtrip": 8, "multimodal_mjpeg_roundtrip": 8,
+    "multimodal_wav_roundtrip": 8, "q27_pivot": 8, "q28_percentiles": 8,
+    "q29_heavy_hitters": 8, "q30_topk_per_group": 8, "q31_counter_delta": 8,
+    "q32_moving_avg": 8, "q33_running_sum": 8, "q34_counter_rate": 8,
+    "q35_gap_fill": 8, "q60_tumbling_window": 8, "q61_sliding_window": 8,
+    "q62_session_window": 8, "q63_watermark_late_drop": 8,
+    "q64_stateful_dedup": 8, "q69_time_range_window": 8,
+    "q70_scalar_pandas_udf": 8, "q71_grouped_map_zscore": 8,
+    "q81_asof_tolerance": 8, "q82_deadman": 8, "q83_event_transitions": 8,
+    "quality_head_calibration": 8, "quality_head_ece": 8,
+    "quality_head_model": 8, "quality_threshold_sweep": 8,
+    "sample_eval_slice": 8, "sim_ivf_recall": 8, "sim_ivf_recall_batch": 8,
+    "sim_knn_join": 8, "sim_truncation_recall": 8, "sketch_count_min": 8,
+    "text_bigram_logprob": 8, "text_bm25": 8, "text_entropy": 8,
+    "text_mattr": 8, "text_pmi": 8, "text_unigram_logprob": 8,
+    "tokenizer_fertility": 8,
 }
 
 

@@ -833,6 +833,77 @@ def multimodal_avi_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return avi_roundtrip(table(spark, sf_dir, "documents"))
 
 
+def _adpcm_oracle_sql() -> str:
+    # The oracle replays the IMA decode recursion as a RECURSIVE CTE (one
+    # row per (doc, sample); standard row semantics — DuckDB 1.0's lambda
+    # struct-folds evaluate cross-field reads inconsistently and cannot
+    # host the state machine). The predictor clamp is omitted on purpose:
+    # the lattice construction bounds |pred| <= 1271 over the full
+    # (doc_id, n_chars) space (exhaustively swept), so it can never fire;
+    # the index clamp DOES fire (adj -1 at idx 0) and is kept.
+    from yamon_spark.operators.multimodal import ADPCM_STEPS
+
+    steps = "[" + ", ".join(map(str, ADPCM_STEPS)) + "]"
+    return f"""
+    WITH RECURSIVE
+    tbl AS (SELECT {steps} AS st, [-1,-1,-1,-1,2,4,6,8] AS adj),
+    d AS (
+      SELECT doc_id, n_chars % 41 + 8 AS n,
+             (doc_id * 29) % 2001 - 1000 AS p0,
+             doc_id % 8 AS i0
+      FROM documents
+    ),
+    walk AS (
+      SELECT doc_id, n, 1 AS k, p0 AS pred, i0 AS idx,
+             CAST(p0 AS BIGINT) AS ssum, CAST(0 AS BIGINT) AS csum
+      FROM d
+      UNION ALL
+      SELECT doc_id, n, k + 1,
+        pred + (CASE WHEN (doc_id + k * 5) % 2 = 1 THEN -1 ELSE 1 END) *
+          (st[idx + 1] // 8
+           + (((doc_id * 7 + k * 13) % 6) % 2) * (st[idx + 1] // 4)
+           + ((((doc_id * 7 + k * 13) % 6) // 2) % 2) * (st[idx + 1] // 2)
+           + (((doc_id * 7 + k * 13) % 6) // 4) * st[idx + 1]),
+        greatest(0, least(88, idx + adj[((doc_id * 7 + k * 13) % 6) + 1])),
+        ssum + pred + (CASE WHEN (doc_id + k * 5) % 2 = 1 THEN -1 ELSE 1 END) *
+          (st[idx + 1] // 8
+           + (((doc_id * 7 + k * 13) % 6) % 2) * (st[idx + 1] // 4)
+           + ((((doc_id * 7 + k * 13) % 6) // 2) % 2) * (st[idx + 1] // 2)
+           + (((doc_id * 7 + k * 13) % 6) // 4) * st[idx + 1]),
+        csum + ((doc_id * 7 + k * 13) % 6)
+             + CASE WHEN (doc_id + k * 5) % 2 = 1 THEN 8 ELSE 0 END
+      FROM walk, tbl WHERE k < n
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_samples, ssum AS sample_sum,
+           csum AS code_sum, CAST(64 + n // 2 AS BIGINT) AS n_bytes
+    FROM walk WHERE k = n ORDER BY doc_id
+    """
+
+
+@register(
+    "multimodal_adpcm_roundtrip",
+    _adpcm_oracle_sql(),
+    doc=(
+        "COMPRESSED-audio round-trip — the last modality without a real "
+        "compressed bitstream: synthesize a signal on the IMA-ADPCM "
+        "decoder's reachable lattice, 4-bit ADPCM-encode it for real, "
+        "container it as an actual WAV format 0x11 file (fmt cbSize=2 + "
+        "fact + block header), fully parse and decode that bitstream "
+        "back, and emit exact integer stats. code_sum pins the ENCODER's "
+        "emitted codes against the oracle's formula-derived sequence; "
+        "sample_sum pins the container parse + decode recursion (header "
+        "state, low-first nibble order, step/index tables, fact-count "
+        "pad crop); n_bytes pins the RIFF layout (64-byte fixed overhead "
+        "+ one nibble byte per two samples — the 4:1 compression). The "
+        "oracle replays the stateful decode as a recursive CTE."
+    ),
+)
+def multimodal_adpcm_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.multimodal import adpcm_roundtrip
+
+    return adpcm_roundtrip(table(spark, sf_dir, "documents"))
+
+
 @register(
     "multimodal_mjpeg_roundtrip",
     """
