@@ -43,16 +43,25 @@ def audit_plan(plan: str) -> dict:
         "pushed_filters": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         # executedPlan().toString() renders codegen regions as "*(N)" prefixes
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
-        # a WindowExec with an EMPTY partition spec moves ALL rows to one
-        # partition (the "No Partition Defined" warning). In the plan
-        # string a Window line carries "], [" twice when partitioned
-        # (funcs], [partSpec], [orderSpec) and once when not.
         "unpartitioned_windows": sum(
-            1
-            for line in plan.splitlines()
-            if "Window [" in line and line.count("], [") < 2
+            1 for line in plan.splitlines() if _is_unpartitioned_window(line)
         ),
     }
+
+
+def _is_unpartitioned_window(line: str) -> bool:
+    """True when a physical-plan Window line has an EMPTY partition spec
+    (WindowExec's "No Partition Defined" warning: ALL rows move to one
+    partition). Renderings:
+      unpartitioned + ordered:  Window [funcs], [ord ASC/DESC ...]
+      partitioned + ordered:    Window [funcs], [part], [ord ...]
+      partitioned, no order:    Window [funcs], [part]      (NO warning)
+    so unpartitioned = exactly one "], [" separator whose trailing group
+    is an ORDER spec (contains ASC/DESC), or an empty trailing spec."""
+    if "Window [" not in line or line.count("], [") != 1:
+        return False
+    trailing = line.rsplit("], [", 1)[1]
+    return bool(re.search(r"\b(ASC|DESC)\b", trailing)) or trailing.strip() == "]"
 
 
 def main() -> None:

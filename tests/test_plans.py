@@ -73,6 +73,7 @@ BNLJ_OK = {
     "quality_head_model",  # the 1-row stats x 1-row weights artifact join
     "quality_head_ece",  # the calibration chain's 1-row broadcasts + bin agg
     "text_bigram_logprob",  # broadcast of the ONE corpus-total row
+    "text_zipf_slope",  # <=64-row log2-bucket-total self-join (rank bases)
 }
 
 
@@ -80,6 +81,24 @@ BNLJ_OK = {
 # in the registry is either dimension-broadcast or a bounded ranked-list
 # join (verified empty by scripts/plan_audit.py; empty set = the invariant)
 SMJ_OK: set[str] = set()
+
+
+# windows with an EMPTY partition spec move ALL rows to one partition —
+# acceptable ONLY over inputs bounded by construction (never data-sized):
+UPW_OK = {
+    "embed_kmeans",  # init rank over the k(=8)-row TakeOrdered centroid seed
+    "hybrid_rank_rrf",  # fused rank over the two bounded top-100 lists
+    "q63_watermark_late_drop",  # declared batch EMULATION of arrival order
+}
+
+
+def _is_unpartitioned_window(line: str) -> bool:
+    # plan_audit._is_unpartitioned_window's rule: one "], [" separator
+    # whose trailing group is an ORDER spec (or empty)
+    if "Window [" not in line or line.count("], [") != 1:
+        return False
+    trailing = line.rsplit("], [", 1)[1]
+    return bool(re.search(r"\b(ASC|DESC)\b", trailing)) or trailing.strip() == "]"
 
 
 def _plan(spark, sf_dir, name):
@@ -99,6 +118,10 @@ def test_no_row_python_no_cartesian(spark, sf_dir):
             flags.append("unexpected nested-loop join")
         if "SortMergeJoin" in plan and name not in SMJ_OK:
             flags.append("sort-merge join fallback")
+        if name not in UPW_OK and any(
+            _is_unpartitioned_window(line) for line in plan.splitlines()
+        ):
+            flags.append("unpartitioned window (all rows to one partition)")
         if flags:
             bad[name] = flags
     assert not bad, f"plan red flags: {bad}"

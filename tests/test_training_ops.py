@@ -66,7 +66,15 @@ def test_zipf_rank_parity_and_no_unpartitioned_window(spark):
     assert abs(got.zipf_slope - want) < 1e-3
 
     plan = zipf_slope(docs)._jdf.queryExecution().executedPlan().toString()
-    unpart = [l for l in plan.splitlines() if "Window [" in l and l.count("], [") < 2]
+    # unpartitioned window = one "], [" separator with an ORDER trailing
+    # group (plan_audit._is_unpartitioned_window's rule)
+    unpart = [
+        l
+        for l in plan.splitlines()
+        if "Window [" in l
+        and l.count("], [") == 1
+        and ("ASC" in l.rsplit("], [", 1)[1] or "DESC" in l.rsplit("], [", 1)[1])
+    ]
     assert unpart == []
 
 
