@@ -169,6 +169,7 @@ _SHORT_WHOLE = {
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmixt",
     "sim_ivf_recall": "ivfr",
+    "sim_ivf_pareto": "ivfp",
     "sim_pq_recall": "pqr",
     "multimodal_bmp_roundtrip": "mm_bmp",
     "multimodal_avi_roundtrip": "mm_avi",
@@ -182,6 +183,7 @@ _SHORT_WHOLE = {
     "text_zipf_slope": "zipf",
     "bpe_pair_counts": "bpe",
     "quality_logit": "qlogit",
+    "quality_score_psi": "psi",
     "text_perplexity_buckets": "ppl",
     "dsir_weights": "dsir",
     # r5 tightening so ALL entries fit the stdout cap (1950, under the

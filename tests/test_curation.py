@@ -432,3 +432,32 @@ def test_sample_eval_slice_exact_size_and_content_keyed(spark):
     texts_a = sorted(id_to_text[r.doc_id] for r in out)
     texts_b = sorted(id_to_text[r.doc_id - 1000] for r in sample_eval_slice(shuffled, per_group=5).collect())
     assert texts_a == texts_b
+
+
+def test_quality_score_psi_detects_planted_drift(spark):
+    """Identical slices score psi ~0; a new slice whose docs shift the
+    head's score distribution (short/word-soup docs the rule gate
+    rejects) raises psi well past the 0.25 retrain alarm."""
+    from yamon_spark.operators.curation import quality_head_fit, quality_score_psi
+
+    rows = []
+    for i in range(60):
+        # varied GOOD docs (pass the rule gate) + a rejected minority so
+        # the head learns real feature weights, not just an intercept
+        rows.append(
+            (i, "the quick brown fox jumps over a lazy dog in the field " * (2 + i % 4))
+        )
+    for i in range(20):
+        rows.append((100 + i, "zzz xq qqq"))  # short, no stopwords -> reject
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = quality_head_fit(docs, iters=12, lr=4.0)
+
+    same = quality_score_psi(docs, docs, model).first()
+    assert same.n_ref == same.n_new == 80
+    assert abs(same.psi) < 1e-9  # identical distributions
+
+    drifted = spark.createDataFrame(
+        [(1000 + i, "zzz xq qqq") for i in range(80)], "doc_id long, text string"
+    )
+    moved = quality_score_psi(docs, drifted, model).first()
+    assert moved.psi > 0.25  # all mass moved to the reject band: retrain alarm

@@ -844,3 +844,28 @@ def test_embed_outlier_score_flags_planted_mislabel(spark):
     # label A's honest members are all non-outliers too (the planted
     # vector absorbs the tail)
     assert sum(r.is_outlier for r in clean if r.label == 0) == 0
+
+
+def test_ivf_pareto_monotone_and_exhaustive(spark):
+    """The tuning report's invariants: recall and scan_frac are
+    non-decreasing in the probe budget, probing EVERY cell is
+    exhaustive (recall 1.0, scan_frac 1.0), and the report has exactly
+    one row per budget."""
+    from yamon_spark.operators.similarity import ivf_pareto
+
+    d = 8
+    rows = []
+    for i in range(120):
+        base = [0.0] * d
+        base[i % 4] = 1.0
+        base[(i // 4) % d] += 0.05 * (i % 7)
+        rows.append((i, base, i % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = ivf_pareto(emb, query_mod=30, k=5, probes=(1, 2, 4), max_queries=4).collect()
+    assert [r.n_probe for r in out] == [1, 2, 4]
+    recs = [r.recall for r in out]
+    sfs = [r.scan_frac for r in out]
+    assert recs == sorted(recs) and sfs == sorted(sfs)
+    assert recs[-1] == 1.0  # 4 probes over 4 cells = exhaustive
+    assert abs(sfs[-1] - 1.0) < 1e-9
+    assert sfs[0] > 0.0

@@ -791,6 +791,18 @@ def _logit_sigmoid():
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit_z()))
 
 
+# Session-scoped GD memo: five declared queries (train / calibration /
+# ece / sweep / model) share the exact same 12-round training; within
+# one SparkSession the trained frames are reused instead of re-run.
+# Key = (session id, CANONICALIZED analyzed plan of the input docs —
+# exact, no hash collisions; same plan => same data within a session,
+# iters, lr). Results are bit-identical warm or cold (the training is
+# deterministic); the memo holds the localCheckpointed feature frame
+# alive, which is precisely the production shape: train once, serve
+# the artifact. Bounded: a handful of corpora per session.
+_GD_MEMO: dict[tuple, tuple] = {}
+
+
 def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
     """(standardized feature frame, trained 1-row weight frame) — the
     shared GD core of quality_logit_train and quality_head_calibration.
@@ -824,6 +836,17 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
     the single-row agg); `iters` bounds plan depth. Docs with zero
     words carry no gradient signal (ln(0) poisons the batch) and are
     excluded up front."""
+    try:
+        key = (
+            id(docs.sparkSession),
+            docs._jdf.queryExecution().analyzed().canonicalized().toString(),
+            int(iters),
+            float(lr),
+        )
+    except Exception:  # noqa: BLE001 — memo is an optimization, never a dependency
+        key = None
+    if key is not None and key in _GD_MEMO:
+        return _GD_MEMO[key]
     base = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 1)
     wcol = F.col("w")
     n_words = F.size(wcol).cast("double")
@@ -888,6 +911,8 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
                 for i in range(4)
             ]
         )
+    if key is not None:
+        _GD_MEMO[key] = (feats, w)
     return feats, w
 
 
@@ -1273,4 +1298,54 @@ def sample_weighted(docs: DataFrame, n: int = 50, salt: str = "aes") -> DataFram
         .limit(n)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    )
+
+
+def quality_score_psi(
+    ref_docs: DataFrame, new_docs: DataFrame, model: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index of the trained head's score
+    distribution between a REFERENCE corpus slice and a NEW slice — the
+    standard production monitor for "has my input drifted since
+    training" (rule of thumb: psi < 0.1 stable, 0.1–0.25 drifting,
+    > 0.25 retrain). Both slices are scored by the SAME deployable
+    model artifact (:func:`quality_head_fit`'s 1-row frame, broadcast —
+    the serving path, so the monitor measures data drift, never model
+    drift); scores bin into fixed 4dp-exact deciles (the calibration
+    binning), and psi = Σ (q_i − r_i)·ln(q_i / r_i) over
+    Laplace-smoothed bin fractions ((n_i + 0.5)/(N + 0.5·n_bins) — no
+    empty-bin infinities, deterministic cross-engine). Per-bin terms
+    round 6dp before the sum and the sum rounds 4dp (the GD chain's
+    order-independence convention). Unscorable docs (no words) are
+    excluded from both sides, as in training.
+
+    Plan shape: two shuffle-free map-side scoring scans (one per
+    slice) into ≤ n_bins-cell partial aggregates, a bins-universe
+    broadcast join, and a 1-row answer. Linear, two scans, no
+    data-sized shuffle — runs at ingest cadence."""
+    spark = ref_docs.sparkSession
+
+    def binned(docs: DataFrame, name: str) -> DataFrame:
+        scored = quality_head_score(docs, model).where(F.col("quality_score").isNotNull())
+        b = F.least(F.floor(F.col("quality_score") * n_bins), F.lit(n_bins - 1)).cast("int")
+        return scored.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(name)
+        )
+
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    j = (
+        bins.join(F.broadcast(binned(ref_docs, "n_ref")), "bin", "left")
+        .join(F.broadcast(binned(new_docs, "n_new")), "bin", "left")
+        .fillna({"n_ref": 0, "n_new": 0})
+    )
+    tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
+    r = (F.col("n_ref") + 0.5) / (F.col("tr") + 0.5 * n_bins)
+    q = (F.col("n_new") + 0.5) / (F.col("tn") + 0.5 * n_bins)
+    terms = j.crossJoin(F.broadcast(tot)).select(
+        "n_ref", "n_new", F.round((q - r) * F.log(q / r), 6).alias("term")
+    )
+    return terms.agg(
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_new").cast("bigint").alias("n_new"),
+        F.round(F.sum("term"), 4).alias("psi"),
     )

@@ -1521,3 +1521,117 @@ def label_separation(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def ivf_pareto(
+    embeddings: DataFrame,
+    query_mod: int = 97,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 2, 4),
+    max_queries: int = 16,
+) -> DataFrame:
+    """IVF tuning report — the recall-vs-cost PARETO CURVE that closes
+    the index lifecycle (build → append → recall gate → rebuild →
+    TUNE): for each probe budget, mean recall@k against brute-force
+    truth AND the mean fraction of the corpus a probe at that budget
+    scans. The two numbers an operator trades off when picking n_probe;
+    one report row per budget.
+
+    Cells are the label coarse quantizer (the sim_ivf_topk scheme);
+    routing ranks labels by squared L2 to the 4dp per-dim label centroid
+    (assign_cells' metric over embed_centroids' recipe — 4dp makes the
+    float ranking oracle-exact). The whole report is ONE Spark job: the
+    hard-capped query batch broadcasts; the exact ground truth and the
+    candidate scoring share one corpus-side scored scan; probe budgets
+    explode over the candidate frame (bounded: |queries| x cell
+    fraction x |probes|); all windows key on (q_id[, probe]) — at most
+    max_queries x |probes| groups. Queries x probes with an empty
+    candidate cell (the query alone in its cell) report recall 0 and
+    scan_frac 0 via the universe left-join, identically on both engines.
+
+    100 TB shape: same cost family as ivf_recall/knn_join — O(queries x
+    corpus) with the query side O(1) by construction. The report is an
+    EVAL op (it scans the full corpus to know the truth); production
+    probing itself reads only the chosen cells."""
+    from pyspark.sql import Window
+
+    emb = embeddings.select(
+        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cents = (
+        emb.select("label", F.posexplode("e").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("carr")
+        )
+    )
+    queries = (
+        emb.where(F.col("vec_id") % query_mod == 0)
+        .orderBy("vec_id")
+        .limit(max_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("q_emb"))
+    )
+    w_route = Window.partitionBy("q_id").orderBy("d", "label")
+    lrank = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "label", F.round(_sq_dist(F.col("q_emb"), F.col("carr")), 4).alias("d")
+        )
+        .withColumn("lrank", F.row_number().over(w_route))
+        .where(F.col("lrank") <= max(probes))
+        .select("q_id", "label", "lrank")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("e"), F.col("q_emb")), 4).alias("cs"),
+        )
+    )
+    w_truth = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "vec_id")
+    truth = (
+        scored.withColumn("rk", F.row_number().over(w_truth))
+        .where(F.col("rk") <= k)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    probes_df = queries.sparkSession.createDataFrame(
+        [(int(p),) for p in sorted(probes)], "n_probe int"
+    )
+    cand = (
+        scored.join(F.broadcast(lrank), ["q_id", "label"])
+        .crossJoin(F.broadcast(probes_df))
+        .where(F.col("lrank") <= F.col("n_probe"))
+    )
+    w_probe = Window.partitionBy("q_id", "n_probe").orderBy(F.col("cs").desc(), "vec_id")
+    topk = (
+        cand.withColumn("rk", F.row_number().over(w_probe))
+        .where(F.col("rk") <= k)
+        .join(truth, ["q_id", "vec_id"], "left")
+        .groupBy("q_id", "n_probe")
+        .agg((F.sum(F.coalesce("hit", F.lit(0))) / float(k)).alias("r"))
+    )
+    scanned = cand.groupBy("q_id", "n_probe").agg(F.count(F.lit(1)).alias("n_sc"))
+    tot = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    universe = queries.select("q_id").crossJoin(F.broadcast(probes_df))
+    per_q = (
+        universe.join(topk, ["q_id", "n_probe"], "left")
+        .join(scanned, ["q_id", "n_probe"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_probe",
+            F.coalesce("r", F.lit(0.0)).alias("r"),
+            (F.coalesce("n_sc", F.lit(0)).cast("double") / (F.col("n") - 1.0)).alias("sf"),
+        )
+    )
+    return (
+        per_q.groupBy("n_probe")
+        .agg(F.round(F.avg("sf"), 4).alias("scan_frac"), F.round(F.avg("r"), 4).alias("recall"))
+        .orderBy("n_probe")
+    )

@@ -488,3 +488,95 @@ def ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import ivfpq_recall
 
     return ivfpq_recall(table(spark, sf_dir, "embeddings"), query_vec_id=0, k_at=10, m=_M, k=_K, sub_dim=_SUB)
+
+
+@register(
+    "sim_ivf_pareto",
+    """
+    WITH e AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY dim) AS carr FROM (
+        SELECT label, d AS dim, round(avg(e[d]), 4) AS c
+        FROM e, range(1, 65) t(d) GROUP BY label, d
+      ) GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS q_id, e AS q_emb FROM e
+      WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 16
+    ),
+    lr AS (
+      SELECT q_id, label,
+             row_number() OVER (PARTITION BY q_id ORDER BY d, label) AS lrank
+      FROM (
+        SELECT q.q_id, c.label,
+          round(list_reduce(list_transform(range(1, 65),
+            i -> (q.q_emb[i] - c.carr[i]) * (q.q_emb[i] - c.carr[i])),
+            (a, b) -> a + b), 4) AS d
+        FROM q, cent c
+      )
+    ),
+    s AS (
+      SELECT q.q_id, x.vec_id, x.label,
+        round(
+          list_reduce(list_transform(range(1, 65), i -> x.e[i] * q.q_emb[i]), (a, b) -> a + b)
+          / (sqrt(list_reduce(list_transform(x.e, v -> v * v), (a, b) -> a + b))
+             * sqrt(list_reduce(list_transform(q.q_emb, v -> v * v), (a, b) -> a + b))),
+          4) AS cs
+      FROM e x CROSS JOIN q WHERE x.vec_id <> q.q_id
+    ),
+    truth AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+        FROM s
+      ) WHERE rk <= 10
+    ),
+    p(n_probe) AS (VALUES (1), (2), (4)),
+    cand AS (
+      SELECT s.q_id, s.vec_id, s.cs, p.n_probe
+      FROM s JOIN lr ON s.q_id = lr.q_id AND s.label = lr.label
+             JOIN p ON lr.lrank <= p.n_probe
+    ),
+    topk AS (
+      SELECT q_id, n_probe, vec_id FROM (
+        SELECT q_id, n_probe, vec_id,
+               row_number() OVER (PARTITION BY q_id, n_probe ORDER BY cs DESC, vec_id) AS rk
+        FROM cand
+      ) WHERE rk <= 10
+    ),
+    rec AS (
+      SELECT t.q_id, t.n_probe,
+             CAST(count(tr.vec_id) AS DOUBLE) / 10.0 AS r
+      FROM topk t LEFT JOIN truth tr ON t.q_id = tr.q_id AND t.vec_id = tr.vec_id
+      GROUP BY t.q_id, t.n_probe
+    ),
+    sc AS (SELECT q_id, n_probe, count(*) AS n_sc FROM cand GROUP BY q_id, n_probe),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    uni AS (SELECT q.q_id, p.n_probe FROM q, p)
+    SELECT CAST(u.n_probe AS INT) AS n_probe,
+           round(avg(coalesce(sc.n_sc, 0) / (tot.n - 1.0)), 4) AS scan_frac,
+           round(avg(coalesce(rec.r, 0.0)), 4) AS recall
+    FROM uni u
+    LEFT JOIN rec ON u.q_id = rec.q_id AND u.n_probe = rec.n_probe
+    LEFT JOIN sc ON u.q_id = sc.q_id AND u.n_probe = sc.n_probe
+    CROSS JOIN tot
+    GROUP BY u.n_probe ORDER BY n_probe
+    """,
+    doc=(
+        "IVF tuning report — the recall-vs-cost pareto curve that "
+        "completes the index lifecycle (build -> append -> recall gate "
+        "-> rebuild -> TUNE): per probe budget (1/2/4 cells), mean "
+        "recall@10 against brute-force truth AND the mean corpus "
+        "fraction scanned. Hard-capped query batch broadcasts once; "
+        "truth and candidates share ONE scored scan; budgets explode "
+        "over the bounded candidate frame; empty probe cells report 0 "
+        "via the (query x budget) universe."
+    ),
+)
+def ivf_pareto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.similarity import ivf_pareto
+
+    return ivf_pareto(table(spark, sf_dir, "embeddings"), query_mod=97, k=10, probes=(1, 2, 4), max_queries=16)

@@ -741,3 +741,93 @@ def dedup_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import dedup_funnel
 
     return dedup_funnel(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
+
+
+def _logit_psi_oracle(iters: int = 12, lr: float = 4.0, n_bins: int = 10) -> str:
+    """PSI oracle over the SAME unrolled training chain: score the
+    reference and new snapshot slices with the trained stats+weights
+    (the serving expression), fixed-decile bins on the 4dp score,
+    Laplace-smoothed fractions, per-bin terms rounded 6dp, sum 4dp."""
+    ctes, _ = _logit_train_ctes(iters, lr)
+    z = (
+        "(w0 + w1 * ((x1 - m1) / (CASE WHEN s1 = 0.0 THEN 1.0 ELSE s1 END))"
+        " + w2 * ((x2 - m2) / (CASE WHEN s2 = 0.0 THEN 1.0 ELSE s2 END))"
+        " + w3 * ((x3 - m3) / (CASE WHEN s3 = 0.0 THEN 1.0 ELSE s3 END)))"
+    )
+    p4 = f"round(1.0 / (1.0 + exp(-{z})), 4)"
+    feat = """
+      SELECT ln(CAST(len(w) AS DOUBLE)) AS x1,
+             list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)),
+               (a, b) -> a + b) / len(w) AS x2,
+             CAST(len(list_filter(w, x -> {stop})) AS DOUBLE) / len(w) AS x3
+      FROM (SELECT {words} AS w FROM {src}) WHERE len(w) >= 1
+    """
+    ref_src = "(SELECT text FROM documents WHERE doc_id % 10 <> 7)"
+    new_src = (
+        "(SELECT CASE WHEN doc_id % 13 = 0 THEN text || ' edited' ELSE text END AS text"
+        " FROM documents WHERE doc_id % 10 <> 3)"
+    )
+    mk_feat = lambda src: feat.format(stop=_STOP_SQL, words=_WORDS, src=src)  # noqa: E731
+    return f"""
+    WITH {", ".join(ctes)},
+    refb AS (
+      SELECT CAST(least(floor({p4} * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+             count(*) AS n_ref
+      FROM ({mk_feat(ref_src)}) f, stats, wt{iters} GROUP BY 1
+    ),
+    newb AS (
+      SELECT CAST(least(floor({p4} * {n_bins}), {n_bins - 1}) AS INT) AS bin,
+             count(*) AS n_new
+      FROM ({mk_feat(new_src)}) f, stats, wt{iters} GROUP BY 1
+    ),
+    u AS (
+      SELECT CAST(b.bin AS INT) AS bin,
+             coalesce(refb.n_ref, 0) AS n_ref, coalesce(newb.n_new, 0) AS n_new
+      FROM (SELECT unnest(range(0, {n_bins})) AS bin) b
+      LEFT JOIN refb ON b.bin = refb.bin LEFT JOIN newb ON b.bin = newb.bin
+    ),
+    t AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM u),
+    terms AS (
+      SELECT n_ref, n_new,
+        round(((n_new + 0.5) / (tn + 0.5 * {n_bins}) - (n_ref + 0.5) / (tr + 0.5 * {n_bins}))
+              * ln(((n_new + 0.5) / (tn + 0.5 * {n_bins}))
+                   / ((n_ref + 0.5) / (tr + 0.5 * {n_bins}))), 6) AS term
+      FROM u, t
+    )
+    SELECT CAST(sum(n_ref) AS BIGINT) AS n_ref, CAST(sum(n_new) AS BIGINT) AS n_new,
+           round(sum(term), 4) AS psi
+    FROM terms
+    """
+
+
+@register(
+    "quality_score_psi",
+    _logit_psi_oracle(12, 4.0),
+    doc=(
+        "Score-distribution drift monitor: Population Stability Index "
+        "of the trained head's keep-probability between the reference "
+        "snapshot slice and the new one (the corpus_snapshot_diff "
+        "fixture), both scored by the SAME deployable model artifact. "
+        "Fixed 4dp-exact decile bins, Laplace-smoothed fractions, "
+        "per-bin terms rounded 6dp before the 4dp sum. psi < 0.1 "
+        "stable, > 0.25 retrain — the number a corpus pipeline alarms "
+        "on between releases. Two map-side scoring scans into <= 10 "
+        "cells each; shares the session's one GD training via the "
+        "_logit_train_frames memo."
+    ),
+)
+def quality_score_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import quality_head_fit, quality_score_psi
+
+    docs = table(spark, sf_dir, "documents")
+    model = quality_head_fit(docs, iters=12, lr=4.0)
+    ref = docs.where(F.col("doc_id") % 10 != 7).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 10 != 3).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return quality_score_psi(ref, new, model)
