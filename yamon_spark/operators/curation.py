@@ -1323,19 +1323,37 @@ def quality_score_psi(
     slice) into ≤ n_bins-cell partial aggregates, a bins-universe
     broadcast join, and a 1-row answer. Linear, two scans, no
     data-sized shuffle — runs at ingest cadence."""
-    spark = ref_docs.sparkSession
+    return psi_from_histograms(
+        score_histogram(ref_docs, model, n_bins).withColumnRenamed("n", "n_ref"),
+        score_histogram(new_docs, model, n_bins).withColumnRenamed("n", "n_new"),
+        n_bins=n_bins,
+    )
 
-    def binned(docs: DataFrame, name: str) -> DataFrame:
-        scored = quality_head_score(docs, model).where(F.col("quality_score").isNotNull())
-        b = F.least(F.floor(F.col("quality_score") * n_bins), F.lit(n_bins - 1)).cast("int")
-        return scored.select(b.alias("bin")).groupBy("bin").agg(
-            F.count(F.lit(1)).alias(name)
-        )
 
+def score_histogram(docs: DataFrame, model: DataFrame, n_bins: int = 10) -> DataFrame:
+    """(bin, n) decile histogram of the trained head's 4dp keep-
+    probability over a doc frame — the persistable REFERENCE side of
+    the PSI monitor (and the per-batch side the streaming twin
+    computes). One shuffle-free scoring scan into ≤ n_bins cells;
+    unscorable docs (no words) excluded, as in training."""
+    scored = quality_head_score(docs, model).where(F.col("quality_score").isNotNull())
+    b = F.least(F.floor(F.col("quality_score") * n_bins), F.lit(n_bins - 1)).cast("int")
+    return scored.select(b.alias("bin")).groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+def psi_from_histograms(
+    ref_hist: DataFrame, new_hist: DataFrame, n_bins: int = 10
+) -> DataFrame:
+    """PSI from two (bin, n_ref)/(bin, n_new) histograms — the shared
+    kernel of the batch monitor and the streaming twin (which persists
+    the reference histogram once and folds each landed batch against
+    it). Laplace smoothing, 6dp terms, 4dp sum — see
+    :func:`quality_score_psi` for the determinism contract."""
+    spark = ref_hist.sparkSession
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     j = (
-        bins.join(F.broadcast(binned(ref_docs, "n_ref")), "bin", "left")
-        .join(F.broadcast(binned(new_docs, "n_new")), "bin", "left")
+        bins.join(F.broadcast(ref_hist), "bin", "left")
+        .join(F.broadcast(new_hist), "bin", "left")
         .fillna({"n_ref": 0, "n_new": 0})
     )
     tot = j.agg(F.sum("n_ref").alias("tr"), F.sum("n_new").alias("tn"))
