@@ -71,3 +71,38 @@ def test_bucketed_join_matches_plain(spark, warehouse_tables):
         for r in facts.join(dims, "user_id").groupBy("cohort").agg(F.sum("value").alias("sv")).collect()
     )
     assert bucketed == plain
+
+
+def test_snapshot_diff_is_shuffle_free_over_bucketed_store(spark):
+    """The registry's one big-big join (corpus_snapshot_diff's full-outer
+    unique-key join) runs with ZERO exchange on the join key when the
+    snapshot store is bucketed on doc_id — the operator is UNCHANGED
+    (its shuffle-hash hint is satisfied by the bucketed distribution
+    instead of an exchange). This is the 100 TB shape for a release
+    audit that runs on every snapshot pair: pay the bucketed write once
+    per snapshot, diff for free forever."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.dedup import corpus_snapshot_diff
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.concat(F.lit("w"), F.col("id")).alias("text")
+    )
+    old = docs.where("doc_id % 10 != 7")
+    new = docs.where("doc_id % 10 != 3")
+    try:
+        for name, df in (("b_snap_old", old), ("b_snap_new", new)):
+            df.write.bucketBy(8, "doc_id").sortBy("doc_id").mode("overwrite").saveAsTable(name)
+        out = corpus_snapshot_diff(spark.table("b_snap_old"), spark.table("b_snap_new"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan and "SortMergeJoin" not in plan
+        # the ONLY exchanges are the 4-row status aggregate + output sort;
+        # nothing repartitions on the join key
+        assert "Exchange hashpartitioning(doc_id" not in plan
+        got = {r.status: r.n_docs for r in out.collect()}
+        # parity with the unbucketed frames
+        want = {r.status: r.n_docs for r in corpus_snapshot_diff(old, new).collect()}
+        assert got == want and got["unchanged"] > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_snap_old")
+        spark.sql("DROP TABLE IF EXISTS b_snap_new")

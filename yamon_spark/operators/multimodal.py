@@ -1563,7 +1563,13 @@ def adpcm_roundtrip(docs: DataFrame) -> DataFrame:
     cycle mod 6 (index table adjustments -1/-1/-1/-1/+2/+4 average +1/3,
     bounding the index walk ~25 above its start) and signs alternate by
     a doc-keyed parity, so |pred| stays ≤ ~8k — neither clamp ever
-    fires, which the oracle fold replicates anyway. code_sum pins the
+    fires, which the oracle fold replicates anyway. One degeneracy the
+    construction also avoids (exhaustively swept over the full
+    doc_id × n_chars space: zero mismatches, |pred| ≤ 1271): a SIGNED
+    code with zero reconstructed diff (code 8 at step 7) re-encodes as
+    code 0 — same samples, different code_sum; doc_id ≡ 0 (mod 8) never
+    lands on magnitude 0 there because 8k mod 6 cycles {0,2,4}, missing
+    the required residue. code_sum pins the
     ENCODER's emitted codes against the oracle's formula-derived ones;
     sample_sum pins the full container parse + decode recursion
     (header state, nibble order, step/index tables, fact-count crop)."""

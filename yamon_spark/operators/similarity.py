@@ -1610,10 +1610,13 @@ def ivf_pareto(
         .where(F.col("lrank") <= F.col("n_probe"))
     )
     w_probe = Window.partitionBy("q_id", "n_probe").orderBy(F.col("cs").desc(), "vec_id")
+    # every join side below is bounded by construction (truth: queries x
+    # k rows; the per-(query, budget) aggregates: <= queries x |probes|
+    # rows) — broadcast explicitly so none falls back to sort-merge
     topk = (
         cand.withColumn("rk", F.row_number().over(w_probe))
         .where(F.col("rk") <= k)
-        .join(truth, ["q_id", "vec_id"], "left")
+        .join(F.broadcast(truth), ["q_id", "vec_id"], "left")
         .groupBy("q_id", "n_probe")
         .agg((F.sum(F.coalesce("hit", F.lit(0))) / float(k)).alias("r"))
     )
@@ -1621,8 +1624,8 @@ def ivf_pareto(
     tot = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
     universe = queries.select("q_id").crossJoin(F.broadcast(probes_df))
     per_q = (
-        universe.join(topk, ["q_id", "n_probe"], "left")
-        .join(scanned, ["q_id", "n_probe"], "left")
+        universe.join(F.broadcast(topk), ["q_id", "n_probe"], "left")
+        .join(F.broadcast(scanned), ["q_id", "n_probe"], "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "n_probe",
