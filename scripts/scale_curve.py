@@ -107,7 +107,52 @@ def time_op(build, spark, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
+def fit_exponents(runs: dict) -> dict:
+    """Per-op scaling exponent: OLS slope of ln(wall ratio) on
+    ln(factor) over every measured factor plus the implicit (1x, 1.0)
+    anchor. ratio (not raw wall) removes run-to-run environment drift
+    because each factor's ratio normalizes by its own same-session 1x.
+    Exponent 1.0 = linear in data; < 1 = fixed overhead still
+    amortizing; > ~1.2 would flag an emerging superlinear term."""
+    import math
+
+    pts: dict[str, list[tuple[float, float]]] = {}
+    for factor, ops in runs.items():
+        for name, rec in ops.items():
+            pts.setdefault(name, []).append((math.log(float(factor)), math.log(rec["ratio"])))
+    out = {}
+    for name, p in pts.items():
+        p = p + [(0.0, 0.0)]  # the 1x anchor
+        if len(p) < 2:
+            continue
+        mx = sum(x for x, _ in p) / len(p)
+        my = sum(y for _, y in p) / len(p)
+        vx = sum((x - mx) ** 2 for x, _ in p)
+        if vx == 0:
+            continue
+        slope = sum((x - mx) * (y - my) for x, y in p) / vx
+        out[name] = {
+            "exponent": round(slope, 3),
+            "factors": sorted(int(round(math.exp(x))) for x, _ in p if x > 0),
+        }
+    return out
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--fit":
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json"
+        )
+        with open(path) as f:
+            out = json.load(f)
+        out["exponents"] = fit_exponents(out.get("runs", {}))
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        worst = sorted(out["exponents"].items(), key=lambda kv: -kv[1]["exponent"])[:8]
+        for name, rec in worst:
+            print(f"{name:28s} exponent={rec['exponent']:5.2f} factors={rec['factors']}")
+        print(f"wrote {path}")
+        return
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     ops = sys.argv[2:] or DEFAULT_OPS
 
@@ -150,6 +195,7 @@ def main() -> None:
             elif "ops" in prev:  # migrate the old single-factor layout
                 out["runs"][str(prev.get("factor", "10"))] = prev["ops"]
         out["runs"].setdefault(str(factor), {}).update(results)
+        out["exponents"] = fit_exponents(out["runs"])
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path}")
