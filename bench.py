@@ -166,6 +166,7 @@ _SHORT_WHOLE = {
     "vocab_coverage": "vocab",
     "hybrid_rank_rrf": "rrf",
     "pack_sequences": "pack",
+    "pack_boundary_report": "packb",
     "domain_mix": "dmix",
     "domain_mix_temperature": "dmixt",
     "sim_ivf_recall": "ivfr",

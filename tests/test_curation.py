@@ -461,3 +461,18 @@ def test_quality_score_psi_detects_planted_drift(spark):
     )
     moved = quality_score_psi(docs, drifted, model).first()
     assert moved.psi > 0.25  # all mass moved to the reject band: retrain alarm
+
+
+def test_pack_boundary_report_counts_straddlers_exactly(spark):
+    """Handcrafted stream: ctx 10, doc tokens 4/4/4 -> doc 2 straddles
+    (starts at 8, ends at 11); total 12 -> 2 bins, efficiency 0.6."""
+    from yamon_spark.operators.curation import pack_boundary_report
+
+    # est_tokens = n_chars//4 + 1 -> 12 chars = 4 tokens
+    docs = spark.createDataFrame(
+        [(i, "x" * 12, "en", "s", 12) for i in range(3)], DOC_SCHEMA
+    )
+    r = pack_boundary_report(docs, ctx_len=10).first()
+    assert r.n_docs == 3 and r.n_split_docs == 1
+    assert r.split_ratio == round(1 / 3, 4)
+    assert r.n_bins == 2 and r.efficiency == 0.6

@@ -264,6 +264,58 @@ def pack_sequences(docs: DataFrame, ctx_len: int = 2048) -> DataFrame:
     )
 
 
+def pack_boundary_report(docs: DataFrame, ctx_len: int = 2048) -> DataFrame:
+    """Packing QA for :func:`pack_sequences` — the two numbers a trainer
+    checks before consuming packed windows: per language stream, how
+    many docs STRADDLE a context-window boundary (their attention span
+    gets cut: start bin != end bin under the same concat-and-chunk
+    rule), and the end-of-stream padding efficiency (concat packing
+    wastes tokens ONLY in the final partial window:
+    total / (n_bins * ctx_len)). High split_ratio says the ctx_len is
+    small relative to doc lengths; low efficiency says streams are too
+    short for the context — both are mixture-design inputs, not errors.
+
+    Same plan family as pack_sequences: one window shuffle on the
+    stratum key for the running-start cumsum, then a |langs|-row
+    aggregate."""
+    tokens = est_tokens()
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    start = F.coalesce(F.sum("tokens").over(w), F.lit(0))
+    binned = (
+        docs.select("doc_id", "lang", tokens.alias("tokens"))
+        .withColumn("start_tok", start)
+        .withColumn(
+            "split",
+            (
+                F.expr(f"start_tok DIV {ctx_len}")
+                != F.expr(f"(start_tok + tokens - 1) DIV {ctx_len}")
+            ).cast("int"),
+        )
+    )
+    n_bins = F.ceil(F.col("total_tokens").cast("double") / ctx_len).cast("bigint")
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("split").cast("bigint").alias("n_split_docs"),
+            F.sum("tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_split_docs",
+            F.round(F.col("n_split_docs").cast("double") / F.col("n_docs"), 4).alias(
+                "split_ratio"
+            ),
+            n_bins.alias("n_bins"),
+            F.round(F.col("total_tokens").cast("double") / (n_bins * ctx_len), 4).alias(
+                "efficiency"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def domain_mix(docs: DataFrame) -> DataFrame:
     """Domain-mixture rebalancing: per-source token mass, natural share,
     uniform target share, and the sampling probability that rebalances the

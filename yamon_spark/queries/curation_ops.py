@@ -307,6 +307,46 @@ def pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_boundary_report",
+    """
+    WITH t AS (SELECT doc_id, lang, n_chars // 4 + 1 AS tokens FROM documents),
+    b AS (
+      SELECT doc_id, lang, tokens,
+        coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+      FROM t
+    ),
+    g AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN start_tok // 2048 <> (start_tok + tokens - 1) // 2048
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+             CAST(sum(tokens) AS BIGINT) AS total_tokens
+      FROM b GROUP BY lang
+    )
+    SELECT lang, n_docs, n_split_docs,
+           round(CAST(n_split_docs AS DOUBLE) / n_docs, 4) AS split_ratio,
+           CAST(ceil(CAST(total_tokens AS DOUBLE) / 2048) AS BIGINT) AS n_bins,
+           round(CAST(total_tokens AS DOUBLE)
+                 / (CAST(ceil(CAST(total_tokens AS DOUBLE) / 2048) AS BIGINT) * 2048), 4)
+             AS efficiency
+    FROM g ORDER BY lang
+    """,
+    doc=(
+        "Packing QA for pack_sequences: per language stream, the docs "
+        "that STRADDLE a 2048-token window boundary (their attention "
+        "span gets cut — split_ratio is a ctx-length design input) and "
+        "the end-of-stream padding efficiency (concat packing wastes "
+        "tokens only in the final partial window). Same one-window-"
+        "shuffle plan as the packer, reduced to |langs| rows."
+    ),
+)
+def pack_boundary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import pack_boundary_report
+
+    return pack_boundary_report(table(spark, sf_dir, "documents"), ctx_len=2048)
+
+
+@register(
     "domain_mix",
     """
     WITH s AS (
