@@ -869,3 +869,46 @@ def test_ivf_pareto_monotone_and_exhaustive(spark):
     assert recs[-1] == 1.0  # 4 probes over 4 cells = exhaustive
     assert abs(sfs[-1] - 1.0) < 1e-9
     assert sfs[0] > 0.0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The OTHER half of the hot-key story (salted_join is the manual
+    fix for aggregations and joins AQE cannot rewrite): for a plain
+    shuffle join with one 90%-hot key, AQE's skew-join handling splits
+    the oversized partition at runtime — the final adaptive plan marks
+    the join (skew=true) and the hot side's shuffle read 'skewed'.
+    Thresholds are lowered so the demo triggers at test scale; on the
+    cluster the defaults (256 MB / factor 5) play the same role."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        probe = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, "host-0")
+            .otherwise(F.concat(F.lit("host-"), (F.col("id") % 7).cast("string")))
+            .alias("host"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("v"),
+        )
+        build = spark.createDataFrame(
+            [(f"host-{i}", f"dc-{i % 3}") for i in range(7)], ["host", "dc"]
+        ).repartition(4)
+        j = probe.join(build.hint("shuffle_merge"), "host")
+        assert len(j.collect()) == 200_000  # materialize: AQE finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "AQEShuffleRead coalesced and skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
