@@ -1603,3 +1603,70 @@ def adpcm_roundtrip(docs: DataFrame) -> DataFrame:
         .mapInPandas(roundtrip, ADPCM_ROUNDTRIP_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+def sniff_decode(b: bytes) -> dict:
+    """Magic-byte dispatch over every vendored codec — the decode step a
+    media INGEST pipeline runs on an opaque payload whose format is a
+    claim, not a fact: detect the container from its magic, fully decode
+    with the matching vendored decoder, return uniform metadata
+    (format/width/height/n_frames/n_samples/sample_rate, absent
+    dimensions as None). Raises ValueError for unknown magics and for
+    payloads whose container lies about its contents — the dead-letter
+    trigger (one bad payload must route to rejects, never kill the
+    batch). Formats: BMP, PNG, baseline JPEG, RIFF/WAVE (PCM16 via
+    stdlib wave, IMA-ADPCM 0x11 via the vendored decoder), RIFF/AVI
+    (raw 'vids' and MJPG — MJPG frames are fully JPEG-decoded)."""
+    import io
+    import struct
+    import wave
+
+    out = {
+        "format": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "n_samples": None,
+        "sample_rate": None,
+    }
+    if b[:2] == b"BM":
+        w, h, _ = decode_bmp(b)
+        return dict(out, format="bmp", width=w, height=h, n_frames=1)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, _ = decode_png(b)
+        return dict(out, format="png", width=w, height=h, n_frames=1)
+    if b[:2] == b"\xff\xd8":
+        w, h, _ = decode_jpeg(b)
+        return dict(out, format="jpeg", width=w, height=h, n_frames=1)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        # fmt tag decides the decoder: 0x01 PCM16 (stdlib), 0x11 IMA-ADPCM
+        off = 12
+        tag = None
+        while off + 8 <= len(b):
+            cid, clen = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
+            if cid == b"fmt " and clen >= 2:
+                tag = struct.unpack("<H", b[off + 8 : off + 10])[0]
+                break
+            off += 8 + clen + (clen & 1)
+        if tag == 0x11:
+            rate, samples = decode_adpcm_wav(b)
+            return dict(out, format="wav_adpcm", n_samples=len(samples), sample_rate=rate)
+        try:
+            with wave.open(io.BytesIO(b)) as wf:
+                return dict(
+                    out,
+                    format="wav_pcm",
+                    n_samples=wf.getnframes(),
+                    sample_rate=wf.getframerate(),
+                )
+        except wave.Error as e:
+            raise ValueError(f"malformed WAV: {e}") from e
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        try:
+            # demux_mjpeg_avi fully DECODES every frame (entropy + IDCT)
+            w, h, frames = demux_mjpeg_avi(b)
+            return dict(out, format="avi_mjpeg", width=w, height=h, n_frames=len(frames))
+        except ValueError:
+            w, h, raw = demux_avi(b)
+            return dict(out, format="avi_raw", width=w, height=h, n_frames=len(raw))
+    raise ValueError(f"unknown media magic: {b[:8]!r}")
