@@ -180,6 +180,7 @@ _SHORT_WHOLE = {
     "text_quality_filter": "qual",
     "ann_range_search": "annr",
     "dedup_minhash_lsh": "mhlsh",
+    "dedup_threshold_sweep": "dtsw",
     "text_unigram_logprob": "uni",
     "text_zipf_slope": "zipf",
     "bpe_pair_counts": "bpe",

@@ -476,3 +476,26 @@ def test_pack_boundary_report_counts_straddlers_exactly(spark):
     assert r.n_docs == 3 and r.n_split_docs == 1
     assert r.split_ratio == round(1 / 3, 4)
     assert r.n_bins == 2 and r.efficiency == 0.6
+
+
+def test_dedup_threshold_sweep_monotone_and_exact(spark):
+    """Handcrafted three-vector cell: identical pair (cos 1.0) plus a
+    near pair (~0.9962): thresholds at/below 0.9 catch both, 1.0 catches
+    only the exact pair; counts are monotone non-increasing in t and
+    n_removed counts DISTINCT higher ids."""
+    from yamon_spark.operators.dedup import dedup_threshold_sweep
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [1.0, 0.0, 0.0, 0.0], 0),  # exact dup of 0
+        (2, [1.0, 0.1, 0.0, 0.0], 0),  # near dup of both
+        (3, [0.0, 1.0, 0.0, 0.0], 1),  # other cell: no pairs
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.threshold: r for r in dedup_threshold_sweep(emb, thresholds=[0.9, 1.0]).collect()}
+    assert out[0.9].n_pairs == 3  # (0,1), (0,2), (1,2)
+    assert out[0.9].n_removed == 2  # distinct higher ids: 1, 2
+    assert out[0.9].removed_frac == 0.5
+    assert out[1.0].n_pairs == 1 and out[1.0].n_removed == 1
+    ts = sorted(out)
+    assert all(out[a].n_pairs >= out[b].n_pairs for a, b in zip(ts, ts[1:]))

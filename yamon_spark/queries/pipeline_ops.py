@@ -1324,3 +1324,48 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.dedup import dedup_incremental
 
     return dedup_incremental(table(spark, sf_dir, "documents"), batch_mod=10, batch_rem=9)
+
+
+@register(
+    "dedup_threshold_sweep",
+    """
+    WITH s AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      list_reduce(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
+      list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
+      list_reduce(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    p AS (
+      SELECT vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cs FROM s
+    ),
+    ts AS (SELECT unnest(list_transform(range(3, 10), i -> i / 10.0)) AS t),
+    c AS (
+      SELECT t,
+             count(CASE WHEN cs >= t THEN 1 END) AS n_pairs,
+             count(DISTINCT CASE WHEN cs >= t THEN vec_b END) AS n_removed
+      FROM p, ts GROUP BY t
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM embeddings)
+    SELECT t AS threshold, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_removed AS BIGINT) AS n_removed,
+           round(n_removed / tot.n_docs, 4) AS removed_frac
+    FROM c, tot ORDER BY threshold
+    """,
+    doc=(
+        "Operating-point selection for semantic dedup — the "
+        "threshold-sweep idea applied to the cosine near-dup gate: per "
+        "candidate threshold 0.3..0.9, the pairs that fire and the docs "
+        "the greedy drop-higher-id policy would remove (count + corpus "
+        "fraction). ONE blocked-matmul pair pass at the lowest "
+        "threshold feeds every row via conditional aggregates — no "
+        "per-threshold rescans; the table read before committing a "
+        "dedup threshold to a 100 TB corpus."
+    ),
+)
+def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import dedup_threshold_sweep
+
+    return dedup_threshold_sweep(table(spark, sf_dir, "embeddings"))
