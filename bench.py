@@ -197,6 +197,7 @@ _SHORT_WHOLE = {
     "multimodal_video_frames": "vid",     # mm_video_frames
     "multimodal_features": "feat",        # mm_features
     "sim_near_dup_lsh": "ndl",            # sm_near_dup_lsh
+    "sim_near_dup_lsh_auto": "ndla",
     "sim_cosine_topk": "cos",             # sm_cosine_topk
     "sim_ivf_topk": "ivf",                # sm_ivf_topk
     "sim_knn_join": "knn",                # sm_knn_join

@@ -912,3 +912,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_near_dup_lsh_auto_plane_scaling(spark):
+    """target_block scales the plane count as max(floor, ceil(log2(N /
+    target))): below the knee the output is IDENTICAL to the fixed
+    4-plane form (the driver-verification sizes), above it the result
+    equals explicitly passing the scaled plane count — the corpus-size
+    dial is exactly the documented one, nothing else changes."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import embedding_near_dup_lsh
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") % (7 + i)).cast("double") / (7.0 + i) for i in range(8)]
+        ).alias("embedding"),
+    )
+
+    def rows(df):
+        return sorted((r.vec_a, r.vec_b, r.cos_sim) for r in df.collect())
+
+    small = emb.where("vec_id < 400")  # 400/512 < 1 -> planes stay 4
+    assert rows(
+        embedding_near_dup_lsh(small, threshold=0.99, dim=8, target_block=512)
+    ) == rows(embedding_near_dup_lsh(small, threshold=0.99, dim=8, n_planes=4))
+
+    # 2000/64 = 31.25 -> ceil(log2) = 5 planes
+    assert rows(
+        embedding_near_dup_lsh(emb, threshold=0.99, dim=8, target_block=64)
+    ) == rows(embedding_near_dup_lsh(emb, threshold=0.99, dim=8, n_planes=5))

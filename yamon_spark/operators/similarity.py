@@ -86,11 +86,16 @@ def embedding_near_dup_pairs(
 
     Execution: applyInPandas per cell — each block becomes ONE BLAS
     matmul (normalize rows, S = M·Mᵀ, upper triangle), so the pair space
-    is never materialized as a row join. This is the 100 TB design:
-    blocking bounds the quadratic term to cell size, the kernel is
-    vectorized C, and cells distribute across executors. (A zip_with/
-    aggregate pair-join computes the same thing ~30x slower and ships
-    every vector twice through a shuffle.)
+    is never materialized as a row join. Blocking bounds the quadratic
+    term to CELL SIZE — which makes the block column's cardinality the
+    100 TB contract: it must GROW with the corpus (IVF cells from
+    ivf_build, or :func:`embedding_near_dup_lsh` with ``target_block``),
+    never stay fixed. A fixed-cardinality block key (this fixture's
+    `label`) means blocks grow linearly and within-block work grows
+    quadratically — measured 633x wall at 100x data (fine at 30x: 7.6;
+    the blowup hides until blocks outgrow the BLAS constant). (A
+    zip_with/aggregate pair-join computes the same thing ~30x slower
+    and ships every vector twice through a shuffle.)
     """
     import numpy as np
     import pandas as pd
@@ -121,7 +126,11 @@ def embedding_near_dup_pairs(
 
 
 def embedding_near_dup_lsh(
-    embeddings: DataFrame, threshold: float = 0.35, n_planes: int = 4, dim: int = 64
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    dim: int = 64,
+    target_block: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs blocked by LSH bucket instead of a
     precomputed cell — the no-metadata path: when no label/cluster
@@ -129,7 +138,24 @@ def embedding_near_dup_lsh(
     way (1/2^n_planes of the pair space per bucket), with the same
     one-BLAS-matmul-per-block kernel. Cross-bucket pairs are missed by
     construction (that's the recall/cost dial: more planes = smaller
-    blocks = lower recall)."""
+    blocks = lower recall).
+
+    target_block is the 100 TB switch: a FIXED plane count means bucket
+    size grows linearly with the corpus and within-bucket work grows
+    QUADRATICALLY — measured: the 4-plane form runs 274x wall at 100x
+    data (fine at 30x: 7.4 — the blowup hides until blocks outgrow the
+    BLAS constant). With target_block set, the plane count scales as
+    max(n_planes, ceil(log2(N / target_block))), so bucket size stays
+    ~target_block at ANY corpus size and total work stays
+    O(N x target_block) — linear in data, with the documented recall
+    dial turning as the corpus grows. At the driver's verification
+    sizes the floor keeps planes at n_planes, so results (and the
+    DuckDB oracle) are unchanged there."""
+    if target_block:
+        import math
+
+        n = embeddings.count()
+        n_planes = max(n_planes, math.ceil(math.log2(max(1.0, n / target_block))))
     planes = lsh_hyperplanes(n_planes, dim)
     bucketed = embeddings.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
     return embedding_near_dup_pairs(bucketed, threshold, block_col="bucket")
