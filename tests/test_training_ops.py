@@ -398,3 +398,33 @@ def test_quality_head_ece_near_zero_on_separable_corpus(spark):
     ).first()
     assert row.n == 40
     assert 0.0 <= row.ece <= 0.1  # confidently-correct head -> tiny ECE
+
+
+def test_gd_memo_never_keys_on_opaque_inmemory_plans(spark):
+    """Two DIFFERENT in-memory corpora share a canonicalized plan string
+    (LogicalRDD carries no data identity), so the session GD memo must
+    refuse to key on them: training the head on corpus A then corpus B
+    must return B's weights, not A's cached ones. File-backed inputs
+    (whose scan path pins identity) still memoize — second call returns
+    the identical frames object."""
+    from yamon_spark.operators.curation import _GD_MEMO, _logit_train_frames
+    from yamon_spark.queries import table as load_table
+
+    good = "the quick brown fox jumps over a lazy dog in the field "
+    a = spark.createDataFrame(
+        [(i, good * (2 + i % 3)) for i in range(30)] + [(100 + i, "zz xq") for i in range(10)],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(i, "zz xq qqq") for i in range(40)], "doc_id long, text string"
+    )
+    _, wa = _logit_train_frames(a, 6, 4.0)
+    _, wb = _logit_train_frames(b, 6, 4.0)
+    ra, rb = wa.first(), wb.first()
+    assert tuple(ra) != tuple(rb)  # B trained on B, not on A's cache
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    f1, w1 = _logit_train_frames(docs, 6, 4.0)
+    f2, w2 = _logit_train_frames(docs, 6, 4.0)
+    assert f1 is f2 and w1 is w2  # file-backed plans still memoize
+    assert any(k for k in _GD_MEMO)
