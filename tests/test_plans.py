@@ -76,6 +76,7 @@ BNLJ_OK = {
     "text_zipf_slope",  # <=64-row log2-bucket-total self-join (rank bases)
     "sim_ivf_pareto",  # bounded query/centroid/budget/totals broadcasts
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds
+    "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
 }
 
 

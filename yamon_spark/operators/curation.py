@@ -937,13 +937,17 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
             for i in (1, 2, 3)
         ],
     )
-    # materialize the 4-column feature frame once (the bpe_apply
-    # localCheckpoint pattern): every GD round — and the downstream
-    # accuracy/calibration/threshold passes — then scans z-scored
-    # doubles instead of re-reading and re-featurizing raw text per
-    # round. Values are identical (checkpoint is a cache, not a
-    # recompute); at corpus scale this turns 12 text scans into one.
-    feats = feats.localCheckpoint(eager=False)
+    # materialize the 4-column feature frame once: every GD round — and
+    # the downstream accuracy/calibration/threshold passes — then scans
+    # z-scored doubles instead of re-reading and re-featurizing raw
+    # text per round. persist(), NOT localCheckpoint: the session memo
+    # keeps this frame alive across many queries, and a localCheckpoint
+    # is non-reliable — an executor evicting its blocks under memory
+    # pressure makes the frame UNRECOMPUTABLE and every later head
+    # query fails (observed as six head-chain failures late in a long
+    # test session). persist is recompute-safe by construction: worst
+    # case is a re-scan, never an error. Values identical either way.
+    feats = feats.persist()
     spark = docs.sparkSession
     w = spark.createDataFrame(
         [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
