@@ -428,3 +428,11 @@ def test_gd_memo_never_keys_on_opaque_inmemory_plans(spark):
     f2, w2 = _logit_train_frames(docs, 6, 4.0)
     assert f1 is f2 and w1 is w2  # file-backed plans still memoize
     assert any(k for k in _GD_MEMO)
+
+    # SAME schema, SAME operators, DIFFERENT path must NOT collide:
+    # canonicalized plans print file relations without their path (the
+    # edge-corpus clone collided with sf0.001 this way), so the key
+    # also carries inputFiles()
+    other = load_table(spark, "/root/testdata/sf0.01", "documents")
+    f3, w3 = _logit_train_frames(other, 6, 4.0)
+    assert f3 is not f1 and w3 is not w1

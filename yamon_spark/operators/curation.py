@@ -889,16 +889,25 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
     words carry no gradient signal (ln(0) poisons the batch) and are
     excluded up front."""
     try:
+        # Data identity needs BOTH halves: the canonicalized plan pins
+        # the OPERATOR structure (filters, projections — attribute
+        # indices and literals survive canonicalization) but prints
+        # file relations as a bare `Relation [...] parquet` with NO
+        # path, so every documents table at every scale factor collides
+        # on it; inputFiles() pins the actual data files but not the
+        # operators. In-memory frames (LogicalRDD / LocalRelation)
+        # carry neither — inputFiles() is empty — and are never
+        # memoized (two different test corpora with the same schema
+        # would otherwise share a trained head, twice observed in the
+        # full suite: in-memory collisions first, then the edge-corpus
+        # clone colliding with sf0.001 through the path-less plan).
+        files = tuple(sorted(docs.inputFiles()))
         plan = docs._jdf.queryExecution().analyzed().canonicalized().toString()
-        # ONLY file-backed plans pin their data identity in the plan
-        # string (the scan path). In-memory frames canonicalize to a
-        # bare `LogicalRDD`/`LocalRelation` with NO data — two different
-        # test corpora with the same schema collide, and the memo would
-        # serve one corpus's trained head for the other (caught by the
-        # full suite: two separable-corpus tests got a foreign model).
-        # Driver/bench inputs are parquet reads, so they still memoize.
-        opaque = any(t in plan for t in ("LogicalRDD", "LocalRelation", "LocalTableScan"))
-        key = None if opaque else (id(docs.sparkSession), plan, int(iters), float(lr))
+        key = (
+            None
+            if not files
+            else (id(docs.sparkSession), plan, files, int(iters), float(lr))
+        )
     except Exception:  # noqa: BLE001 — memo is an optimization, never a dependency
         key = None
     if key is not None and key in _GD_MEMO:
