@@ -499,3 +499,22 @@ def test_dedup_threshold_sweep_monotone_and_exact(spark):
     assert out[1.0].n_pairs == 1 and out[1.0].n_removed == 1
     ts = sorted(out)
     assert all(out[a].n_pairs >= out[b].n_pairs for a, b in zip(ts, ts[1:]))
+
+
+def test_dedup_threshold_sweep_lsh_auto_blocking(spark):
+    """target_block switches the sweep onto the corpus-size-scaled LSH
+    blocking (bounded blocks at any scale); on a small frame where all
+    near-identical vectors share an LSH bucket, the sweep still finds
+    the planted dups."""
+    from yamon_spark.operators.dedup import dedup_threshold_sweep
+
+    rows = [(i, [1.0, 0.001 * (i % 2), 0.0, 0.0] + [0.0] * 60, 0) for i in range(6)]
+    rows += [(10 + i, [-1.0, 0.0, 0.5, 0.0] + [0.0] * 60, 1) for i in range(3)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    out = {r.threshold: r for r in
+           dedup_threshold_sweep(emb, thresholds=[0.9], target_block=512).collect()}
+    # cluster A: 6 near-identical -> 5 removed; cluster B: 3 identical
+    # in the complementary bucket -> 2 removed; both buckets swept
+    assert out[0.9].n_removed == 7
+    assert out[0.9].n_pairs == 15 + 3
+    assert out[0.9].removed_frac == round(7 / 9, 4)

@@ -783,7 +783,9 @@ def simhash64_hamming_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     return cross.unionByName(same).orderBy("doc_a", "doc_b")
 
 
-def dedup_threshold_sweep(embeddings, thresholds=None, block_col: str = "label"):
+def dedup_threshold_sweep(
+    embeddings, thresholds=None, block_col: str = "label", target_block: int | None = None
+):
     """Operating-point selection for SEMANTIC dedup — the
     quality_threshold_sweep idea applied to the cosine near-dup gate:
     for each candidate threshold, how many near-dup pairs fire and how
@@ -803,13 +805,26 @@ def dedup_threshold_sweep(embeddings, thresholds=None, block_col: str = "label")
     measured 49.7x wall at 30x data vs 7.6x for the identical pair
     kernel alone; the max-cos rewrite removes the blowup. Stacked to
     |thresholds| rows with a 1-row corpus-total broadcast for the
-    removed fraction."""
+    removed fraction.
+
+    100 TB form: block_col="label" inherits the fixed-cardinality
+    quadratic (the sim_near_dup_pairs 633x-at-100x lesson) — at corpus
+    scale pass target_block, which buckets via the corpus-size-scaled
+    LSH instead (embedding_near_dup_lsh's auto planes, bounded blocks
+    by construction), or sweep on a fixed-size sample; the registered
+    fixture query keeps label blocking where it is exact."""
     from pyspark.sql import functions as F
 
-    from yamon_spark.operators.similarity import embedding_near_dup_pairs
+    from yamon_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
 
     ts = sorted(thresholds or [i / 10.0 for i in range(3, 10)])
-    pairs = embedding_near_dup_pairs(embeddings, threshold=ts[0], block_col=block_col)
+    if target_block:
+        pairs = embedding_near_dup_lsh(embeddings, threshold=ts[0], target_block=target_block)
+    else:
+        pairs = embedding_near_dup_pairs(embeddings, threshold=ts[0], block_col=block_col)
     # per-doc roll-up: each candidate-removal doc carries its pair count
     # and max similarity; every per-threshold statistic derives from it
     per_b = pairs.groupBy("vec_b").agg(
