@@ -849,10 +849,27 @@ def _logit_sigmoid():
 # Key = (session id, CANONICALIZED analyzed plan of the input docs —
 # exact, no hash collisions; same plan => same data within a session,
 # iters, lr). Results are bit-identical warm or cold (the training is
-# deterministic); the memo holds the localCheckpointed feature frame
-# alive, which is precisely the production shape: train once, serve
-# the artifact. Bounded: a handful of corpora per session.
+# deterministic); the memo holds a persist()ed (recompute-safe, NOT
+# localCheckpointed — cb33e4c) feature frame alive, which is precisely
+# the production shape: train once, serve the artifact. Bounded: a
+# handful of corpora per session; entries from STOPPED sessions are
+# evicted (and their frames unpersisted, best-effort) on the next memo
+# access so a long-lived process cycling sessions cannot accrete them.
 _GD_MEMO: dict[tuple, tuple] = {}
+
+
+def _gd_memo_sweep() -> None:
+    """Evict memo entries whose owning SparkSession has stopped — their
+    persisted frames are unreachable through any live session and would
+    otherwise pin memory for the process lifetime (ADVICE r9)."""
+    for key in list(_GD_MEMO):
+        feats = _GD_MEMO[key][0]
+        try:
+            alive = not feats.sparkSession.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            alive = False
+        if not alive:
+            _GD_MEMO.pop(key, None)
 
 
 def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
@@ -910,6 +927,7 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
         )
     except Exception:  # noqa: BLE001 — memo is an optimization, never a dependency
         key = None
+    _gd_memo_sweep()
     if key is not None and key in _GD_MEMO:
         return _GD_MEMO[key]
     base = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 1)

@@ -1508,8 +1508,12 @@ def decode_adpcm_wav(b: bytes) -> tuple[int, list[int]]:
         cid, clen = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
         body = b[off + 8 : off + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"fact":
+            if len(body) < 4:
+                raise ValueError("truncated fact chunk")
             fact_n = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             data = body
@@ -1645,6 +1649,8 @@ def sniff_decode(b: bytes) -> dict:
         while off + 8 <= len(b):
             cid, clen = b[off : off + 4], struct.unpack("<I", b[off + 4 : off + 8])[0]
             if cid == b"fmt " and clen >= 2:
+                if off + 10 > len(b):
+                    raise ValueError("truncated fmt chunk")
                 tag = struct.unpack("<H", b[off + 8 : off + 10])[0]
                 break
             off += 8 + clen + (clen & 1)

@@ -702,8 +702,6 @@ def ivf_append(
     under sustained appends degrades recall, not correctness (probes
     rerank exactly inside cells); the recall gate is what detects the
     sag."""
-    from pathlib import Path
-
     spark = new_vectors.sparkSession
     _ivf_read_guard(index_path)
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
@@ -718,12 +716,7 @@ def ivf_append(
     # count grows with stream age; re-reading it each append was
     # cumulative O(appends^2))
     log_path = index_path.rstrip("/") + "_log"
-    log_dir = Path(log_path)
-    n_prior = (
-        sum(1 for p in log_dir.iterdir() if p.name.startswith("append_seq="))
-        if log_dir.is_dir()
-        else 0
-    )
+    n_prior = len(_log_partition_values(spark, log_path, "append_seq"))
     recall = None
     if recall_every > 0 and recall_embeddings is not None and (n_prior + 1) % recall_every == 0:
         recall = float(
@@ -738,14 +731,43 @@ def ivf_append(
     return touched
 
 
+def _log_partition_values(spark, log_path: str, col: str) -> list[int]:
+    """Distinct partition values of a tiny `col`-partitioned log table.
+
+    Local plain-directory path: a directory LISTING — O(1) IO per call
+    in data volume over the life of the index (the whole point of
+    partitioning the log on the sequence column). Scheme'd path
+    (hdfs://, s3a://, ...): Path().is_dir() is silently False there, so
+    instead of quietly returning 0 priors forever (ADVICE r9) fall back
+    to the Spark read, which works on any supported filesystem; the log
+    rows are tiny so the read is cheap, just not O(1). Missing log
+    either way = no priors."""
+    import re
+    from pathlib import Path
+
+    prefix = f"{col}="
+    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", log_path):
+        d = Path(log_path)
+        if not d.is_dir():
+            return []
+        return sorted(
+            int(p.name[len(prefix) :]) for p in d.iterdir() if p.name.startswith(prefix)
+        )
+    try:
+        return sorted(r[0] for r in spark.read.parquet(log_path).select(col).distinct().collect())
+    except Exception:  # AnalysisException: log not written yet
+        return []
+
+
 def _ivf_recover(parent) -> None:
     """Crash recovery for ivf_rebuild (compaction's contract): a leftover
     ``.<name>.rebuild-old`` whose live dir is missing means the process
     died mid-swap — restore it; any other rebuild tmp/old leftover is
-    stale and dropped. Tmp matching is by SUBSTRING (``.rebuild-tmp``
-    appears mid-name in the tmp centroids dir
-    ``.<name>.rebuild-tmp_centroids``), so crashed rebuilds cannot leak
-    the new-centroids directory. Sweeps every rebuild leftover under
+    stale and dropped. Tmp matching covers EXACTLY the two names a
+    rebuild creates — ``.<name>.rebuild-tmp`` and
+    ``.<name>.rebuild-tmp_centroids`` — never an arbitrary substring
+    hit (an unrelated dot-dir that merely CONTAINS '.rebuild-tmp' must
+    survive the sweep; ADVICE r9). Sweeps every rebuild leftover under
     `parent`, so sibling indexes recover each other's debris too."""
     import shutil
 
@@ -757,7 +779,7 @@ def _ivf_recover(parent) -> None:
             if not live.exists():
                 p.rename(live)
                 continue
-        if p.name.endswith(".rebuild-old") or ".rebuild-tmp" in p.name:
+        if p.name.endswith((".rebuild-old", ".rebuild-tmp", ".rebuild-tmp_centroids")):
             shutil.rmtree(p, ignore_errors=True)
 
 

@@ -84,18 +84,11 @@ def ivf_append_epoch(
     # file on every batch: cumulative O(epochs^2) IO over a long stream).
     # A replayed epoch's own directory is excluded so replay keeps the
     # same n_prior it saw the first time (idempotent gate cadence).
-    from pathlib import Path
+    from yamon_spark.operators.similarity import _log_partition_values
 
     log_path = root + "_epochlog"
-    log_dir = Path(log_path)
-    n_prior = (
-        sum(
-            1
-            for p in log_dir.iterdir()
-            if p.name.startswith("ingest_epoch=") and p.name != f"ingest_epoch={int(epoch)}"
-        )
-        if log_dir.is_dir()
-        else 0
+    n_prior = sum(
+        1 for v in _log_partition_values(spark, log_path, "ingest_epoch") if v != int(epoch)
     )
     recall = None
     if recall_every > 0 and recall_embeddings is not None and (n_prior + 1) % recall_every == 0:

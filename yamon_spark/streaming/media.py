@@ -25,6 +25,7 @@ BOTH the media table and the rejects table (the corpus/IVF recipe).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -102,7 +103,11 @@ def decode_media_batch(media: DataFrame) -> DataFrame:
                 err = None
                 try:
                     row = sniff_decode(b)
-                except ValueError as e:
+                # struct.error/IndexError belong to the same "malformed
+                # payload" class as ValueError (the codecs normalize most
+                # but a truncated container can still leak one); ONE bad
+                # payload must route to rejects, never kill the batch.
+                except (ValueError, struct.error, IndexError) as e:
                     err = str(e)[:160]
                 out["media_id"].append(mid)
                 out["modality"].append(claim)
