@@ -196,8 +196,7 @@ _SHORT_WHOLE = {
     "multimodal_audio_windows": "aud",    # mm_audio_windows
     "multimodal_video_frames": "vid",     # mm_video_frames
     "multimodal_features": "feat",        # mm_features
-    "sim_near_dup_lsh": "ndl",            # sm_near_dup_lsh
-    "sim_near_dup_lsh_auto": "ndla",
+    "sim_near_dup_lsh": "ndl",            # sm_near_dup_lsh (auto-scaled planes since r10)
     "sim_cosine_topk": "cos",             # sm_cosine_topk
     "sim_ivf_topk": "ivf",                # sm_ivf_topk
     "sim_knn_join": "knn",                # sm_knn_join

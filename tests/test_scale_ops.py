@@ -937,9 +937,47 @@ def test_near_dup_lsh_auto_plane_scaling(spark):
     small = emb.where("vec_id < 400")  # 400/512 < 1 -> planes stay 4
     assert rows(
         embedding_near_dup_lsh(small, threshold=0.99, dim=8, target_block=512)
-    ) == rows(embedding_near_dup_lsh(small, threshold=0.99, dim=8, n_planes=4))
+    ) == rows(
+        embedding_near_dup_lsh(small, threshold=0.99, dim=8, n_planes=4, target_block=None)
+    )
 
     # 2000/64 = 31.25 -> ceil(log2) = 5 planes
     assert rows(
         embedding_near_dup_lsh(emb, threshold=0.99, dim=8, target_block=64)
-    ) == rows(embedding_near_dup_lsh(emb, threshold=0.99, dim=8, n_planes=5))
+    ) == rows(
+        embedding_near_dup_lsh(emb, threshold=0.99, dim=8, n_planes=5, target_block=None)
+    )
+
+
+def test_near_dup_pairs_sub_bucketing_default(spark):
+    """embedding_near_dup_pairs' DEFAULT is corpus-size-safe (r9
+    verdict): below the 512 avg-block floor the plan groups on the
+    block column alone and equals target_block=None exactly (what keeps
+    the sf0.01/sf0.1 oracles byte-stable); when avg block exceeds the
+    floor, hyperplane sub-buckets split each cell and every emitted
+    pair is still a true >=threshold cosine pair (subset contract: the
+    recall dial drops cross-sub-bucket pairs, never invents one)."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.range(1200).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[(F.col("id") % (7 + i)).cast("double") / (7.0 + i) for i in range(8)]
+        ).alias("embedding"),
+        (F.col("id") % 2).alias("label"),  # 2 labels -> avg block 600 > 512
+    )
+
+    def rows(df):
+        return sorted((r.vec_a, r.vec_b, r.cos_sim) for r in df.collect())
+
+    small = emb.where("vec_id < 400")  # avg block 200 <= 512 -> no sub-buckets
+    assert rows(embedding_near_dup_pairs(small, threshold=0.99)) == rows(
+        embedding_near_dup_pairs(small, threshold=0.99, target_block=None)
+    )
+
+    exact = rows(embedding_near_dup_pairs(emb, threshold=0.99, target_block=None))
+    auto = rows(embedding_near_dup_pairs(emb, threshold=0.99))  # 600/512 -> 1 plane
+    assert set(auto) <= set(exact)
+    assert auto, "sub-bucketed run must still find within-bucket pairs"

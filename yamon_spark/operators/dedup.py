@@ -807,12 +807,13 @@ def dedup_threshold_sweep(
     |thresholds| rows with a 1-row corpus-total broadcast for the
     removed fraction.
 
-    100 TB form: block_col="label" inherits the fixed-cardinality
-    quadratic (the sim_near_dup_pairs 633x-at-100x lesson) — at corpus
-    scale pass target_block, which buckets via the corpus-size-scaled
-    LSH instead (embedding_near_dup_lsh's auto planes, bounded blocks
-    by construction), or sweep on a fixed-size sample; the registered
-    fixture query keeps label blocking where it is exact."""
+    100 TB form: scale-safe BY DEFAULT since r10 — the label-blocked
+    path inherits embedding_near_dup_pairs' corpus-size-scaled
+    sub-bucketing (avg block held ~512 at any corpus size; zero planes
+    fire below the floor, so the registered fixture query and its
+    oracle stay exact at every verification SF). Pass target_block here
+    to bucket via the corpus-size-scaled LSH instead when no block
+    column exists at all (embedding_near_dup_lsh's auto planes)."""
     from pyspark.sql import functions as F
 
     from yamon_spark.operators.similarity import (

@@ -156,48 +156,20 @@ from yamon_spark.queries.pipeline_ops import lsh_bucket_sql as _bucket_sql
     doc=(
         "Embedding near-dup pairs blocked by LSH bucket (no-metadata "
         "blocking): hyperplane buckets bound the pair space, one BLAS "
-        "matmul per bucket."
+        "matmul per bucket. CORPUS-SIZE-SAFE BY DEFAULT since r10: the "
+        "plane count scales as max(4, ceil(log2(N / 512))), holding "
+        "bucket size ~512 at any corpus size — total work O(N x 512), "
+        "linear in data (the fixed 4-plane form measured 274x wall at "
+        "100x; the scaled form 3.71x). At the driver's verification "
+        "sizes the floor keeps planes at 4, so the oracle is exact. "
+        "(r9's separate sim_near_dup_lsh_auto entry was retired in r10 "
+        "when its recipe became this query's default.)"
     ),
 )
 def near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import embedding_near_dup_lsh
 
     return embedding_near_dup_lsh(table(spark, sf_dir, "embeddings"), threshold=0.35)
-
-
-@register(
-    "sim_near_dup_lsh_auto",
-    f"""
-    WITH b AS (SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings),
-    s AS (
-      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-      list_reduce(list_transform(range(1, len(a.embedding) + 1),
-        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (x, y) -> x + y) AS dot,
-      list_reduce(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS na,
-      list_reduce(list_transform(b2.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS nb
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-    )
-    SELECT vec_a, vec_b, cos_sim FROM (
-      SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s) t
-    WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b
-    """,
-    doc=(
-        "The CORPUS-SIZE-SAFE form of sim_near_dup_lsh: plane count "
-        "scales as max(4, ceil(log2(N / 512))), so bucket size stays "
-        "~512 at any corpus size and total work is O(N x 512) — linear "
-        "in data. The fixed-plane form measures 274x wall at 100x data "
-        "(quadratic within growing buckets); this one stays bounded by "
-        "construction, trading recall along the documented planes dial. "
-        "At the driver's verification sizes the floor keeps planes at "
-        "4, so the oracle is the same SQL as sim_near_dup_lsh."
-    ),
-)
-def near_dup_lsh_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from yamon_spark.operators.similarity import embedding_near_dup_lsh
-
-    return embedding_near_dup_lsh(
-        table(spark, sf_dir, "embeddings"), threshold=0.35, target_block=512
-    )
 
 
 # deterministic synthetic PII appended to each doc so the scrub has real

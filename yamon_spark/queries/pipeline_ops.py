@@ -379,7 +379,15 @@ def sim_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_a, vec_b, round(dot / (sqrt(na) * sqrt(nb)), 4) AS cos_sim FROM s) t
     WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b
     """,
-    doc="Embedding-cosine near-dup pairs with coarse-cell (label) blocking.",
+    doc=(
+        "Embedding-cosine near-dup pairs with coarse-cell (label) "
+        "blocking. CORPUS-SIZE-SAFE BY DEFAULT since r10: when the "
+        "average cell outgrows 512 vectors, each cell is sub-bucketed "
+        "by corpus-size-scaled hyperplanes (the fixed-label form "
+        "measured 633x wall at 100x data); below that floor — every "
+        "verification SF — zero planes fire and results equal exact "
+        "label blocking, which this oracle is."
+    ),
 )
 def sim_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.similarity import embedding_near_dup_pairs
