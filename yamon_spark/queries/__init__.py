@@ -96,27 +96,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r5-vintage (oldest — front of the verified segment)
-    "bpe_merge_step": 5, "bpe_pair_counts": 5, "chunk_dup_groups": 5,
-    "dedup_containment": 5, "dedup_funnel": 5, "dedup_semantic": 5,
-    "dsir_weights": 5, "embed_label_metrics": 5, "hard_negative_mining": 5,
-    "lang_id_confusion": 5, "mix_budget_plan": 5, "q20_hash_agg": 5,
-    "q21_distinct_agg": 5, "q22_approx_distinct": 5, "q23_grouping_sets": 5,
-    "q36_dist_windows": 5, "q37_histogram": 5, "q45_scalar_subquery": 5,
-    "q46_in_subquery": 5, "q84_mad_outliers": 5,
-    "q85_histogram_quantile": 5, "q86_seasonal_baseline": 5,
-    "q87_level_shift": 5, "q88_autocorr": 5, "q89_ewma": 5,
-    "quality_logit": 5, "sim_cascade_recall": 5, "sim_cascade_topk": 5,
-    "sim_hamming_recall": 5, "sim_hamming_topk": 5, "sim_ivfpq_recall": 5,
-    "sim_ivfpq_topk": 5, "sim_mmr_topk": 5, "sim_pq_recall": 5,
-    "sim_sq8_recall": 5, "sim_sq8_topk": 5, "sq8_codes": 5,
-    "text_chunk_windows": 5, "text_perplexity_buckets": 5, "text_search": 5,
-    "text_zipf_slope": 5, "vocab_growth": 5,
-    # r6-vintage
+    # r6-vintage (oldest — front of the verified segment)
     "bpe_apply": 6, "dedup_canonical": 6, "dedup_incremental": 6,
-    "dedup_minhash_err": 6, "dedup_simhash_pairs": 6, "domain_mix": 6,
-    "embed_kmeans": 6, "embed_pca_power": 6, "multimodal_png_roundtrip": 6,
-    "pack_sequences": 6, "q10_inner_join_dims": 6,
+    "dedup_simhash_pairs": 6, "domain_mix": 6, "embed_kmeans": 6,
+    "embed_pca_power": 6, "pack_sequences": 6, "q10_inner_join_dims": 6,
     "q11_left_outer_count": 6, "q12_semi_join": 6, "q13_anti_join": 6,
     "q14_range_join": 6, "q15_asof_join": 6, "q16_cross_join_pairs": 6,
     "q24_rollup": 6, "q25_gauge_rollup_mv": 6, "q26_counter_rollup_mv": 6,
@@ -151,7 +134,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_pii_scrub": 7, "text_quality_filter": 7, "text_repetition": 7,
     "text_stats": 7, "text_token_count": 7, "text_winnow": 7,
     "vocab_coverage": 7,
-    # r8-vintage (freshest — back of the queue)
+    # r8-vintage
     "contamination_semantic": 8, "corpus_shuffle": 8,
     "corpus_snapshot_diff": 8, "dedup_budget_impact": 8,
     "dedup_substring": 8, "embed_outlier_score": 8,
@@ -173,6 +156,25 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_bigram_logprob": 8, "text_bm25": 8, "text_entropy": 8,
     "text_mattr": 8, "text_pmi": 8, "text_unigram_logprob": 8,
     "tokenizer_fertility": 8,
+    # r9-vintage (freshest — back of the queue)
+    "bpe_merge_step": 9, "bpe_pair_counts": 9, "chunk_dup_groups": 9,
+    "dedup_containment": 9, "dedup_funnel": 9, "dedup_minhash_err": 9,
+    "dedup_semantic": 9, "dedup_threshold_sweep": 9, "dsir_weights": 9,
+    "embed_label_metrics": 9, "hard_negative_mining": 9,
+    "lang_id_confusion": 9, "mix_budget_plan": 9,
+    "multimodal_adpcm_roundtrip": 9, "multimodal_png_roundtrip": 9,
+    "pack_boundary_report": 9, "q20_hash_agg": 9, "q21_distinct_agg": 9,
+    "q22_approx_distinct": 9, "q23_grouping_sets": 9, "q36_dist_windows": 9,
+    "q37_histogram": 9, "q45_scalar_subquery": 9, "q46_in_subquery": 9,
+    "q84_mad_outliers": 9, "q85_histogram_quantile": 9,
+    "q86_seasonal_baseline": 9, "q87_level_shift": 9, "q88_autocorr": 9,
+    "q89_ewma": 9, "quality_logit": 9, "quality_score_psi": 9,
+    "sim_cascade_recall": 9, "sim_cascade_topk": 9, "sim_hamming_recall": 9,
+    "sim_hamming_topk": 9, "sim_ivf_pareto": 9, "sim_ivfpq_recall": 9,
+    "sim_ivfpq_topk": 9, "sim_mmr_topk": 9,
+    "sim_pq_recall": 9, "sim_sq8_recall": 9, "sim_sq8_topk": 9,
+    "sq8_codes": 9, "text_chunk_windows": 9, "text_perplexity_buckets": 9,
+    "text_search": 9, "text_zipf_slope": 9, "vocab_growth": 9,
 }
 
 
