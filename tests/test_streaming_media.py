@@ -107,3 +107,43 @@ def test_media_epoch_replay_is_idempotent(spark, tmp_path):
     again_r = sorted(r.media_id for r in spark.read.parquet(str(tmp_path / "store/rejects")).collect())
     assert first_m == again_m == [1, 2, 3]
     assert first_r == again_r == [99]
+
+
+def test_media_monitor_observables_over_replayed_epoch(spark, tmp_path):
+    """yamon.media.{mismatch,rejects}.<query> surface the decode-at-the-
+    door health counts: one ingest pass counts the claim-mismatched row
+    and the dead-lettered payload; a REPLAYED epoch (at-least-once
+    foreachBatch) counts again — the documented rows_in counter
+    semantics — while the tables themselves stay idempotent."""
+    from yamon_spark.streaming.monitor import IngestCounters
+
+    rows = [(mid, claim, b) for mid, claim, b, _, _ in _payloads()]  # 8 = mismatch
+    rows.append((99, "image", b"junk junk junk"))  # -> dead-letter
+    _land(tmp_path / "landing", "b0.jsonl", rows)
+    q = start_media_ingest(
+        spark,
+        str(tmp_path / "landing"),
+        str(tmp_path / "store"),
+        str(tmp_path / "ckpt"),
+        monitor=(mon := IngestCounters()),
+    )
+    q.awaitTermination()
+    assert mon.media_mismatch["media_ingest"] == 1
+    assert mon.media_rejects["media_ingest"] == 1
+
+    # replay the same epoch by hand: counters accumulate, tables do not
+    batch = parse_media_lines(spark.read.text(str(tmp_path / "landing")))
+    n_mismatch, n_rejects = media_epoch(batch, str(tmp_path / "store"), epoch=0)
+    mon.record_media("media_ingest", n_mismatch, n_rejects)
+    assert (mon.media_mismatch["media_ingest"], mon.media_rejects["media_ingest"]) == (2, 2)
+    assert spark.read.parquet(str(tmp_path / "store/rejects")).count() == 1
+
+    snap = mon.snapshot_metrics(spark)
+    got = {r.name: r.value for r in snap.collect() if r.name.startswith("yamon.media.")}
+    assert got == {
+        "yamon.media.mismatch.media_ingest": 2.0,
+        "yamon.media.rejects.media_ingest": 2.0,
+    }
+    assert all(
+        r.type == "counter" for r in snap.collect() if r.name.startswith("yamon.media.")
+    )

@@ -126,27 +126,44 @@ def decode_media_batch(media: DataFrame) -> DataFrame:
     return media.mapInPandas(batches, DECODED_SCHEMA)
 
 
-def media_epoch(batch: DataFrame, out_dir: str, epoch: int) -> None:
+def media_epoch(batch: DataFrame, out_dir: str, epoch: int) -> tuple[int, int]:
     """Idempotently land one epoch: decoded rows (epoch, modality)-
     partitioned under <out>/media, rejects epoch-partitioned under
-    <out>/rejects — a replayed epoch rewrites only its own partitions."""
-    decoded = decode_media_batch(batch).withColumn("ingest_epoch", F.lit(int(epoch)))
-    good = decoded.where(F.col("err").isNull()).drop("err")
-    bad = decoded.where(F.col("err").isNotNull()).select(
-        "media_id", "modality", "n_bytes", "err", "ingest_epoch"
+    <out>/rejects — a replayed epoch rewrites only its own partitions.
+
+    Returns ``(n_mismatch, n_rejects)`` — the epoch's claim/content
+    mismatches and dead-letter rows — so the caller can feed the ops
+    observables (``yamon.media.*`` via the monitor listener). The
+    decoded metadata frame (payloads already dropped) is persisted for
+    the epoch so the two writes and the count agg share ONE decode
+    pass instead of re-running the codecs three times."""
+    decoded = (
+        decode_media_batch(batch).withColumn("ingest_epoch", F.lit(int(epoch))).persist()
     )
-    (
-        good.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_epoch", "modality")
-        .parquet(out_dir.rstrip("/") + "/media")
-    )
-    (
-        bad.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("ingest_epoch")
-        .parquet(out_dir.rstrip("/") + "/rejects")
-    )
+    try:
+        good = decoded.where(F.col("err").isNull()).drop("err")
+        bad = decoded.where(F.col("err").isNotNull()).select(
+            "media_id", "modality", "n_bytes", "err", "ingest_epoch"
+        )
+        (
+            good.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_epoch", "modality")
+            .parquet(out_dir.rstrip("/") + "/media")
+        )
+        (
+            bad.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_epoch")
+            .parquet(out_dir.rstrip("/") + "/rejects")
+        )
+        n_mismatch, n_rejects = decoded.agg(
+            F.coalesce(F.sum((F.col("claim_ok") == 0).cast("long")), F.lit(0)),
+            F.coalesce(F.sum(F.col("err").isNotNull().cast("long")), F.lit(0)),
+        ).first()
+        return int(n_mismatch), int(n_rejects)
+    finally:
+        decoded.unpersist()
 
 
 def start_media_ingest(
@@ -156,13 +173,23 @@ def start_media_ingest(
     checkpoint_dir: str,
     trigger: dict | None = None,
     query_name: str = "media_ingest",
+    monitor=None,
 ) -> StreamingQuery:
     """Start the media ingest: landed JSON media lines -> base64 decode
-    -> vendored-codec dispatch -> verified media table + dead-letter."""
+    -> vendored-codec dispatch -> verified media table + dead-letter.
+
+    ``monitor`` (an :class:`~yamon_spark.streaming.monitor.
+    IngestCounters`) receives per-epoch claim-mismatch and dead-letter
+    counts as the ``yamon.media.{mismatch,rejects}.<query>``
+    observables — the crawl-corruption rates an operator alerts on,
+    same at-least-once counter semantics as ``yamon.ingested.*`` (a
+    replayed epoch counts on every attempt)."""
     media = parse_media_lines(spark.readStream.text(landing_dir))
 
     def run_epoch(batch: DataFrame, epoch: int) -> None:
-        media_epoch(batch, out_dir, epoch)
+        n_mismatch, n_rejects = media_epoch(batch, out_dir, epoch)
+        if monitor is not None:
+            monitor.record_media(query_name, n_mismatch, n_rejects)
 
     return (
         media.writeStream.foreachBatch(run_epoch)

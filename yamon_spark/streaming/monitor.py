@@ -44,6 +44,20 @@ class IngestCounters(StreamingQueryListener):
         # rows dropped by timeout/eviction each micro-batch
         self.state_rows: dict[str, int] = defaultdict(int)
         self.state_evicted: dict[str, int] = defaultdict(int)
+        # media-ingest health (decode-at-the-door observables): claim/
+        # content mismatches and dead-lettered payloads per query —
+        # reported by the media foreachBatch itself (the engine's
+        # progress events can't see inside the decode), same
+        # at-least-once counter semantics as rows_in
+        self.media_mismatch: dict[str, int] = defaultdict(int)
+        self.media_rejects: dict[str, int] = defaultdict(int)
+
+    def record_media(self, query_name: str, n_mismatch: int, n_rejects: int) -> None:
+        """Accumulate one media epoch's claim-mismatch / dead-letter
+        counts (called from the media ingest's foreachBatch)."""
+        with self._lock:
+            self.media_mismatch[str(query_name)] += int(n_mismatch)
+            self.media_rejects[str(query_name)] += int(n_rejects)
 
     # StreamingQueryListener interface -----------------------------------
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -80,9 +94,16 @@ class IngestCounters(StreamingQueryListener):
                 (name, float(self.state_rows.get(name, 0)), float(n))
                 for name, n in sorted(self.state_evicted.items())
             ]
+            media = [
+                (name, float(self.media_mismatch.get(name, 0)), float(self.media_rejects.get(name, 0)))
+                for name in sorted(set(self.media_mismatch) | set(self.media_rejects))
+            ]
         df = spark.createDataFrame(rows, "query string, rows_in double, batches double")
         sdf = spark.createDataFrame(
             state, "query string, state_rows double, state_evicted double"
+        )
+        mdf = spark.createDataFrame(
+            media, "query string, media_mismatch double, media_rejects double"
         )
 
         def shape(name_prefix: str, value_col: str, tags, frame=None, mtype="counter"):
@@ -106,6 +127,8 @@ class IngestCounters(StreamingQueryListener):
                 shape("yamon.state.rows.", "state_rows", no_tags, frame=sdf, mtype="gauge")
             )
             .unionByName(shape("yamon.state.evicted.", "state_evicted", no_tags, frame=sdf))
+            .unionByName(shape("yamon.media.mismatch.", "media_mismatch", no_tags, frame=mdf))
+            .unionByName(shape("yamon.media.rejects.", "media_rejects", no_tags, frame=mdf))
         )
 
 
