@@ -243,3 +243,30 @@ def test_operators_md_in_sync():
         assert f.read() == gen_operators_md.render(), (
             "OPERATORS.md is stale - run: python scripts/gen_operators_md.py"
         )
+
+
+def test_readme_registry_count_in_sync():
+    """README's registry-count mentions track the live registry the same
+    way OPERATORS.md does (the count grew three rounds straight and the
+    prose drifted once) — every 'N registered queries'-style number in
+    README.md must equal len(REGISTRY)."""
+    import os
+    import re
+
+    from yamon_spark.queries import REGISTRY
+
+    path = os.path.join(os.path.dirname(__file__), "..", "README.md")
+    with open(path) as f:
+        text = f.read()
+    mentions = [
+        int(m)
+        for m in re.findall(
+            r"(\d+) registered queries|design note, (\d+)", text
+        )
+        for m in m
+        if m
+    ]
+    assert mentions, "README lost its registry-count mentions entirely"
+    assert all(n == len(REGISTRY) for n in mentions), (
+        f"README says {mentions}, registry has {len(REGISTRY)} - update README.md"
+    )
