@@ -1454,3 +1454,72 @@ def psi_from_histograms(
         F.sum("n_new").cast("bigint").alias("n_new"),
         F.round(F.sum("term"), 4).alias("psi"),
     )
+
+
+# Gopher-style rule set evaluated by quality_gopher_rules — (name, fail
+# predicate builder) in REPORT ORDER. Three rules share thresholds with
+# quality_filter's keep gate; alpha_ratio and long_word are the extra
+# Gopher repetition/garbage signals the per-doc gate doesn't carry.
+GOPHER_RULES = (
+    "word_count_out_of_range",
+    "mean_word_len_out_of_range",
+    "stopword_hits_low",
+    "alpha_ratio_low",
+    "long_word_present",
+)
+
+
+def quality_gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-rule corpus failure report for the Gopher-style quality rule
+    set (Rae et al. 2021 §A1.1 heuristics re-expressed over this
+    corpus's schema) — the table a pipeline owner reads to see WHICH
+    rule would cut how much of a crawl before committing thresholds,
+    the corpus-level complement of :func:`quality_filter`'s per-doc
+    keep/reason gate.
+
+    Rules (fail conditions): word count outside [10, 1000]; mean word
+    length outside [2, 12]; fewer than 2 stopword occurrences (the
+    Gopher "must contain 2 of a stop list" rule); alphabetic share of
+    NON-WHITESPACE characters < 0.8 (symbol/garbage floods; whitespace
+    is layout, not content, so it stays out of the denominator); any
+    word longer than 15 chars (unsegmented garbage). One scan: every rule is a conditional sum
+    over the same projected feature row — at 100 TB this is a map-side
+    partial agg into a 5-row stack, no shuffle beyond the single-row
+    agg. fail_frac rounds 4dp.
+
+    Reference parity: the reference has no quality gates (it is a
+    metrics agent); this is part of the training-data curation surface
+    the brief adds on top (SURVEY §2.7)."""
+    w = words_col(F.col("text"))
+    n_words = F.size(w).cast("double")
+    awl = F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n_content = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.greatest(
+        n_content, F.lit(1.0)
+    )
+    max_wl = F.array_max(F.transform(w, F.length))
+    fails = [
+        ((n_words < 10) | (n_words > 1000)).alias("f0"),
+        ((awl < 2.0) | (awl > 12.0)).alias("f1"),
+        (stop_hits < 2).alias("f2"),
+        (alpha_ratio < 0.8).alias("f3"),
+        (max_wl > 15).alias("f4"),
+    ]
+    row = docs.select(*fails).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.sum(F.col(f"f{i}").cast("long")).alias(f"n{i}") for i in range(len(GOPHER_RULES))],
+    )
+    stack = "stack({n}, {cells}) AS (rule, n_fail)".format(
+        n=len(GOPHER_RULES),
+        cells=", ".join(f"'{name}', n{i}" for i, name in enumerate(GOPHER_RULES)),
+    )
+    return (
+        row.select(F.expr(stack), "n_docs")
+        .select(
+            "rule",
+            F.col("n_fail").cast("bigint").alias("n_fail"),
+            F.round(F.col("n_fail") / F.col("n_docs"), 4).alias("fail_frac"),
+        )
+        .orderBy("rule")
+    )

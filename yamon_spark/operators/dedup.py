@@ -858,3 +858,72 @@ def dedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+def dedup_cluster_sizes(docs: DataFrame) -> DataFrame:
+    """Duplicate-cluster size distribution from exact (md5-digest)
+    dedup: one row per observed cluster size with the number of
+    clusters and docs at that size — the "how duplicated is this crawl"
+    headline table (size 1 = unique docs; the heavy tail is what exact
+    dedup reclaims). Two partial-agg groupBys (digest → size,
+    size → histogram), both map-side combined; no row ever carries more
+    than a digest and a count, so the shape holds at 100 TB."""
+    sizes = docs.groupBy(F.md5("text").alias("digest")).agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def lsh_band_tuning(
+    docs: DataFrame, ngram: int = 3, num_hashes: int = 12, band_sizes: tuple[int, ...] = (2, 3, 4, 6)
+) -> DataFrame:
+    """LSH operating-point table: for each (bands b, rows r) split of
+    ONE shared MinHash signature (b·r = num_hashes), the measured
+    bucket collisions — buckets with ≥2 docs and the candidate checks
+    Σ C(bucket,2) they imply — next to the analytic S-curve threshold
+    s* = (1/b)^(1/r). The table read before committing a banding to a
+    100 TB dedup run: small r catches low similarities but explodes
+    candidate checks; this shows the actual explosion on the actual
+    corpus instead of the textbook curve alone.
+
+    Plan: signatures once (the minhash_signatures kernel), then every
+    config's band keys emit from ONE projection (per doc: Σ b keys
+    across configs) into ONE groupBy (band_size, band, key) — one
+    corpus scan, one shuffle, per-config rows reduce to a 4-row
+    report. Candidate checks are counted per bucket (the work a
+    verifier would do), never materialized as pairs."""
+    sigs = minhash_signatures(docs, ngram, num_hashes)
+    entries = []
+    for r in band_sizes:
+        n_bands = num_hashes // r
+        for b in range(n_bands):
+            key = F.md5(
+                F.concat_ws("|", *[F.col(f"sig_{b * r + j}").cast("string") for j in range(r)])
+            )
+            entries.append(F.struct(F.lit(r).alias("band_size"), F.lit(b).alias("band"), key.alias("band_key")))
+    rows = sigs.select(F.explode(F.array(*entries)).alias("e")).select("e.band_size", "e.band", "e.band_key")
+    buckets = rows.groupBy("band_size", "band", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    thr = {r: round((1.0 / (num_hashes // r)) ** (1.0 / r), 4) for r in band_sizes}
+    thr_expr = F.create_map(*[F.lit(x) for r in band_sizes for x in (r, thr[r])])
+    return (
+        buckets.groupBy("band_size")
+        .agg(
+            F.sum((F.col("n") >= 2).cast("long")).cast("bigint").alias("buckets_ge2"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("bigint").alias("candidate_checks"),
+        )
+        .select(
+            (F.lit(num_hashes) / F.col("band_size")).cast("int").alias("n_bands"),
+            F.col("band_size").cast("int").alias("band_size"),
+            thr_expr[F.col("band_size")].alias("est_threshold"),
+            "buckets_ge2",
+            "candidate_checks",
+        )
+        .orderBy("band_size")
+    )

@@ -1724,3 +1724,85 @@ def ivf_pareto(
         .agg(F.round(F.avg("sf"), 4).alias("scan_frac"), F.round(F.avg("r"), 4).alias("recall"))
         .orderBy("n_probe")
     )
+
+
+def embedding_intrinsic_dim(embeddings: DataFrame) -> DataFrame:
+    """Embedding-space health in one row: participation-ratio intrinsic
+    dimensionality PR = (Σ var_d)² / Σ var_d² over per-dimension
+    population variances, plus the top dimension's variance share and
+    the total variance. PR ≈ n_dims means isotropic use of the space;
+    PR ≪ n_dims flags collapsed/anisotropic embeddings (a training or
+    normalization bug) before anyone builds an ANN index on them —
+    the quantitative form of the "did the encoder collapse" check.
+
+    Plan: posexplode → per-dim var_pop (map-side partial agg into
+    n_dims cells) → one 1-row reduction over n_dims values. No
+    per-vector state crosses the shuffle; at 100 TB the shuffle carries
+    n_dims × partitions partial rows. Determinism: per-dim variances
+    round 6dp before the cross-dim sums (cross-partition order), PR
+    rounds 2dp, shares 4dp."""
+    e = embeddings.select(F.posexplode("embedding").alias("dim", "v"))
+    per_dim = e.groupBy("dim").agg(F.round(F.var_pop(F.col("v").cast("double")), 6).alias("vv"))
+    return per_dim.agg(
+        F.count(F.lit(1)).cast("int").alias("n_dims"),
+        F.round((F.sum("vv") * F.sum("vv")) / F.sum(F.col("vv") * F.col("vv")), 2).alias(
+            "participation_ratio"
+        ),
+        F.round(F.max("vv") / F.sum("vv"), 4).alias("top_dim_share"),
+        F.round(F.sum("vv"), 4).alias("total_var"),
+    )
+
+
+def centroid_margin_report(embeddings: DataFrame) -> DataFrame:
+    """Per-label assignment-confidence report against the label
+    centroids: for every vector, the L2 distance to its nearest and
+    second-nearest centroid; margin = sqrt(d2) - sqrt(d1). Low margins
+    mean the coarse quantizer's cells overlap — the number that sizes
+    n_probe (and flags when an IVF build needs more cells) BEFORE
+    recall degrades in production; n_misassigned counts vectors whose
+    nearest centroid is not their own label's (cluster confusion).
+
+    Plan shape: centroids are a (n_labels × n_dims)-cell broadcast
+    (posexplode + partial agg, the embedding_centroids kernel); the
+    distance table is one scan of the exploded vectors joined to that
+    broadcast — per (vec, centroid) partial sums combine map-side, so
+    the shuffle carries n_vecs × n_labels rows of one double each, and
+    the top-2 pick is a size-n_labels sorted-array slice per vector,
+    never a global sort. Determinism: centroid cells round 4dp,
+    distances 6dp (the cross-partition sum), margins and averages 4dp.
+    Ties broken by centroid label."""
+    cents = (
+        embeddings.select(F.col("label").alias("clabel"), F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("clabel", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("c"))
+    )
+    ev = embeddings.select("vec_id", "label", F.posexplode("embedding").alias("dim", "v"))
+    dists = (
+        ev.join(F.broadcast(cents), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.round(
+                F.sum((F.col("v").cast("double") - F.col("c")) * (F.col("v").cast("double") - F.col("c"))),
+                6,
+            ).alias("dist")
+        )
+    )
+    top2 = (
+        dists.groupBy("vec_id", "label")
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("dist", "clabel"))), 1, 2).alias("t2"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("t2")[0]["clabel"].alias("nearest_label"),
+            F.round(F.sqrt(F.col("t2")[1]["dist"]) - F.sqrt(F.col("t2")[0]["dist"]), 4).alias("margin"),
+        )
+    )
+    return (
+        top2.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum((F.col("nearest_label") != F.col("label")).cast("long")).cast("bigint").alias("n_misassigned"),
+            F.round(F.avg("margin"), 4).alias("avg_margin"),
+        )
+        .orderBy("label")
+    )

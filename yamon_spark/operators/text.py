@@ -813,3 +813,47 @@ def mattr(docs: DataFrame, window: int = 25) -> DataFrame:
         F.when(n >= window, windowed_score).otherwise(ttr).alias("mattr"),
         (n >= window).cast("int").alias("windowed"),
     ).orderBy("doc_id")
+
+
+def doc_length_survival(docs: DataFrame, cuts: tuple[int, ...] = (64, 128, 256, 512, 1024, 2048, 4096)) -> DataFrame:
+    """Context-length operating table: for each candidate sequence cut,
+    how many docs a max-length truncation would clip and what fraction
+    of the corpus's tokens it would discard — the table read before
+    committing a max_seq_len / packing size to a 100 TB training run
+    (too short silently deletes the long-document tail; too long wastes
+    pad/packing budget).
+
+    ONE scan feeds every row: per-cut doc and token losses are
+    conditional sums over the same whitespace token count, stacked to
+    |cuts| rows with the corpus totals carried in the same 1-row agg —
+    the quality_threshold_sweep shape, no per-cut rescans, no shuffle
+    beyond the single-row agg. Fractions round 4dp."""
+    n = F.size(words_col(F.col("text"))).cast("long")
+    cuts = tuple(sorted(cuts))
+    row = docs.select(n.alias("n")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("n_tokens"),
+        *[
+            a
+            for i, c in enumerate(cuts)
+            for a in (
+                F.sum((F.col("n") > c).cast("long")).alias(f"d{i}"),
+                F.sum(F.greatest(F.col("n") - c, F.lit(0))).alias(f"t{i}"),
+            )
+        ],
+    )
+    stack = "stack({n}, {cells}) AS (cut, n_docs_truncated, tokens_lost)".format(
+        n=len(cuts),
+        cells=", ".join(f"{c}L, d{i}, t{i}" for i, c in enumerate(cuts)),
+    )
+    return (
+        row.select(F.expr(stack), "n_docs", "n_tokens")
+        .select(
+            "cut",
+            F.col("n_docs_truncated").cast("bigint").alias("n_docs_truncated"),
+            F.round(F.col("n_docs_truncated") / F.col("n_docs"), 4).alias("frac_docs_truncated"),
+            F.col("tokens_lost").cast("bigint").alias("tokens_lost"),
+            F.round(F.col("tokens_lost") / F.col("n_tokens"), 4).alias("frac_tokens_lost"),
+        )
+        .orderBy("cut")
+    )

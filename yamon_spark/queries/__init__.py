@@ -207,6 +207,7 @@ def all_queries() -> dict[str, DeclaredQuery]:
         training_ops2,
         eval_ops,
         maintenance_ops,
+        corpus_health,
     )
 
     fresh = {k: v for k, v in REGISTRY.items() if k not in _DRIVER_GREEN_ROUND}
