@@ -689,3 +689,34 @@ def test_adpcm_roundtrip_operator(spark):
         assert r.sample_sum == sum(samples)
         assert r.code_sum == sum(codes)
         assert r.n_bytes == 64 + n // 2
+
+
+def test_sniff_decode_truncated_riff_raises_valueerror_not_structerror():
+    """ADVICE r9 regression: a RIFF whose fmt/fact chunk claims more
+    bytes than the payload carries must raise ValueError (the decoder
+    error contract), never struct.error/IndexError — streaming media's
+    dead-letter path depends on the normalized class."""
+    import struct
+
+    import pytest
+
+    from yamon_spark.operators.multimodal import decode_adpcm_wav, sniff_decode
+
+    # fmt chunk claims 2 bytes but the payload ends after 1 — the band
+    # that used to escape as struct.error from the fmt-tag scan
+    trunc_sniff = b"RIFF" + struct.pack("<I", 100) + b"WAVE" + b"fmt " + struct.pack("<I", 2) + b"\x11"
+    with pytest.raises(ValueError):
+        sniff_decode(trunc_sniff)
+
+    # fmt chunk shorter than the 16-byte header; fact shorter than 4
+    def wav(chunks: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    short_fmt = wav(b"fmt " + struct.pack("<I", 4) + b"\x11\x00\x01\x00")
+    short_fact = wav(
+        b"fmt " + struct.pack("<I", 16) + struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 256, 4)
+        + b"fact" + struct.pack("<I", 2) + b"\x01\x00"
+    )
+    for bad in (short_fmt, short_fact):
+        with pytest.raises(ValueError):
+            decode_adpcm_wav(bad)

@@ -981,3 +981,46 @@ def test_near_dup_pairs_sub_bucketing_default(spark):
     auto = rows(embedding_near_dup_pairs(emb, threshold=0.99))  # 600/512 -> 1 plane
     assert set(auto) <= set(exact)
     assert auto, "sub-bucketed run must still find within-bucket pairs"
+
+
+def test_ivf_recover_spares_unrelated_dotdirs_and_log_listing_fallback(spark, tmp_path, sf_dir):
+    """ADVICE r9 regressions, both filesystem-shape contracts:
+
+    1. _ivf_recover removes ONLY the exact debris names a rebuild
+       creates — an unrelated dot-dir whose name merely CONTAINS
+       '.rebuild-tmp' survives a sibling index's recovery sweep.
+    2. _log_partition_values serves a scheme'd (non-plain-local) log
+       path through the Spark read instead of silently reporting zero
+       priors (Path.is_dir() is False for 'file:/...')."""
+    import os
+
+    from yamon_spark.operators.similarity import (
+        _ivf_recover,
+        _log_partition_values,
+        ivf_append,
+        ivf_build,
+    )
+    from yamon_spark.queries import table as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    ivf_build(emb.where("vec_id % 10 < 8"), idx, n_cells=4)
+
+    bystander = tmp_path / ".backup-of.rebuild-tmp-stuff"
+    bystander.mkdir()
+    (bystander / "keep.txt").write_text("precious")
+    debris = tmp_path / ".ivf.rebuild-tmp"
+    debris.mkdir()
+    _ivf_recover(tmp_path)
+    assert bystander.is_dir() and (bystander / "keep.txt").read_text() == "precious"
+    assert not debris.exists()
+
+    # two appends -> two append_seq partitions; both path forms agree
+    batch = emb.where("vec_id % 10 = 8")
+    ivf_append(batch, idx)
+    ivf_append(emb.where("vec_id % 10 = 9"), idx)
+    log = idx + "_log"
+    assert _log_partition_values(spark, log, "append_seq") == [1, 2]
+    assert _log_partition_values(spark, "file:" + os.path.abspath(log), "append_seq") == [1, 2]
+    # missing log, scheme'd path: no priors, no exception
+    assert _log_partition_values(spark, "file:" + str(tmp_path / "nolog"), "append_seq") == []

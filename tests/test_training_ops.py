@@ -436,3 +436,26 @@ def test_gd_memo_never_keys_on_opaque_inmemory_plans(spark):
     other = load_table(spark, "/root/testdata/sf0.01", "documents")
     f3, w3 = _logit_train_frames(other, 6, 4.0)
     assert f3 is not f1 and w3 is not w1
+
+
+def test_gd_memo_sweeps_dead_session_entries(spark):
+    """ADVICE r9: memo entries whose owning session has stopped are
+    evicted on the next memo access — simulated with a stub whose
+    sparkSession access fails (the same code path a stopped session
+    takes), so the real shared session is never stopped mid-suite."""
+    from yamon_spark.operators.curation import _GD_MEMO, _gd_memo_sweep, _logit_train_frames
+    from yamon_spark.queries import table as load_table
+
+    class _DeadFrame:
+        @property
+        def sparkSession(self):
+            raise RuntimeError("session gone")
+
+    _GD_MEMO[("dead-session-key",)] = (_DeadFrame(), None)
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    f1, _ = _logit_train_frames(docs, 6, 4.0)  # access runs the sweep
+    assert ("dead-session-key",) not in _GD_MEMO
+    # live-session entries survive the sweep untouched
+    _gd_memo_sweep()
+    f2, _ = _logit_train_frames(docs, 6, 4.0)
+    assert f1 is f2

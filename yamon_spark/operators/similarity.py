@@ -784,7 +784,9 @@ def _log_partition_values(spark, log_path: str, col: str) -> list[int]:
     from pathlib import Path
 
     prefix = f"{col}="
-    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", log_path):
+    # scheme detection must accept BOTH URI forms Hadoop does —
+    # "s3a://bucket/x" and the single-slash "file:/x"
+    if not re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", log_path):
         d = Path(log_path)
         if not d.is_dir():
             return []
