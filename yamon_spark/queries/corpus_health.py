@@ -42,7 +42,7 @@ def _gopher_oracle() -> str:
         f"SELECT '{name}' AS rule, n{i} AS n_fail, n_docs FROM agg"
         for i, name in enumerate(GOPHER_RULES)
     )
-    return f"""
+    return rf"""
     WITH t AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
     f AS (
       SELECT
