@@ -1,0 +1,74 @@
+"""Live corpus-health monitor — the streaming twin of
+``curation.quality_gopher_rules`` (the pattern every batch op has a
+live half for; the drift monitor watches the trained head's SCORE
+distribution, this watches the raw RULE-failure composition, so the two
+alarms separate "the scorer sees different data" from "which ingest
+rule is firing").
+
+Every landed document batch produces one 5-row epoch slice — per
+Gopher rule: docs failing, failure fraction, batch size — appended as
+the (ingest_epoch=N) partition of a health-history table. A pipeline
+alarms on a rule's fail_frac jumping between epochs (a crawler
+regression, an encoding bug, a garbage flood) long before the corpus
+table itself shows it.
+
+Delivery semantics: the per-epoch slice is epoch-partitioned with
+dynamic partition overwrite (the drift/media/IVF epochlog recipe), so
+a replayed foreachBatch epoch rewrites its own partition — history
+never double-counts a replay. State: none; each epoch's report depends
+only on that batch, so checkpoint restarts resume cleanly.
+
+100 TB shape: per batch ONE conditional-sum scan into a 5-row stack
+(quality_gopher_rules' plan — map-side partial agg, no data-sized
+shuffle) — cost linear in the batch, independent of stream age.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from yamon_spark.streaming.corpus import parse_doc_lines
+
+
+def health_epoch(batch: DataFrame, out_path: str, epoch: int) -> None:
+    """Idempotently record one epoch's rule-failure slice: run the
+    Gopher rule report over the batch, stamp batch size and epoch,
+    dynamic-overwrite the (ingest_epoch=N) partition."""
+    from yamon_spark.operators.curation import quality_gopher_rules
+
+    report = quality_gopher_rules(batch.select("doc_id", "text"))
+    n_docs = batch.count()
+    (
+        report.withColumn("n_docs", F.lit(int(n_docs)).cast("bigint"))
+        .withColumn("ingest_epoch", F.lit(int(epoch)))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_epoch")
+        .parquet(out_path)
+    )
+
+
+def start_health_monitor(
+    spark: SparkSession,
+    landing_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    query_name: str = "corpus_health",
+) -> StreamingQuery:
+    """Start the live corpus-health monitor: landed JSON doc lines ->
+    parse -> per-epoch Gopher rule-failure slice."""
+    docs = parse_doc_lines(spark.readStream.text(landing_dir))
+
+    def run_epoch(batch: DataFrame, epoch: int) -> None:
+        health_epoch(batch, out_path, epoch)
+
+    return (
+        docs.writeStream.foreachBatch(run_epoch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
