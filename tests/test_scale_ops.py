@@ -495,8 +495,11 @@ def test_knn_join_query_batch_hard_capped(spark):
     # 100 ids sampled by %2; only the 5 lowest survive the cap
     assert q_ids == [0, 2, 4, 6, 8]
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan  # the cap, not a full sort
-    assert "Broadcast" in plan  # query side still broadcasts
+    # r10 shape: scoring + per-partition top-k in ONE Arrow stage; the
+    # candidates x queries scored frame is never materialized, so no
+    # nested-loop join (and no data-sized shuffle) may appear
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
 
     hn = hard_negative_mining(emb, query_mod=2, k=1, max_queries=5)
     hn_ids = sorted(r.q_id for r in hn.select("q_id").distinct().collect())

@@ -978,34 +978,101 @@ def knn_join(
     runs (one batch of queries against the corpus, not one query at a
     time).
 
-    Scale shape: the query batch is HARD-CAPPED at max_queries rows —
-    the modulo sample alone is a corpus *fraction*, so without the cap
-    the broadcast side would grow linearly with data (and total work
-    quadratically). orderBy(vec_id).limit(n) compiles to
-    TakeOrderedAndProject: no full sort, and the broadcast is O(1) in
-    corpus size by construction. Scoring is a map-side projection over
-    the candidate scan; the only shuffle is the per-query top-k window,
-    partitioned by query id (uniform, <= max_queries keys). For a
-    genuinely all-queries x all-candidates pass, this operator is the
-    wrong tool — use the LSH-bucket-blocked two-sided join
-    (near_dup_lsh / lsh_topk shape) whose candidate space is bounded
-    per bucket instead of per batch. Similarities round to 4dp BEFORE
-    ranking so the (cos_sim, vec_id) order is identical across engines
-    regardless of last-ulp float differences."""
+    Scale shape (r10 rewrite): the query batch is HARD-CAPPED at
+    max_queries rows — the modulo sample alone is a corpus *fraction*,
+    so without the cap the query side would grow linearly with data
+    (and total work quadratically); orderBy(vec_id).limit(n) compiles
+    to TakeOrderedAndProject (no full sort) and the bounded batch ships
+    to executors in the UDF closure (the serve-the-artifact shape).
+    Scoring + per-partition top-k run in ONE Arrow `mapInPandas` stage:
+    each partition scores its candidates against the query matrix as a
+    BLAS matmul and keeps a running (queries × k) best set — fully
+    vectorized via an int64 composite sort key (sims are 4dp-exact, so
+    -sim·2^40 + vec_id orders by sim desc then vec_id asc with no float
+    ties). Only partitions × queries × k survivor rows ever leave a
+    partition; the final exact rank is a window over that bounded set.
+    The previous form materialized candidates × queries scored rows and
+    shuffled them all through the top-k window — at 100 TB that shuffle
+    (N × 256 rows) IS the job; this plan's shuffle is O(1) in corpus
+    size. For a genuinely all-queries x all-candidates pass, use the
+    LSH-bucket-blocked two-sided join (near_dup_lsh / lsh_topk shape)
+    whose candidate space is bounded per bucket instead of per batch.
+    Similarities round to 4dp BEFORE ranking (np.round, the near-dup
+    BLAS kernel's precedent) so the (cos_sim, vec_id) order is
+    identical across engines regardless of last-ulp float
+    differences."""
+    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_gate=False)
+
+
+def _batched_blas_topk(
+    embeddings: DataFrame, query_mod: int, k: int, max_queries: int, label_gate: bool
+) -> DataFrame:
+    """Shared kernel of knn_join / hard_negative_mining: bounded query
+    batch in the UDF closure, per-partition BLAS scoring + running
+    (queries × k) top-k via an int64 composite key (4dp-exact sims →
+    -sim·2^40 + vec_id sorts by sim desc, vec_id asc), final exact rank
+    over the partitions × queries × k survivor rows. With ``label_gate``
+    candidates sharing a query's label are masked out inside the batch
+    (the hard-negative rule)."""
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
-    q = (
+    cols = ["vec_id", "label", "embedding"] if label_gate else ["vec_id", "embedding"]
+    q_rows = (
         embeddings.where(F.col("vec_id") % query_mod == 0)
         .orderBy("vec_id")
         .limit(max_queries)
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .select(*cols)
+        .collect()
     )
-    cand = embeddings.where(F.col("vec_id") % query_mod != 0)
-    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
-    scored = cand.crossJoin(F.broadcast(q)).select("q_id", "vec_id", sim.alias("cos_sim"))
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "q_id bigint, vec_id bigint, cos_sim double, rank bigint"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64) if label_gate else None
+    qm = np.vstack([r.embedding for r in q_rows]).astype(np.float64)
+    qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+    n_q = len(q_ids)
+    # composite-key constants: sims4 in [-10000, 10000]; vec_id < 2^40
+    _SENT_SIM, _ID_BITS = -(1 << 20), 1 << 40
+    sentinel = (-_SENT_SIM) * _ID_BITS
+
+    def part_topk(it):
+        top_key = np.full((n_q, k), sentinel, dtype=np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+            sims4 = np.round(qn @ mn.T * 10000.0).astype(np.int64)  # n_q x B
+            keys = -sims4 * _ID_BITS + ids[None, :]
+            if q_labels is not None:
+                keys[q_labels[:, None] == pdf["label"].to_numpy()[None, :]] = sentinel
+            merged = np.concatenate([top_key, keys], axis=1)
+            part = np.argsort(merged, axis=1, kind="stable")[:, :k]
+            top_key = np.take_along_axis(merged, part, axis=1)
+        rows = np.argwhere(top_key < sentinel)
+        if not len(rows):
+            yield pd.DataFrame({"q_id": pd.Series([], dtype="int64"),
+                                "vec_id": pd.Series([], dtype="int64"),
+                                "cos_sim": pd.Series([], dtype="float64")})
+            return
+        kv = top_key[rows[:, 0], rows[:, 1]]
+        vec = kv % _ID_BITS
+        sims4 = -((kv - vec) // _ID_BITS)
+        yield pd.DataFrame(
+            {"q_id": q_ids[rows[:, 0]], "vec_id": vec, "cos_sim": sims4 / 10000.0}
+        )
+
+    cand = embeddings.where(F.col("vec_id") % query_mod != 0).select(*cols)
+    survivors = cand.mapInPandas(part_topk, "q_id bigint, vec_id bigint, cos_sim double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
         .select("q_id", "vec_id", "cos_sim", "rank")
         .orderBy("q_id", "rank")
@@ -1426,40 +1493,19 @@ def hard_negative_mining(
     batch retrieval pass a training-data pipeline runs to build triplet /
     InfoNCE batches). knn_join's shape with a label-inequality gate.
 
-    Scale shape: the query batch is HARD-CAPPED at max_queries rows
-    (orderBy(vec_id).limit -> TakeOrderedAndProject), so the broadcast
-    side is O(1) in corpus size — the modulo sample alone is a fraction
-    of the corpus and would otherwise grow the broadcast (and make the
-    total work quadratic). Scoring + label filter are map-side over the
-    candidate scan; the only shuffle is the per-query top-k window. The
-    all-queries case belongs to the bucket-blocked two-sided join
-    (near_dup_lsh shape), not this operator."""
-    from pyspark.sql import Window
-
-    q = (
-        embeddings.where(F.col("vec_id") % query_mod == 0)
-        .orderBy("vec_id")
-        .limit(max_queries)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("q_emb"),
-        )
-    )
-    cand = embeddings.where(F.col("vec_id") % query_mod != 0)
-    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
-    scored = (
-        cand.crossJoin(F.broadcast(q))
-        .where(F.col("label") != F.col("q_label"))
-        .select("q_id", "vec_id", sim.alias("cos_sim"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", "cos_sim", "rank")
-        .orderBy("q_id", "rank")
-    )
+    Scale shape (r10 rewrite, the knn_join kernel): the query batch is
+    HARD-CAPPED at max_queries rows (orderBy(vec_id).limit ->
+    TakeOrderedAndProject) and ships in the UDF closure — O(1) in
+    corpus size; the modulo sample alone is a fraction of the corpus
+    and would otherwise grow it (and make the total work quadratic).
+    Scoring, the label mask, and the per-partition running top-k all
+    happen in ONE Arrow `mapInPandas` stage, so only partitions ×
+    queries × k survivor rows shuffle into the final exact rank — the
+    previous form shuffled the whole candidates × queries scored frame
+    through the top-k window. The all-queries case belongs to the
+    bucket-blocked two-sided join (near_dup_lsh shape), not this
+    operator."""
+    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_gate=True)
 
 
 def cascade_topk(
