@@ -649,8 +649,11 @@ def test_contamination_semantic_bench_side_hard_capped(spark):
     assert benches <= {0, 2, 4} and len(benches) > 0
     assert out.count() == 100  # every non-bench vector scored
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "TakeOrderedAndProject" in plan
-    assert "Broadcast" in plan
+    # r10 shape: nearest-bench is a pure per-row projection (one Arrow
+    # stage, closure-shipped capped bench) — the corpus x bench scored
+    # frame and its argmax window shuffle no longer exist
+    assert "MapInPandas" in plan
+    assert "Window" not in plan
 
 
 def test_contamination_semantic_flags_planted_leak(spark):

@@ -1001,25 +1001,31 @@ def knn_join(
     BLAS kernel's precedent) so the (cos_sim, vec_id) order is
     identical across engines regardless of last-ulp float
     differences."""
-    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_gate=False)
+    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_mode=None)
 
 
 def _batched_blas_topk(
-    embeddings: DataFrame, query_mod: int, k: int, max_queries: int, label_gate: bool
+    embeddings: DataFrame,
+    query_mod: int,
+    k: int,
+    max_queries: int,
+    label_mode: str | None,
 ) -> DataFrame:
-    """Shared kernel of knn_join / hard_negative_mining: bounded query
-    batch in the UDF closure, per-partition BLAS scoring + running
-    (queries × k) top-k via an int64 composite key (4dp-exact sims →
-    -sim·2^40 + vec_id sorts by sim desc, vec_id asc), final exact rank
-    over the partitions × queries × k survivor rows. With ``label_gate``
-    candidates sharing a query's label are masked out inside the batch
-    (the hard-negative rule)."""
+    """Shared kernel of knn_join / hard_negative_mining /
+    sim_ivf_recall_batch: bounded query batch in the UDF closure,
+    per-partition BLAS scoring + running (queries × k) top-k via an
+    int64 composite key (4dp-exact sims → -sim·2^40 + vec_id sorts by
+    sim desc, vec_id asc), final exact rank over the partitions ×
+    queries × k survivor rows. ``label_mode``: None scores every
+    candidate; "exclude" masks candidates sharing a query's label (the
+    hard-negative rule); "only" masks everything BUT them (the
+    single-probe-IVF truth of the batch recall gate)."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import Window
 
-    cols = ["vec_id", "label", "embedding"] if label_gate else ["vec_id", "embedding"]
+    cols = ["vec_id", "label", "embedding"] if label_mode else ["vec_id", "embedding"]
     q_rows = (
         embeddings.where(F.col("vec_id") % query_mod == 0)
         .orderBy("vec_id")
@@ -1032,7 +1038,7 @@ def _batched_blas_topk(
             [], "q_id bigint, vec_id bigint, cos_sim double, rank bigint"
         )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
-    q_labels = np.array([r.label for r in q_rows], dtype=np.int64) if label_gate else None
+    q_labels = np.array([r.label for r in q_rows], dtype=np.int64) if label_mode else None
     qm = np.vstack([r.embedding for r in q_rows]).astype(np.float64)
     qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
     n_q = len(q_ids)
@@ -1051,7 +1057,8 @@ def _batched_blas_topk(
             sims4 = np.round(qn @ mn.T * 10000.0).astype(np.int64)  # n_q x B
             keys = -sims4 * _ID_BITS + ids[None, :]
             if q_labels is not None:
-                keys[q_labels[:, None] == pdf["label"].to_numpy()[None, :]] = sentinel
+                same = q_labels[:, None] == pdf["label"].to_numpy()[None, :]
+                keys[same if label_mode == "exclude" else ~same] = sentinel
             merged = np.concatenate([top_key, keys], axis=1)
             part = np.argsort(merged, axis=1, kind="stable")[:, :k]
             top_key = np.take_along_axis(merged, part, axis=1)
@@ -1289,33 +1296,57 @@ def contamination_semantic(
     a corpus FRACTION, so total work grows quadratically (measured 31×
     wall at 30× data before the cap). `max_bench` HARD-CAPS the bench
     side (lowest ids via orderBy+limit → TakeOrderedAndProject), making
-    the broadcast O(1) in corpus size by construction; scoring is one
-    map-side pass — |corpus| x max_bench compares, linear in corpus
-    (re-measured 8.2× wall at 30× data)."""
-    from pyspark.sql import Window
+    the batch O(1) in corpus size by construction.
 
-    bench = (
+    r10 shape: the capped bench batch ships in the UDF closure and
+    each corpus partition picks its rows' nearest benchmark item as ONE
+    BLAS matmul + vectorized argmin over an int64 composite key
+    (4dp-exact sims; ties to lowest b_id) — a pure per-row projection,
+    NO corpus-sized shuffle. The previous form materialized the
+    |corpus| × max_bench scored frame through an argmax window
+    (measured 8.2× wall at 30× data; the window shuffle was the whole
+    job at 100 TB)."""
+    import numpy as np
+    import pandas as pd
+
+    bench_rows = (
         embeddings.where((F.col("vec_id") % bench_mod) == 0)
         .orderBy("vec_id")
         .limit(max_bench)
-        .select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+        .select("vec_id", "embedding")
+        .collect()
     )
-    corpus = embeddings.where((F.col("vec_id") % bench_mod) != 0)
-    sim = F.round(cosine_sim(F.col("embedding"), F.col("b_emb")), 4)
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), "b_id")
-    return (
-        corpus.crossJoin(F.broadcast(bench))
-        .select("vec_id", "b_id", sim.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            F.col("b_id").alias("nearest_bench"),
-            "cos_sim",
-            (F.col("cos_sim") >= threshold).cast("int").alias("contaminated"),
-        )
-        .orderBy("vec_id")
-    )
+    empty_schema = "vec_id bigint, nearest_bench bigint, cos_sim double, contaminated int"
+    if not bench_rows:
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    b_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
+    bm = np.vstack([r.embedding for r in bench_rows]).astype(np.float64)
+    bn = bm / np.sqrt((bm * bm).sum(axis=1))[:, None]
+    _ID_BITS = 1 << 40
+
+    def nearest(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+            sims4 = np.round(mn @ bn.T * 10000.0).astype(np.int64)  # rows x bench
+            keys = -sims4 * _ID_BITS + b_ids[None, :]
+            j = np.argmin(keys, axis=1)
+            best = keys[np.arange(len(keys)), j]
+            b = best % _ID_BITS
+            cos = -((best - b) // _ID_BITS) / 10000.0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().astype(np.int64),
+                    "nearest_bench": b,
+                    "cos_sim": cos,
+                    "contaminated": (cos >= threshold).astype(np.int32),
+                }
+            )
+
+    corpus = embeddings.where((F.col("vec_id") % bench_mod) != 0).select("vec_id", "embedding")
+    return corpus.mapInPandas(nearest, empty_schema).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1505,7 +1536,7 @@ def hard_negative_mining(
     through the top-k window. The all-queries case belongs to the
     bucket-blocked two-sided join (near_dup_lsh shape), not this
     operator."""
-    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_gate=True)
+    return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_mode="exclude")
 
 
 def cascade_topk(

@@ -742,6 +742,7 @@ def truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (
       SELECT vec_id AS q_id, embedding AS q_emb, label AS q_label
       FROM embeddings WHERE vec_id % 97 = 0
+      ORDER BY vec_id LIMIT 256
     ), s AS (
       SELECT q.q_id, q.q_label, e.vec_id, e.label,
         list_reduce(list_transform(range(1, len(e.embedding) + 1),
@@ -773,43 +774,24 @@ def truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "Batch ANN eval: recall@10 of single-probe IVF vs brute force, "
-        "averaged over the whole sampled query batch — the statistically "
-        "honest version of the single-query gate; same broadcast-batch "
-        "scan, two bounded per-query rankings."
+        "averaged over the sampled query batch (capped at the 256 lowest "
+        "sampled ids — the knn_join lesson: a modulo sample alone is a "
+        "corpus FRACTION, so the uncapped batch made total work "
+        "quadratic in data; below the cap — every verification SF — "
+        "results are unchanged). r10: both rankings run through the "
+        "shared per-partition BLAS top-k kernel, so only batch x 10 "
+        "survivor rows per partition ever shuffle."
     ),
 )
 def ivf_recall_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from yamon_spark.operators.similarity import cosine_sim
+    from yamon_spark.operators.similarity import _batched_blas_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") % 97 == 0).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
-    )
-    scored = (
-        emb.where(F.col("vec_id") % 97 != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "q_id",
-            "q_label",
-            "vec_id",
-            "label",
-            F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4).alias("cs"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
-    full_rank = (
-        scored.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 10).select("q_id", "vec_id")
-    )
-    ivf_rank = (
-        scored.where(F.col("label") == F.col("q_label"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 10)
-        .select(F.col("q_id").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    full_rank = _batched_blas_topk(emb, 97, 10, 256, label_mode=None).select("q_id", "vec_id")
+    ivf_rank = _batched_blas_topk(emb, 97, 10, 256, label_mode="only").select(
+        F.col("q_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
     )
     hits = (
         full_rank.join(
