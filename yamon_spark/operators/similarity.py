@@ -143,6 +143,7 @@ def embedding_near_dup_pairs(
             )
         m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
         norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0  # zero vector -> sims 0, never NaN keys
         mn = m / norms[:, None]
         s = mn @ mn.T
         ia, ib = np.triu_indices(len(ids), k=1)
@@ -1004,6 +1005,17 @@ def knn_join(
     return _batched_blas_topk(embeddings, query_mod, k, max_queries, label_mode=None)
 
 
+def _safe_norms(m):
+    """Row L2 norms with zeros mapped to 1 — a zero vector then scores
+    cosine 0.0 against everything (the kernels' convention) instead of
+    NaN, which would cast to garbage int64 composite keys."""
+    import numpy as np
+
+    norms = np.sqrt((m * m).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return norms
+
+
 def _batched_blas_topk(
     embeddings: DataFrame,
     query_mod: int,
@@ -1040,7 +1052,7 @@ def _batched_blas_topk(
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_labels = np.array([r.label for r in q_rows], dtype=np.int64) if label_mode else None
     qm = np.vstack([r.embedding for r in q_rows]).astype(np.float64)
-    qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+    qn = qm / _safe_norms(qm)[:, None]
     n_q = len(q_ids)
     # composite-key constants: sims4 in [-10000, 10000]; vec_id < 2^40
     _SENT_SIM, _ID_BITS = -(1 << 20), 1 << 40
@@ -1053,7 +1065,7 @@ def _batched_blas_topk(
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
-            mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+            mn = m / _safe_norms(m)[:, None]
             sims4 = np.round(qn @ mn.T * 10000.0).astype(np.int64)  # n_q x B
             keys = -sims4 * _ID_BITS + ids[None, :]
             if q_labels is not None:
@@ -1321,7 +1333,7 @@ def contamination_semantic(
         return embeddings.sparkSession.createDataFrame([], empty_schema)
     b_ids = np.array([r.vec_id for r in bench_rows], dtype=np.int64)
     bm = np.vstack([r.embedding for r in bench_rows]).astype(np.float64)
-    bn = bm / np.sqrt((bm * bm).sum(axis=1))[:, None]
+    bn = bm / _safe_norms(bm)[:, None]
     _ID_BITS = 1 << 40
 
     def nearest(it):
@@ -1329,7 +1341,7 @@ def contamination_semantic(
             if not len(pdf):
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
-            mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+            mn = m / _safe_norms(m)[:, None]
             sims4 = np.round(mn @ bn.T * 10000.0).astype(np.int64)  # rows x bench
             keys = -sims4 * _ID_BITS + b_ids[None, :]
             j = np.argmin(keys, axis=1)
