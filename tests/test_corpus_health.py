@@ -114,3 +114,30 @@ def test_band_tuning_monotone_in_band_size(spark):
     assert all(a >= b for a, b in zip(checks, checks[1:]))
     thr = [r.est_threshold for r in out]
     assert all(a < b for a, b in zip(thr, thr[1:]))
+
+
+def test_blas_kernels_zero_vector_scores_zero_not_nan(spark):
+    """Zero embeddings score cosine 0.0 against everything (the
+    _safe_norms convention) — previously NaN sims cast to garbage int64
+    composite keys. Covers the batched top-k (query AND candidate side)
+    and the nearest-bench projection."""
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.similarity import contamination_semantic, knn_join
+
+    rows = [(0, 0, [0.0, 0.0]), (1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0]), (3, 0, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    # vec 0 is both the (zero) query and absent from candidates
+    out = {(r.q_id, r.vec_id): r.cos_sim for r in knn_join(emb, query_mod=97, k=3).collect()}
+    assert out == {(0, 1): 0.0, (0, 2): 0.0, (0, 3): 0.0}
+
+    # zero CANDIDATE: query 0 = [1,0]; candidate 50 is the zero vector
+    rows2 = [(0, 0, [1.0, 0.0]), (50, 0, [0.0, 0.0]), (3, 0, [0.0, 1.0])]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, label int, embedding array<float>")
+    got = {r.vec_id: r.cos_sim for r in knn_join(emb2, query_mod=97, k=3).collect()}
+    assert got == {50: 0.0, 3: 0.0}
+
+    cont = {r.vec_id: r for r in contamination_semantic(emb2, bench_mod=2, threshold=0.5).collect()}
+    # bench = {0, 50} (even ids); corpus = {3}: zero-bench scores 0, real
+    # bench also 0 (orthogonal) -> tie to lowest b_id, below threshold
+    assert cont[3].cos_sim == 0.0 and cont[3].nearest_bench == 0 and cont[3].contaminated == 0
