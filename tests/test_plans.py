@@ -253,8 +253,9 @@ def test_readme_registry_count_in_sync():
     import os
     import re
 
-    from yamon_spark.queries import REGISTRY
+    from yamon_spark.queries import REGISTRY, all_queries
 
+    all_queries()  # load the query modules — REGISTRY fills lazily
     path = os.path.join(os.path.dirname(__file__), "..", "README.md")
     with open(path) as f:
         text = f.read()
