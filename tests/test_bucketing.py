@@ -106,3 +106,39 @@ def test_snapshot_diff_is_shuffle_free_over_bucketed_store(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_snap_old")
         spark.sql("DROP TABLE IF EXISTS b_snap_new")
+
+
+def test_near_dup_blocking_is_shuffle_free_over_label_bucketed_store(spark):
+    """The near-dup pair family's standing shuffle is the groupBy on the
+    block column; a label-bucketed embeddings store satisfies the
+    grouped-map's hashpartitioning requirement from the READ, so the
+    100 TB play is: pay one bucketed write, then every near-dup /
+    threshold-sweep pass over the store is shuffle-free on the block
+    key (below the sub-bucketing knee, where the group key is the label
+    alone)."""
+    from yamon_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[((F.col("id") + i) % 7).cast("float") + 1.0 for i in range(4)]).alias(
+            "embedding"
+        ),
+        (F.col("id") % 8).cast("int").alias("label"),
+    )
+    emb.write.bucketBy(8, "label").mode("overwrite").saveAsTable("b_embeddings")
+    try:
+        store = spark.table("b_embeddings")
+        pairs = embedding_near_dup_pairs(store, threshold=0.999)  # avg block 50 < 512
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        grouped = plan[plan.find("FlatMapGroupsInPandas") :]
+        assert "FlatMapGroupsInPandas" in plan
+        assert "Exchange hashpartitioning(label" not in grouped
+        # same pairs as the plain (shuffled) path over the raw frame
+        plain = sorted(
+            (r.vec_a, r.vec_b, r.cos_sim)
+            for r in embedding_near_dup_pairs(emb, threshold=0.999).collect()
+        )
+        assert sorted((r.vec_a, r.vec_b, r.cos_sim) for r in pairs.collect()) == plain
+        assert len(plain) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_embeddings")
