@@ -956,7 +956,25 @@ def ivf_recall(
             .select("q_id", "vec_id")
         )
 
-    exact = topk(idx.crossJoin(F.broadcast(queries)))
+    # exact side (r10): the whole-index brute-force ranking goes through
+    # the per-partition BLAS kernel — only partitions x queries x k
+    # survivor rows shuffle instead of the index x queries scored frame
+    # (exclude_self: the queries live inside the index). The probed side
+    # keeps the windowed JVM rank: its candidate set is already bounded
+    # by the n_probe partition-pruned cells.
+    import numpy as np
+
+    q_collected = queries.collect()
+    if not q_collected:
+        exact = spark.createDataFrame([], "q_id bigint, vec_id bigint")
+    else:
+        exact = _blas_topk_survivors(
+            idx.select("vec_id", "embedding"),
+            np.array([r.q_id for r in q_collected], dtype=np.int64),
+            np.vstack([r.q_emb for r in q_collected]),
+            k,
+            exclude_self=True,
+        ).select("q_id", "vec_id")
     probed = topk(idx.join(F.broadcast(probe_cells), "cell"))
     flagged = exact.join(probed.withColumn("hit", F.lit(1)), ["q_id", "vec_id"], "left")
     return flagged.agg(
@@ -1052,7 +1070,32 @@ def _batched_blas_topk(
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     q_labels = np.array([r.label for r in q_rows], dtype=np.int64) if label_mode else None
     qm = np.vstack([r.embedding for r in q_rows]).astype(np.float64)
-    qn = qm / _safe_norms(qm)[:, None]
+    cand = embeddings.where(F.col("vec_id") % query_mod != 0).select(*cols)
+    return _blas_topk_survivors(cand, q_ids, qm, k, q_labels=q_labels, label_mode=label_mode)
+
+
+def _blas_topk_survivors(
+    cand: DataFrame,
+    q_ids,
+    qm,
+    k: int,
+    q_labels=None,
+    label_mode: str | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """The kernel proper, for callers that already hold the bounded
+    query matrix: rank `cand` (vec_id, [label,] embedding) against qm
+    (row-aligned with q_ids) and return the exact per-query top-k as
+    (q_id, vec_id, cos_sim, rank). ``exclude_self`` masks candidates
+    whose vec_id equals the query's id (ivf_recall's brute-force side,
+    where query vectors live inside the candidate index)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    qn = qm.astype(np.float64) / _safe_norms(qm.astype(np.float64))[:, None]
+    q_ids = np.asarray(q_ids, dtype=np.int64)
     n_q = len(q_ids)
     # composite-key constants: sims4 in [-10000, 10000]; vec_id < 2^40
     _SENT_SIM, _ID_BITS = -(1 << 20), 1 << 40
@@ -1069,8 +1112,10 @@ def _batched_blas_topk(
             sims4 = np.round(qn @ mn.T * 10000.0).astype(np.int64)  # n_q x B
             keys = -sims4 * _ID_BITS + ids[None, :]
             if q_labels is not None:
-                same = q_labels[:, None] == pdf["label"].to_numpy()[None, :]
+                same = np.asarray(q_labels, dtype=np.int64)[:, None] == pdf["label"].to_numpy()[None, :]
                 keys[same if label_mode == "exclude" else ~same] = sentinel
+            if exclude_self:
+                keys[q_ids[:, None] == ids[None, :]] = sentinel
             merged = np.concatenate([top_key, keys], axis=1)
             part = np.argsort(merged, axis=1, kind="stable")[:, :k]
             top_key = np.take_along_axis(merged, part, axis=1)
@@ -1087,7 +1132,6 @@ def _batched_blas_topk(
             {"q_id": q_ids[rows[:, 0]], "vec_id": vec, "cos_sim": sims4 / 10000.0}
         )
 
-    cand = embeddings.where(F.col("vec_id") % query_mod != 0).select(*cols)
     survivors = cand.mapInPandas(part_topk, "q_id bigint, vec_id bigint, cos_sim double")
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
