@@ -539,3 +539,74 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "mix_repeat_plan",
+    """
+    WITH s AS (
+      SELECT source, CAST(sum(n_chars // 4 + 1) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    sh AS (
+      SELECT source, tokens,
+        CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS natural_share
+      FROM s
+    ),
+    t AS (
+      SELECT source, tokens,
+             pow(natural_share, 0.7) / sum(pow(natural_share, 0.7)) OVER () AS temp_share
+      FROM sh
+    ),
+    r AS (
+      SELECT source, tokens, temp_share,
+             150000 * temp_share / tokens AS raw,
+             least(150000 * temp_share / tokens, 4.0) AS capped
+      FROM t
+    )
+    SELECT source, tokens, round(temp_share, 4) AS temp_share,
+           round(capped, 4) AS repeat_factor,
+           CAST(ceil(capped) AS INT) AS n_epochs,
+           round(capped * tokens, 4) AS achieved_tokens,
+           round((raw - capped) * tokens, 4) AS deficit_tokens
+    FROM r ORDER BY source
+    """,
+    doc=(
+        "Epoch-repeat plan under a SCARCE budget — the upsampling "
+        "complement of mix_budget_plan (whose sample_prob caps at 1 "
+        "because a source cannot yield more than it has in one pass): "
+        "when the temperature-0.7 target share exceeds a source's "
+        "tokens, the run must REPEAT the source across epochs. Per "
+        "source: the repeat factor capped at 4 (the data-constrained "
+        "scaling rule of thumb — repeating past ~4 epochs adds little), "
+        "epochs to schedule, tokens actually achieved, and the deficit "
+        "the cap leaves unmet (the signal to go buy/crawl more of that "
+        "source). Aggregates to |sources| rows first — windows over "
+        "dozens of rows, never the corpus."
+    ),
+)
+def mix_repeat_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yamon_spark.operators.curation import est_tokens
+
+    budget, tau, max_repeat = 150_000, 0.7, 4.0
+    docs = table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.sum(est_tokens()).cast("bigint").alias("tokens"))
+    wall = Window.partitionBy()
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(wall)
+    shared = per_src.select("source", "tokens", share.alias("natural_share"))
+    temp_share = F.pow("natural_share", tau) / F.sum(F.pow("natural_share", tau)).over(wall)
+    t = shared.select("source", "tokens", temp_share.alias("temp_share"))
+    raw = F.lit(float(budget)) * F.col("temp_share") / F.col("tokens")
+    capped = F.least(raw, F.lit(max_repeat))
+    return t.select(
+        "source",
+        "tokens",
+        F.round("temp_share", 4).alias("temp_share"),
+        F.round(capped, 4).alias("repeat_factor"),
+        F.ceil(capped).cast("int").alias("n_epochs"),
+        F.round(capped * F.col("tokens"), 4).alias("achieved_tokens"),
+        F.round((raw - capped) * F.col("tokens"), 4).alias("deficit_tokens"),
+    ).orderBy("source")
