@@ -86,3 +86,33 @@ def test_label_gates_never_leak(spark, vecs):
     assert all(labels[r.vec_id] != labels[r.q_id] for r in excl)
     only = _batched_blas_topk(emb, 4, 3, 256, label_mode="only").collect()
     assert all(labels[r.vec_id] == labels[r.q_id] for r in only)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vecs=st.lists(_vec8, min_size=4, max_size=18),
+    threshold=st.sampled_from([0.2, 0.5, 0.9]),
+)
+def test_near_dup_block_pairs_matches_brute_force(spark, vecs, threshold):
+    """The near-dup BLAS pair kernel (one matmul per block, upper
+    triangle) equals a plain-Python pairwise sweep under the same
+    4dp/threshold rules, for arbitrary float blocks — and sub-bucketing
+    OFF (target_block=None) must equal the single-label brute force
+    exactly."""
+    from yamon_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(i, 0, v) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, EMB_SCHEMA)
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in embedding_near_dup_pairs(emb, threshold=threshold, target_block=None).collect()
+    )
+    want = []
+    for i, (ia, _, va) in enumerate(rows):
+        na = math.sqrt(sum(x * x for x in va)) or 1.0
+        for ib, _, vb in rows[i + 1 :]:
+            nb = math.sqrt(sum(x * x for x in vb)) or 1.0
+            cs = round(sum(a * b for a, b in zip(va, vb)) / (na * nb), 4)
+            if cs >= threshold:
+                want.append((ia, ib, cs))
+    assert got == sorted(want)
