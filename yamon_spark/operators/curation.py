@@ -1415,7 +1415,7 @@ def quality_score_psi(
     TRAINING PLAN itself (quality_head_fit's lazy frame), every
     downstream reference would otherwise re-evaluate the whole
     12-round GD chain — measured 106 Exchange nodes in this query's
-    executed plan before the materialization, ~8 after."""
+    executed plan before the materialization, 2 after (PLAN_AUDIT)."""
     spark = model.sparkSession
     model = spark.createDataFrame(model.limit(1).collect(), model.schema)
     return psi_from_histograms(
