@@ -26,6 +26,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+# Unpartitioned Window nodes whose input is PROVABLY bounded (row count is a
+# constant independent of corpus size), with the provenance a reviewer can
+# check. Any unpartitioned window NOT in this map is data-sized — the whole
+# table funnels through one task — and fails the gate below.
+BOUNDED_WINDOW_WHITELIST = {
+    # operators/embeddings.py: window runs over .limit(k) rows (k=8 centroid
+    # seeds), never over the corpus.
+    "embed_kmeans": "window over limit(k=8) centroid seed rows",
+    # operators/similarity.py: RRF rank windows run over the two top-100
+    # candidate shortlists, never over the corpus.
+    "hybrid_rank_rrf": "rank windows over top-100 candidate shortlists",
+}
+
 
 def audit_plan(plan: str) -> dict:
     return {
@@ -96,6 +109,12 @@ def main() -> None:
             k for k, r in rows.items() if r["unpartitioned_windows"]
         ),
     }
+    # Hard gate: every unpartitioned window must be whitelisted as bounded.
+    summary["data_sized_unpartitioned_windows"] = sorted(
+        k for k in summary["unpartitioned_windows"]
+        if k not in BOUNDED_WINDOW_WHITELIST
+    )
+    summary["bounded_window_whitelist"] = BOUNDED_WINDOW_WHITELIST
     out = {"sf_dir": SF, "summary": summary, "per_query": rows}
     if errors:
         out["build_errors"] = errors
@@ -104,6 +123,13 @@ def main() -> None:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps(summary, indent=1))
     print(f"wrote {path}")
+    if summary["data_sized_unpartitioned_windows"]:
+        print(
+            "GATE FAIL: data-sized single-partition window(s): "
+            + ", ".join(summary["data_sized_unpartitioned_windows"]),
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -77,6 +77,7 @@ BNLJ_OK = {
     "sim_ivf_pareto",  # bounded query/centroid/budget/totals broadcasts
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds
     "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
+    "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
 }
 
 
@@ -91,7 +92,6 @@ SMJ_OK: set[str] = set()
 UPW_OK = {
     "embed_kmeans",  # init rank over the k(=8)-row TakeOrdered centroid seed
     "hybrid_rank_rrf",  # fused rank over the two bounded top-100 lists
-    "q63_watermark_late_drop",  # declared batch EMULATION of arrival order
 }
 
 
@@ -128,6 +128,52 @@ def test_no_row_python_no_cartesian(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, f"plan red flags: {bad}"
+
+
+def test_q63_batch_id_projection_equals_window_form(spark, sf_dir):
+    """q63's micro-batch id is a pure projection floor(event_id/1000):
+    event_id is dense 0..N-1 in every fixture (FIXTURES.md), so it is
+    bit-identical to the oracle's row_number() window form. Pinned here so
+    the projection can replace the registry's last data-sized
+    single-partition window without drifting from the oracle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    both = ev.select(
+        F.floor(F.col("event_id") / 1000).cast("bigint").alias("proj"),
+        F.floor((F.row_number().over(Window.orderBy("event_id")) - 1) / 1000)
+        .cast("bigint")
+        .alias("win"),
+    )
+    assert both.where(F.col("proj") != F.col("win")).count() == 0
+    # and the live q63 plan itself carries no unpartitioned window at all
+    plan = _plan(spark, sf_dir, "q63_watermark_late_drop")
+    assert not any(_is_unpartitioned_window(line) for line in plan.splitlines())
+
+
+def test_prefix_max_exclusive_matches_global_window(spark):
+    """q63's watermark now runs through prefix_max_exclusive (partitioned
+    chunk scan + tiny chunk-level carry join). Pin its output against the
+    single-partition global-window form it replaced, with chunk_size=3 so
+    multiple chunks, carry-in, and the first-row NULL are all exercised."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from yamon_spark.queries.streaming_batch import prefix_max_exclusive
+
+    # values deliberately non-monotone so the carry max differs from the
+    # most recent value
+    rows = [(i, v) for i, v in enumerate([5, 1, 9, 2, 8, 3, 7, 11, 0, 4, 6])]
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(4)
+    got = {
+        r["k"]: r["pm"]
+        for r in prefix_max_exclusive(df, "k", "v", "pm", chunk_size=3).collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {r["k"]: r["pm"] for r in df.select("k", F.max("v").over(w).alias("pm")).collect()}
+    assert got == want
+    assert got[0] is None  # exclusive: first row has no prior max
 
 
 def test_predicates_reach_parquet_scan(spark, sf_dir):

@@ -9,7 +9,9 @@ replay).
 Scale: event-time windows group by (window, key) — partial agg applies;
 session windows shuffle once by user; the watermark emulation is two
 narrow passes + one broadcast join of per-batch watermarks (batch count
-is tiny: rows/1000).
+is tiny: rows/1000), with the running watermark computed by a
+partitioned prefix-scan (prefix_max_exclusive) — no single-partition
+window anywhere in the plan.
 """
 
 from __future__ import annotations
@@ -24,6 +26,46 @@ _Q60_AGG_SQL = """
            count(*) AS n, round(sum(value), 4) AS sum_value
     FROM {src} GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def prefix_max_exclusive(
+    df: DataFrame, order_col: str, val_col: str, out_col: str, chunk_size: int = 1 << 20
+) -> DataFrame:
+    """Exclusive running max of `val_col` in `order_col` order, without a
+    global (single-partition) window: the scalable prefix-scan idiom.
+
+    out[k] = max(val[j] for j < k), NULL for the first row. Decomposition:
+      - chunk = floor(order / chunk_size); within-chunk exclusive prefix max
+        via a window PARTITIONED by chunk (<= chunk_size rows per task);
+      - cross-chunk carry-in via a chunk-level non-equi self-join over the
+        per-chunk maxima (rows/chunk_size rows: with the 2^20 default, a
+        10^12-row input yields ~10^6/10^3 = ~10^3 chunk rows even when the
+        input is itself a 1000x-reduced batch table — broadcastable).
+    Requires order_col values to be unique (batch ids are).
+    """
+    chunked = df.withColumn("_pmx_chunk", F.floor(F.col(order_col) / chunk_size))
+    w_in = (
+        Window.partitionBy("_pmx_chunk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = chunked.withColumn("_pmx_in", F.max(val_col).over(w_in))
+    cmax = chunked.groupBy("_pmx_chunk").agg(F.max(val_col).alias("_pmx_cmax"))
+    prior = cmax.alias("a").join(
+        F.broadcast(cmax.alias("b")),
+        F.col("b._pmx_chunk") < F.col("a._pmx_chunk"),
+        "left",
+    )
+    carry = prior.groupBy(F.col("a._pmx_chunk").alias("_pmx_chunk")).agg(
+        F.max("b._pmx_cmax").alias("_pmx_carry")
+    )
+    return (
+        within.join(F.broadcast(carry), "_pmx_chunk")
+        # greatest() skips NULLs: NULL only when both sides are NULL,
+        # i.e. the very first row — same as the global exclusive window.
+        .withColumn(out_col, F.greatest("_pmx_in", "_pmx_carry"))
+        .drop("_pmx_chunk", "_pmx_in", "_pmx_carry")
+    )
 
 
 def _tumbling_agg(df: DataFrame) -> DataFrame:
@@ -127,15 +169,21 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    # event_id is dense 0..N-1 in every fixture (FIXTURES.md), so
+    # row_number()-1 ordered by event_id IS event_id: the micro-batch id is
+    # a pure projection, not a global (single-partition) window. The DuckDB
+    # oracle keeps the row_number form; tests/test_streaming_batch.py pins
+    # projection == window-form equality on the fixtures.
     ordered = ev.withColumn(
         "batch_id",
-        F.floor((F.row_number().over(Window.orderBy("event_id")) - 1) / 1000).cast("bigint"),
+        F.floor(F.col("event_id") / 1000).cast("bigint"),
     )
     batch_max = ordered.groupBy("batch_id").agg(F.max("ts").alias("bmax"))
-    wm_win = Window.orderBy("batch_id").rowsBetween(Window.unboundedPreceding, -1)
-    wm = batch_max.select(
+    # exclusive running max of bmax over batch_id, via the partitioned
+    # prefix-scan (no single-partition window; see prefix_max_exclusive)
+    wm = prefix_max_exclusive(batch_max, "batch_id", "bmax", "_wm_max").select(
         "batch_id",
-        (F.max("bmax").over(wm_win) - F.expr("INTERVAL 10 MINUTE")).alias("watermark"),
+        (F.col("_wm_max") - F.expr("INTERVAL 10 MINUTE")).alias("watermark"),
     )
     survivors = ordered.join(F.broadcast(wm), "batch_id").where(
         F.col("watermark").isNull() | (F.col("ts") >= F.col("watermark"))
