@@ -853,8 +853,9 @@ def _logit_sigmoid():
 # localCheckpointed — cb33e4c) feature frame alive, which is precisely
 # the production shape: train once, serve the artifact. Bounded: a
 # handful of corpora per session; entries from STOPPED sessions are
-# evicted (and their frames unpersisted, best-effort) on the next memo
-# access so a long-lived process cycling sessions cannot accrete them.
+# evicted on the next memo access so a long-lived process cycling
+# sessions cannot accrete them (their cached blocks died with the
+# session's executors — unpersist is neither possible nor needed).
 _GD_MEMO: dict[tuple, tuple] = {}
 
 
@@ -998,6 +999,14 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
                 for i in range(4)
             ]
         )
+    # Materialize the trained weights to their single artifact row (the
+    # quality_score_psi recipe): every downstream head query otherwise
+    # embeds — and re-executes — the whole `iters`-round GD tower in its
+    # own plan (measured 50 Exchange nodes in quality_logit_train's
+    # executed plan before this, and the tower re-ran once per query).
+    # Bounded: exactly one 4-double row; values bit-identical (the
+    # training itself is the deterministic 4dp-rounded chain above).
+    w = spark.createDataFrame(w.limit(1).collect(), w.schema)
     if key is not None:
         _GD_MEMO[key] = (feats, w)
     return feats, w
@@ -1510,9 +1519,12 @@ def quality_gopher_rules(docs: DataFrame) -> DataFrame:
     awl = F.aggregate(w, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
     stop_hits = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
     n_content = F.length(F.regexp_replace("text", r"\s", "")).cast("double")
-    alpha_ratio = F.length(F.regexp_replace("text", "[^a-z]", "")).cast("double") / F.greatest(
-        n_content, F.lit(1.0)
-    )
+    # [^a-zA-Z]: uppercase letters ARE alphabetic — counting only [a-z]
+    # made the alpha_ratio_low rule fire spuriously on any corpus that
+    # isn't pre-lowercased (ADVICE r10); DuckDB oracle uses the same class
+    alpha_ratio = F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast(
+        "double"
+    ) / F.greatest(n_content, F.lit(1.0))
     max_wl = F.array_max(F.transform(w, F.length))
     fails = [
         ((n_words < 10) | (n_words > 1000)).alias("f0"),

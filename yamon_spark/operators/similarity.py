@@ -17,6 +17,7 @@
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -796,8 +797,10 @@ def _log_partition_values(spark, log_path: str, col: str) -> list[int]:
         )
     try:
         return sorted(r[0] for r in spark.read.parquet(log_path).select(col).distinct().collect())
-    except Exception:  # AnalysisException: log not written yet
+    except AnalysisException:  # path not found: log not written yet
         return []
+    # any OTHER failure (permissions, network) propagates: a transient
+    # read error must not silently reset n_prior to 0 (ADVICE r10)
 
 
 def _ivf_recover(parent) -> None:
@@ -944,7 +947,11 @@ def ivf_recall(
         .where(F.col("rn") <= n_probe)
         .select("q_id", "q_emb", "cell")
     )
-    sim = F.round(cosine_sim(F.col("embedding"), F.col("q_emb")), 4)
+    # rint (half-to-even) — the SAME rounding convention as the exact
+    # side's np.round in the BLAS kernel, so a sim landing exactly on a
+    # .00005 boundary ranks identically on both sides of the recall
+    # comparison (ADVICE r10; F.round is HALF_UP and would diverge there)
+    sim = F.rint(cosine_sim(F.col("embedding"), F.col("q_emb")) * 10000) / 10000
     wr = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), "vec_id")
 
     def topk(cands: DataFrame) -> DataFrame:
@@ -1100,6 +1107,12 @@ def _blas_topk_survivors(
     # composite-key constants: sims4 in [-10000, 10000]; vec_id < 2^40
     _SENT_SIM, _ID_BITS = -(1 << 20), 1 << 40
     sentinel = (-_SENT_SIM) * _ID_BITS
+    if n_q and (q_ids.min() < 0 or q_ids.max() >= _ID_BITS):
+        raise ValueError(
+            "blas_topk: query vec_id out of composite-key range [0, 2^40) "
+            f"(min={q_ids.min()}, max={q_ids.max()}) — ids this large would "
+            "silently decode to wrong neighbor ids (ADVICE r10)"
+        )
 
     def part_topk(it):
         top_key = np.full((n_q, k), sentinel, dtype=np.int64)
@@ -1108,6 +1121,11 @@ def _blas_topk_survivors(
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
             ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            if ids.min() < 0 or ids.max() >= _ID_BITS:
+                raise ValueError(
+                    "blas_topk: candidate vec_id out of composite-key range "
+                    f"[0, 2^40) (min={ids.min()}, max={ids.max()})"
+                )
             mn = m / _safe_norms(m)[:, None]
             sims4 = np.round(qn @ mn.T * 10000.0).astype(np.int64)  # n_q x B
             keys = -sims4 * _ID_BITS + ids[None, :]

@@ -50,7 +50,7 @@ def _gopher_oracle() -> str:
         list_reduce(list_transform(w, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
           / CAST(len(w) AS DOUBLE) AS awl,
         len(list_filter(w, x -> x IN {_STOP_IN})) AS stop_hits,
-        CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
           / greatest(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE), 1.0)
           AS alpha_ratio,
         list_max(list_transform(w, x -> length(x))) AS max_wl
