@@ -317,3 +317,26 @@ def test_readme_registry_count_in_sync():
     assert all(n == len(REGISTRY) for n in mentions), (
         f"README says {mentions}, registry has {len(REGISTRY)} - update README.md"
     )
+
+
+def test_survey_registry_count_in_sync():
+    """SURVEY.md's per-round summaries each end with a 'Registry: N
+    queries' line; earlier mentions are historical (the count at that
+    round), but the LAST one states the current surface and was the one
+    hand-maintained number left that could drift as the registry grows
+    (r10 verdict, next-round item 8). Pin it to len(REGISTRY)."""
+    import os
+    import re
+
+    from yamon_spark.queries import REGISTRY, all_queries
+
+    all_queries()  # load the query modules — REGISTRY fills lazily
+    path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(path) as f:
+        text = f.read()
+    mentions = [int(m) for m in re.findall(r"Registry: (\d+) queries", text)]
+    assert mentions, "SURVEY.md lost its 'Registry: N queries' line"
+    assert mentions[-1] == len(REGISTRY), (
+        f"SURVEY.md's latest registry count says {mentions[-1]}, "
+        f"registry has {len(REGISTRY)} - update SURVEY.md"
+    )

@@ -97,23 +97,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
     # r6-vintage (oldest — front of the verified segment)
-    "bpe_apply": 6, "dedup_canonical": 6, "dedup_incremental": 6,
-    "dedup_simhash_pairs": 6, "domain_mix": 6, "embed_kmeans": 6,
-    "embed_pca_power": 6, "pack_sequences": 6, "q10_inner_join_dims": 6,
-    "q11_left_outer_count": 6, "q12_semi_join": 6, "q13_anti_join": 6,
-    "q14_range_join": 6, "q15_asof_join": 6, "q16_cross_join_pairs": 6,
-    "q24_rollup": 6, "q25_gauge_rollup_mv": 6, "q26_counter_rollup_mv": 6,
-    "q38_approx_quantile": 6, "q39_cond_aggs": 6, "q44_union_all": 6,
-    "q47_exists_correlated": 6, "q48_cte_reuse": 6,
-    "q49_first_last_window": 6, "q50_string_funcs": 6,
-    "q51_datetime_funcs": 6, "q52_math_funcs": 6, "q53_json_extract": 6,
-    "q54_map_tag_ops": 6, "q55_array_funcs": 6, "q56_struct_ops": 6,
-    "q57_conditionals": 6, "q58_regex_funcs": 6, "q65_interval_join": 6,
-    "q73_unpivot": 6, "q74_lateral_explode": 6, "q75_bitmap_distinct": 6,
-    "q76_zip_with": 6, "q77_cube_grouping": 6, "q78_median_stats": 6,
-    "q79_fuzzy_match": 6, "sample_weighted": 6, "source_divergence": 6,
-    "source_overlap": 6, "text_bigrams": 6, "text_ngram_novelty": 6,
-    "text_tfidf_pairs": 6, "train_test_split": 6,
+    "bpe_apply": 6, "q13_anti_join": 6, "q14_range_join": 6,
+    "q15_asof_join": 6, "q16_cross_join_pairs": 6,
     # r7-vintage
     "ann_range_search": 7, "contamination_ngram": 7, "corpus_profile": 7,
     "dedup_clusters": 7, "dedup_exact": 7, "dedup_jaccard": 7,
@@ -156,7 +141,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "text_bigram_logprob": 8, "text_bm25": 8, "text_entropy": 8,
     "text_mattr": 8, "text_pmi": 8, "text_unigram_logprob": 8,
     "tokenizer_fertility": 8,
-    # r9-vintage (freshest — back of the queue)
+    # r9-vintage
     "bpe_merge_step": 9, "bpe_pair_counts": 9, "chunk_dup_groups": 9,
     "dedup_containment": 9, "dedup_funnel": 9, "dedup_minhash_err": 9,
     "dedup_semantic": 9, "dedup_threshold_sweep": 9, "dsir_weights": 9,
@@ -171,10 +156,31 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q89_ewma": 9, "quality_logit": 9, "quality_score_psi": 9,
     "sim_cascade_recall": 9, "sim_cascade_topk": 9, "sim_hamming_recall": 9,
     "sim_hamming_topk": 9, "sim_ivf_pareto": 9, "sim_ivfpq_recall": 9,
-    "sim_ivfpq_topk": 9, "sim_mmr_topk": 9,
-    "sim_pq_recall": 9, "sim_sq8_recall": 9, "sim_sq8_topk": 9,
-    "sq8_codes": 9, "text_chunk_windows": 9, "text_perplexity_buckets": 9,
-    "text_search": 9, "text_zipf_slope": 9, "vocab_growth": 9,
+    "sim_ivfpq_topk": 9, "sim_mmr_topk": 9, "sim_pq_recall": 9,
+    "sim_sq8_recall": 9, "sim_sq8_topk": 9, "sq8_codes": 9,
+    "text_chunk_windows": 9, "text_perplexity_buckets": 9, "text_search": 9,
+    "text_zipf_slope": 9, "vocab_growth": 9,
+    # r10-vintage (freshest — back of the queue)
+    "dedup_canonical": 10, "dedup_cluster_sizes": 10,
+    "dedup_incremental": 10, "dedup_lsh_band_tuning": 10,
+    "dedup_simhash_pairs": 10, "doc_length_survival": 10, "domain_mix": 10,
+    "embed_intrinsic_dim": 10, "embed_kmeans": 10, "embed_pca_power": 10,
+    "mix_repeat_plan": 10, "pack_sequences": 10, "q10_inner_join_dims": 10,
+    "q11_left_outer_count": 10, "q12_semi_join": 10, "q24_rollup": 10,
+    "q25_gauge_rollup_mv": 10, "q26_counter_rollup_mv": 10,
+    "q38_approx_quantile": 10, "q39_cond_aggs": 10, "q44_union_all": 10,
+    "q47_exists_correlated": 10, "q48_cte_reuse": 10,
+    "q49_first_last_window": 10, "q50_string_funcs": 10,
+    "q51_datetime_funcs": 10, "q52_math_funcs": 10, "q53_json_extract": 10,
+    "q54_map_tag_ops": 10, "q55_array_funcs": 10, "q56_struct_ops": 10,
+    "q57_conditionals": 10, "q58_regex_funcs": 10, "q65_interval_join": 10,
+    "q73_unpivot": 10, "q74_lateral_explode": 10, "q75_bitmap_distinct": 10,
+    "q76_zip_with": 10, "q77_cube_grouping": 10, "q78_median_stats": 10,
+    "q79_fuzzy_match": 10, "quality_gopher_rules": 10,
+    "sample_weighted": 10, "sim_centroid_margin": 10,
+    "source_divergence": 10, "source_overlap": 10, "text_bigrams": 10,
+    "text_ngram_novelty": 10, "text_tfidf_pairs": 10,
+    "train_test_split": 10,
 }
 
 
