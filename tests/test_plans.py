@@ -334,7 +334,7 @@ def test_survey_registry_count_in_sync():
     path = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
     with open(path) as f:
         text = f.read()
-    mentions = [int(m) for m in re.findall(r"Registry: (\d+) queries", text)]
+    mentions = [int(m) for m in re.findall(r"Registry: (\d+)\s+queries", text)]
     assert mentions, "SURVEY.md lost its 'Registry: N queries' line"
     assert mentions[-1] == len(REGISTRY), (
         f"SURVEY.md's latest registry count says {mentions[-1]}, "

@@ -1550,3 +1550,46 @@ def quality_gopher_rules(docs: DataFrame) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def shard_balance(docs: DataFrame, n_shards: int = 16, salt: str = "shard") -> DataFrame:
+    """Output-shard assignment audit: assign every document to one of
+    ``n_shards`` training shards by salted content-id hash (the
+    placement actually used at scale — stateless, reproducible across
+    retries and cluster sizes, no coordination), then report the realized
+    per-shard load: docs, whitespace tokens, and each shard's token load
+    relative to the ideal 1/n share. A load_ratio drifting from 1.0 says
+    the final shard write needs a different salt or more shards before a
+    1000-executor training job starts with one straggler file.
+
+    Scale shape: one map-side hash projection + one n_shards-group
+    partial-agg groupBy; the total-tokens denominator is a 1-row
+    broadcast cross join. Nothing is data-sized downstream of the scan.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    per = (
+        docs.select((h % n_shards).cast("int").alias("shard"), F.size(words).alias("tokens"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") * n_shards / F.col("total_tokens"), 4
+            ).alias("load_ratio"),
+        )
+        .orderBy("shard")
+    )

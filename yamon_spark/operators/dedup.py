@@ -927,3 +927,39 @@ def lsh_band_tuning(
         )
         .orderBy("band_size")
     )
+
+
+def source_dup_matrix(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Cross-source near-duplicate matrix: for every unordered source
+    pair, how many near-dup doc pairs (exact n-gram Jaccard >= threshold)
+    span it, and at what mean similarity — the "which crawls mirror each
+    other" report that decides whether a new source is worth its ingest
+    budget or is a rehost of one already held. The diagonal (src_a ==
+    src_b) measures intra-source duplication.
+
+    Scale shape: the expensive part is the pair generation, which reuses
+    the posting-list kernel (``ngram_jaccard_pairs``) unchanged; the pair
+    set is near-dup-rate-sized (<< corpus), so the two doc_id->source
+    hash joins and the |sources|^2-bounded groupBy shuffle only pairs and
+    a 2-column corpus projection.
+    """
+    pairs = ngram_jaccard_pairs(docs, ngram=ngram, threshold=threshold)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a"
+        ).join(src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            "jaccard",
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+        )
+        .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
+    )

@@ -857,3 +857,61 @@ def doc_length_survival(docs: DataFrame, cuts: tuple[int, ...] = (64, 128, 256, 
         )
         .orderBy("cut")
     )
+
+
+def boilerplate_report(docs: DataFrame, seg_words: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-document boilerplate fraction via cross-document segment
+    frequency — the CCNet/RefinedWeb repeated-paragraph filter adapted to
+    the fixture's newline-free text: the unit is the NON-OVERLAPPING
+    ``seg_words``-word segment (a paragraph stand-in with a deterministic
+    boundary both engines can compute). A segment is boilerplate when it
+    occurs in >= ``min_docs`` DISTINCT documents (navigation chrome,
+    license banners, template footers); each document reports how much of
+    it is made of such segments. Complements dedup: near-dup finds pairs
+    of mostly-identical docs, this finds the shared scaffolding inside
+    otherwise-distinct docs.
+
+    Scale shape: segments hash to uniform md5 keys, so the doc-frequency
+    groupBy partial-aggregates map-side and never skews; the flag join is
+    a key-hash join of the segment table against the (much smaller)
+    boilerplate key set, and per-doc totals are one |docs|-row aggregate.
+    Docs shorter than one segment are excluded (they have no unit to
+    score, and keeping them would divide by zero).
+    """
+    from yamon_spark.operators.dedup import _spread
+
+    base = _spread(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", words_col(F.col("text")).alias("w")
+    )
+    base = base.where(F.size("w") >= seg_words)
+    nseg = F.floor(F.size("w") / seg_words).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda j: F.concat_ws(" ", F.slice(F.col("w"), j * seg_words + 1, seg_words)),
+    )
+    seg = base.select("doc_id", F.explode(segs).alias("s")).select(
+        "doc_id", F.md5("s").alias("seg")
+    )
+    freq = (
+        seg.select("doc_id", "seg")
+        .distinct()
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    boiler = freq.where(F.col("n_docs") >= min_docs).select(
+        "seg", F.lit(1).cast("bigint").alias("is_boiler")
+    )
+    per_doc = (
+        seg.join(boiler, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("bigint").alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_boiler",
+        (F.col("n_boiler").cast("double") / F.col("n_segments")).alias("boiler_frac"),
+    ).orderBy("doc_id")

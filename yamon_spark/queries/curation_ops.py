@@ -1120,3 +1120,67 @@ def sample_weighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import sample_weighted
 
     return sample_weighted(table(spark, sf_dir, "documents"), n=50)
+
+
+@register(
+    "text_boilerplate",
+    f"""
+    WITH segs AS (
+      SELECT doc_id, md5(s) AS seg FROM (
+        SELECT doc_id, unnest(list_transform(
+          range(0, CAST(floor(len({_WORDS}) / 8) AS BIGINT)),
+          j -> array_to_string(({_WORDS})[j*8+1 : j*8+8], ' '))) AS s
+        FROM documents WHERE len({_WORDS}) >= 8) t),
+    freq AS (SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg),
+    boiler AS (SELECT seg FROM freq WHERE n_docs >= 2),
+    per AS (
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      FROM segs s LEFT JOIN boiler b ON b.seg = s.seg GROUP BY s.doc_id)
+    SELECT doc_id, n_segments, n_boiler,
+           CAST(n_boiler AS DOUBLE) / n_segments AS boiler_frac
+    FROM per ORDER BY doc_id
+    """,
+    doc=(
+        "Per-doc boilerplate fraction via cross-doc segment frequency "
+        "(CCNet-style repeated-paragraph filter; unit = non-overlapping "
+        "8-word segment, boilerplate = present in >=2 distinct docs). "
+        "Uniform md5 segment keys partial-agg map-side; the flag join "
+        "touches only the boilerplate key set. int/int division, "
+        "unrounded."
+    ),
+)
+def text_boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.text import boilerplate_report
+
+    return boilerplate_report(table(spark, sf_dir, "documents"), seg_words=8, min_docs=2)
+
+
+@register(
+    "shard_balance_report",
+    f"""
+    WITH per AS (
+      SELECT CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), 1, 8)
+                   AS BIGINT) % 16 AS INT) AS shard,
+             len({_WORDS}) AS tokens
+      FROM documents),
+    g AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(tokens) AS BIGINT) AS n_tokens
+          FROM per GROUP BY shard),
+    t AS (SELECT sum(n_tokens) AS total_tokens FROM g)
+    SELECT shard, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) * 16 / total_tokens, 4) AS load_ratio
+    FROM g, t ORDER BY shard
+    """,
+    doc=(
+        "Training-shard placement audit: salted-hash shard assignment "
+        "(16 shards) with realized per-shard doc/token loads and each "
+        "shard's token load vs the ideal 1/n share. One map-side hash "
+        "projection + 16-group partial agg; total is a 1-row broadcast "
+        "cross join."
+    ),
+)
+def shard_balance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import shard_balance
+
+    return shard_balance(table(spark, sf_dir, "documents"), n_shards=16)

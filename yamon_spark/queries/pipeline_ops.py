@@ -1377,3 +1377,27 @@ def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.dedup import dedup_threshold_sweep
 
     return dedup_threshold_sweep(table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_source_matrix",
+    "SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs, "
+    "round(avg(jaccard), 4) AS avg_jaccard FROM ("
+    "  SELECT least(da.source, db.source) AS src_a, "
+    "         greatest(da.source, db.source) AS src_b, p.jaccard"
+    "  FROM (WITH " + _shingle_cte(3) + _JACCARD_TAIL.format(thr=0.5) + ") p"
+    "  JOIN documents da ON da.doc_id = p.doc_a"
+    "  JOIN documents db ON db.doc_id = p.doc_b) j "
+    "GROUP BY src_a, src_b ORDER BY n_pairs DESC, src_a, src_b",
+    doc=(
+        "Cross-source near-dup matrix: near-dup pair count + mean "
+        "Jaccard per unordered source pair — the 'which crawls mirror "
+        "each other' ingest-budget report (diagonal = intra-source "
+        "duplication). Reuses the posting-list pair kernel; joins and "
+        "the |sources|^2-bounded groupBy shuffle only the pair set."
+    ),
+)
+def dedup_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import source_dup_matrix
+
+    return source_dup_matrix(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
