@@ -119,3 +119,40 @@ def test_new_ops_have_no_data_sized_single_partition_plans(spark):
     assert plan.count("Exchange SinglePartition") == 1, plan
     single_input = plan.split("Exchange SinglePartition", 1)[1]
     assert "HashAggregate(keys=[shard" in single_input, plan
+
+
+def test_burn_rate_alert_requires_both_windows(spark, tmp_path):
+    # hour 0: 100% errors inside an otherwise-quiet 6h block -> burn_1h
+    # fires, burn_6h stays under budget -> NO alert (the flap the slow
+    # window exists to stop). hours 6-11: sustained 50% errors -> both
+    # windows over the 25% budget -> alert on each of those 1h rows.
+    import datetime
+
+    from yamon_spark.queries import all_queries
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = 0
+
+    def add(hour, minute, etype):
+        nonlocal eid
+        rows.append((eid, t0 + datetime.timedelta(hours=hour, minutes=minute), 1, etype, 1.0, "{}"))
+        eid += 1
+
+    for m in range(10):
+        add(0, m, "error")  # hour 0: all errors
+    for h in range(1, 6):
+        for m in range(20):
+            add(h, m, "view")  # hours 1-5: quiet -> 6h ratio 10/110 < 0.25
+    for h in range(6, 12):
+        for m in range(10):
+            add(h, m, "error" if m % 2 == 0 else "view")  # sustained 50%
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+    out = {r["ws"].hour: r for r in all_queries()["q90_burn_rate"].build(spark, str(tmp_path)).collect()}
+    assert out[0]["burn_1h"] == 4.0 and out[0]["alert"] == 0
+    assert all(out[h]["alert"] == 1 for h in range(6, 12))
+    assert abs(out[6]["err_ratio_6h"] - 0.5) < 1e-12

@@ -336,3 +336,73 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+@register(
+    "q90_burn_rate",
+    """
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS ws,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+      FROM events GROUP BY 1),
+    l AS (
+      SELECT date_trunc('day', ts)
+               + CAST(floor(extract(hour FROM ts) / 6) * 6 AS INT) * INTERVAL 1 HOUR AS wl,
+             CAST(count(*) AS BIGINT) AS nl,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS el
+      FROM events GROUP BY 1)
+    SELECT ws, n_events,
+           CAST(n_errors AS DOUBLE) / n_events AS err_ratio_1h,
+           CAST(el AS DOUBLE) / nl AS err_ratio_6h,
+           CAST(n_errors AS DOUBLE) / n_events / 0.25 AS burn_1h,
+           CAST(el AS DOUBLE) / nl / 0.25 AS burn_6h,
+           CAST(CASE WHEN CAST(n_errors AS DOUBLE) / n_events / 0.25 > 1
+                      AND CAST(el AS DOUBLE) / nl / 0.25 > 1
+                     THEN 1 ELSE 0 END AS INT) AS alert
+    FROM s JOIN l
+      ON l.wl = date_trunc('day', ws)
+              + CAST(floor(extract(hour FROM ws) / 6) * 6 AS INT) * INTERVAL 1 HOUR
+    ORDER BY ws
+    """,
+    doc=(
+        "Multiwindow SLO burn-rate alert (SRE workbook): error-budget "
+        "burn over a 1 h and an enclosing 6 h window, firing only when "
+        "BOTH exceed 1x budget (budget = 25% error ratio here) — fast "
+        "windows catch onset, slow windows stop flapping. Two partial-agg "
+        "window groupBys; the 6 h side is time-range-sized (~4/day), so "
+        "it broadcasts to the 1 h rows. Ratios are int/int divisions and "
+        "an exact /0.25 rescale: bit-identical cross-engine, unrounded."
+    ),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    is_err = (F.col("event_type") == "error").cast("long")
+    short = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(is_err).cast("bigint").alias("n_errors"),
+    ).select(F.col("w.start").alias("ws"), "n_events", "n_errors")
+    long = ev.groupBy(F.window("ts", "6 hours").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+        F.sum(is_err).cast("bigint").alias("el"),
+    ).select(F.col("w.start").alias("wl"), "nl", "el")
+    # 6 h windows are epoch-aligned (21600 s multiples), so the 1 h row's
+    # enclosing window start is a pure projection of ws
+    wl_of_ws = F.timestamp_seconds(
+        (F.unix_timestamp("ws") / 21600).cast("bigint") * 21600
+    )
+    ratio_s = F.col("n_errors").cast("double") / F.col("n_events")
+    ratio_l = F.col("el").cast("double") / F.col("nl")
+    return (
+        short.join(F.broadcast(long), wl_of_ws == F.col("wl"))
+        .select(
+            "ws",
+            "n_events",
+            ratio_s.alias("err_ratio_1h"),
+            ratio_l.alias("err_ratio_6h"),
+            (ratio_s / 0.25).alias("burn_1h"),
+            (ratio_l / 0.25).alias("burn_6h"),
+            ((ratio_s / 0.25 > 1) & (ratio_l / 0.25 > 1)).cast("int").alias("alert"),
+        )
+        .orderBy("ws")
+    )
