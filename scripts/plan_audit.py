@@ -37,6 +37,10 @@ BOUNDED_WINDOW_WHITELIST = {
     # operators/similarity.py: RRF rank windows run over the two top-100
     # candidate shortlists, never over the corpus.
     "hybrid_rank_rrf": "rank windows over top-100 candidate shortlists",
+    # queries/analytics_ext4.py: the gaps-and-islands row_number runs over
+    # the ALERTING-HOURS rollup — time-range-sized (<= hours in retention,
+    # ~8.8k/year), corpus-size-independent.
+    "q91_alert_episodes": "window over the hourly alert rollup (calendar-bounded)",
 }
 
 

@@ -78,6 +78,7 @@ BNLJ_OK = {
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds
     "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
     "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
+    "shard_balance_report",  # broadcast of the ONE total-tokens row into 16 rows
 }
 
 
@@ -92,6 +93,7 @@ SMJ_OK: set[str] = set()
 UPW_OK = {
     "embed_kmeans",  # init rank over the k(=8)-row TakeOrdered centroid seed
     "hybrid_rank_rrf",  # fused rank over the two bounded top-100 lists
+    "q91_alert_episodes",  # islands row_number over the hourly ALERT rollup (calendar-bounded)
 }
 
 

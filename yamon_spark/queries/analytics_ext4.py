@@ -338,9 +338,8 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q90_burn_rate",
-    """
+# shared by q90 (the alert surface) and q91 (its episode rollup)
+_Q90_SQL = """
     WITH s AS (
       SELECT date_trunc('hour', ts) AS ws,
              CAST(count(*) AS BIGINT) AS n_events,
@@ -364,7 +363,12 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON l.wl = date_trunc('day', ws)
               + CAST(floor(extract(hour FROM ws) / 6) * 6 AS INT) * INTERVAL 1 HOUR
     ORDER BY ws
-    """,
+    """
+
+
+@register(
+    "q90_burn_rate",
+    _Q90_SQL,
     doc=(
         "Multiwindow SLO burn-rate alert (SRE workbook): error-budget "
         "burn over a 1 h and an enclosing 6 h window, firing only when "
@@ -405,4 +409,58 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((ratio_s / 0.25 > 1) & (ratio_l / 0.25 > 1)).cast("int").alias("alert"),
         )
         .orderBy("ws")
+    )
+
+
+@register(
+    "q91_alert_episodes",
+    f"""
+    WITH br AS ({_Q90_SQL}),
+    a AS (
+      SELECT ws, burn_1h, n_events,
+             CAST(epoch(ws) AS BIGINT) / 3600 AS hi
+      FROM br WHERE alert = 1),
+    g AS (
+      SELECT ws, burn_1h, n_events,
+             hi - row_number() OVER (ORDER BY hi) AS grp
+      FROM a)
+    SELECT min(ws) AS episode_start, max(ws) AS episode_end,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           max(burn_1h) AS peak_burn_1h,
+           CAST(sum(n_events) AS BIGINT) AS n_events
+    FROM g GROUP BY grp ORDER BY episode_start
+    """,
+    doc=(
+        "Gaps-and-islands rollup of the burn-rate alert surface: maximal "
+        "runs of consecutive alerting hours become incident episodes "
+        "(start, end, duration, peak burn, event volume) — what a pager "
+        "shows instead of 45 hourly rows. The row_number window runs "
+        "over the ALERTING-HOURS table, which is time-range-sized "
+        "(<= hours in retention, ~8.8k/year) and corpus-size-independent "
+        "— bounded by calendar, whitelisted in plan_audit."
+    ),
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    br = q90(spark, sf_dir)
+    a = br.where(F.col("alert") == 1).select(
+        "ws",
+        "burn_1h",
+        "n_events",
+        (F.unix_timestamp("ws") / 3600).cast("bigint").alias("hi"),
+    )
+    grp = F.col("hi") - F.row_number().over(Window.orderBy("hi"))
+    return (
+        a.select("ws", "burn_1h", "n_events", grp.alias("grp"))
+        .groupBy("grp")
+        .agg(
+            F.min("ws").alias("episode_start"),
+            F.max("ws").alias("episode_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("burn_1h").alias("peak_burn_1h"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+        )
+        .drop("grp")
+        .orderBy("episode_start")
     )
