@@ -141,7 +141,14 @@ def main() -> None:
         result,
         metric="total_wall",
         queries=short,
-        ingest={"rows_per_sec": ingest["rows_per_sec"]},
+        ingest={
+            "rows_per_sec": ingest["rows_per_sec"],
+            # the per-attempt record rides the contract line (~40 chars) so
+            # BENCH_r{N}.json itself shows contended vs quiet samples —
+            # r10's 995k "decline" was one noisy 2-sample draw on a VM an
+            # idle probe measured at 1.08M and 643k back to back
+            **({"attempts": ingest["attempts"]} if "attempts" in ingest else {}),
+        },
     )
     # Hard cap: stay under the tail capture no matter how many queries are
     # registered — fold the CHEAPEST timings into one "_rest" bucket until
