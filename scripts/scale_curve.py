@@ -156,6 +156,10 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     ops = sys.argv[2:] or DEFAULT_OPS
 
+    # a 300x slice with 32 executor threads needs real heap (the BPE /
+    # tokenizer ops OOM'd the 8g default mid-sweep); the box has 128 GiB
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+
     from yamon_spark.queries import all_queries
     from yamon_spark.session import get_spark
 

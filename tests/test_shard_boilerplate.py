@@ -156,3 +156,29 @@ def test_burn_rate_alert_requires_both_windows(spark, tmp_path):
     assert out[0]["burn_1h"] == 4.0 and out[0]["alert"] == 0
     assert all(out[h]["alert"] == 1 for h in range(6, 12))
     assert abs(out[6]["err_ratio_6h"] - 0.5) < 1e-12
+
+
+def test_dedup_survivors_policy_and_impact(spark):
+    # docs 0,1,2 form one near-dup cluster (0 and 2 are the longest at
+    # equal length -> min doc_id 0 survives); doc 3 is unrelated
+    base = "spark shuffle partition broadcast join agg scan filter " * 4
+    docs = _docs(
+        spark,
+        [
+            (base + "tail words", "en", "s"),
+            (base, "en", "s"),
+            (base + "tail extra", "en", "s"),
+            ("nothing in common with the cluster at all here", "en", "s"),
+        ],
+    )
+    from yamon_spark.operators.curation import dedup_survivors
+
+    rows = dedup_survivors(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["cluster_id"] == 0 and r["survivor_doc_id"] == 0
+    assert r["n_members"] == 3 and r["n_dropped"] == 2
+    total = sum(len(t) for t, _, _ in [
+        (base + "tail words", 0, 0), (base, 0, 0), (base + "tail extra", 0, 0)
+    ])
+    assert r["chars_dropped"] == total - len(base + "tail words")

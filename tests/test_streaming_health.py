@@ -75,3 +75,69 @@ def test_health_epoch_replay_is_idempotent(spark, tmp_path):
     )
     assert first == again
     assert len(first) == 5 and all(n == 7 for _, _, _, n in first)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+
+
+def _hours(start_hour, n_hours, err_every):
+    """10 events/hour; an 'error' every err_every-th event (0 = none)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows, eid = [], start_hour * 10
+    for h in range(start_hour, start_hour + n_hours):
+        for m in range(10):
+            et = "error" if err_every and m % err_every == 0 else "view"
+            rows.append((eid, t0 + datetime.timedelta(hours=h, minutes=m), 1, et, 1.0, "{}"))
+            eid += 1
+    return rows
+
+
+def test_burn_rate_monitor_matches_batch_and_replays_idempotently(spark, tmp_path):
+    from yamon_spark.queries.analytics_ext4 import burn_rate_frame
+    from yamon_spark.streaming.health import start_burn_rate_monitor
+
+    landing = str(tmp_path / "events")
+    out = str(tmp_path / "burn")
+
+    def run(ckpt):
+        q = start_burn_rate_monitor(spark, landing, out, str(tmp_path / ckpt))
+        q.awaitTermination()
+
+    # epoch 1: block 0 (hours 0-5) at 50% errors -> every hour alerts
+    _events(spark, _hours(0, 6, err_every=2)).coalesce(1).write.mode("append").parquet(landing)
+    run("ck1")
+    live = {r["ws"]: r for r in spark.read.parquet(out).collect()}
+    assert len(live) == 6 and all(r["alert"] == 1 for r in live.values())
+
+    # epoch 2: block 1 (hours 6-11) quiet -> new rows, no alert; block 0 intact
+    _events(spark, _hours(6, 6, err_every=0)).coalesce(1).write.mode("append").parquet(landing)
+    run("ck1")
+    live = {r["ws"].hour: r for r in spark.read.parquet(out).collect()}
+    assert len(live) == 12
+    assert all(live[h]["alert"] == 1 for h in range(6))
+    assert all(live[h]["alert"] == 0 for h in range(6, 12))
+
+    # live table == the scheduled q90 frame over the same events (bit-identical)
+    batch = {
+        r["ws"]: r.asDict()
+        for r in burn_rate_frame(spark.read.parquet(landing)).collect()
+    }
+    live_rows = {
+        r["ws"]: {k: v for k, v in r.asDict().items() if k != "b6"}
+        for r in spark.read.parquet(out).collect()
+    }
+    assert live_rows == batch
+
+    # replay from a fresh checkpoint: every epoch reprocessed -> same table
+    run("ck2")
+    again = {
+        r["ws"]: {k: v for k, v in r.asDict().items() if k != "b6"}
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == batch

@@ -1593,3 +1593,44 @@ def shard_balance(docs: DataFrame, n_shards: int = 16, salt: str = "shard") -> D
         )
         .orderBy("shard")
     )
+
+
+def dedup_survivors(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> DataFrame:
+    """The ACTION step over near-duplicate clusters: per connected
+    component of the exact-Jaccard near-dup graph, pick the survivor by
+    the same policy dedup_canonical applies to exact clusters (longest
+    text, then smallest doc_id) and report what deduplication will do —
+    members, drops, and the char volume removed. dedup_clusters says
+    which docs group together; this says which doc to KEEP and what the
+    corpus loses, the report a pipeline reviews before a destructive
+    dedup pass.
+
+    Scale shape: cluster labels come from the iterative min-label CC
+    (O(log diameter) rounds); everything after is two cluster-keyed
+    partial-agg groupBys plus one hash join back on (cluster_id,
+    max-chars) — no windows, no data-sized single partitions.
+    """
+    labels = dedup_clusters(docs, ngram=ngram, threshold=threshold)
+    m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    g = m.groupBy("cluster_id").agg(
+        F.max("n_chars").alias("mc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    s = (
+        m.join(g.select("cluster_id", "mc"), "cluster_id")
+        .where(F.col("n_chars") == F.col("mc"))
+        .groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("survivor_doc_id"))
+    )
+    return (
+        g.join(s, "cluster_id")
+        .select(
+            "cluster_id",
+            "survivor_doc_id",
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+            (F.col("total_chars") - F.col("mc")).cast("bigint").alias("chars_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -380,7 +380,14 @@ _Q90_SQL = """
     ),
 )
 def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    return burn_rate_frame(table(spark, sf_dir, "events"))
+
+
+def burn_rate_frame(ev: DataFrame) -> DataFrame:
+    """The q90 computation over any events frame — shared with the live
+    monitor (streaming/health.py), which re-runs it per landed epoch over
+    the touched 6 h blocks so the batch and streaming alert surfaces are
+    bit-identical by construction."""
     is_err = (F.col("event_type") == "error").cast("long")
     short = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),

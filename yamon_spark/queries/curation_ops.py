@@ -1184,3 +1184,38 @@ def shard_balance_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import shard_balance
 
     return shard_balance(table(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "dedup_survivors",
+    f"""
+    WITH m AS (
+      SELECT c.cluster_id, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+      FROM ({_CLUSTER_ORACLE}) c JOIN documents d ON d.doc_id = c.doc_id),
+    g AS (
+      SELECT cluster_id, max(n_chars) AS mc,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM m GROUP BY cluster_id),
+    s AS (
+      SELECT m.cluster_id, min(m.doc_id) AS survivor_doc_id
+      FROM m JOIN g ON g.cluster_id = m.cluster_id AND m.n_chars = g.mc
+      GROUP BY m.cluster_id)
+    SELECT g.cluster_id, s.survivor_doc_id, g.n_members,
+           CAST(g.n_members - 1 AS BIGINT) AS n_dropped,
+           CAST(g.total_chars - g.mc AS BIGINT) AS chars_dropped
+    FROM g JOIN s ON s.cluster_id = g.cluster_id
+    ORDER BY g.cluster_id
+    """,
+    doc=(
+        "Survivor selection + impact report per near-dup cluster "
+        "(longest text then min doc_id — dedup_canonical's policy on "
+        "the CC labels): the reviewable 'what will dedup actually drop' "
+        "plan. Two cluster-keyed partial aggs + one hash join back; no "
+        "windows."
+    ),
+)
+def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import dedup_survivors
+
+    return dedup_survivors(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)

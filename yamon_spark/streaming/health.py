@@ -72,3 +72,66 @@ def start_health_monitor(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
+    """Refresh the live SLO burn-rate table for every 6 h block this
+    batch touched: recompute q90's frame (`burn_rate_frame` — the SAME
+    code path, so live and scheduled alerts cannot drift) over just
+    those blocks of the landed events table and dynamic-overwrite their
+    partitions.
+
+    Block-scoped refresh, not append: a late row changes its whole 6 h
+    window's denominator, so every 1 h row of the touched block is
+    recomputed — and a replayed epoch rewrites identical partitions
+    (idempotent, no double counting). Cost per epoch: a partition-pruned
+    scan of the touched blocks only — independent of stream age."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from yamon_spark.queries.analytics_ext4 import burn_rate_frame
+
+    b6 = (F.unix_timestamp("ts") / 21600).cast("bigint")
+    blocks = [r[0] for r in batch.select(b6.alias("b6")).distinct().collect()]
+    if not blocks:
+        return
+    spark = batch.sparkSession
+    ev = spark.read.parquet(events_path).where(b6.isin(blocks))
+    br = burn_rate_frame(ev).withColumn(
+        "b6", (F.unix_timestamp("ws") / 21600).cast("bigint")
+    )
+    (
+        br.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("b6")
+        .parquet(out_path)
+    )
+
+
+def start_burn_rate_monitor(
+    spark: SparkSession,
+    events_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    ),
+    trigger: dict | None = None,
+    query_name: str = "burn_rate",
+) -> StreamingQuery:
+    """Start the live burn-rate monitor over a parquet events landing
+    dir: each landed file batch refreshes the burn table's touched 6 h
+    blocks. The landing dir doubles as the events table (files are the
+    ground truth; the monitor never keeps its own state)."""
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+
+    def run_epoch(batch: DataFrame, epoch: int) -> None:
+        burn_rate_epoch(batch, events_dir, out_path)
+
+    return (
+        stream.writeStream.foreachBatch(run_epoch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
