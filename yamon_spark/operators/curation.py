@@ -1611,20 +1611,26 @@ def dedup_survivors(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> 
     max-chars) — no windows, no data-sized single partitions.
     """
     labels = dedup_clusters(docs, ngram=ngram, threshold=threshold)
-    m = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    # shuffle-hash hints throughout: the label frame's post-iteration
+    # stats are opaque to the planner and the cluster-keyed joins
+    # otherwise fall back to sort-merge (the registry's zero-SMJ
+    # invariant, tests/test_plans.py)
+    m = labels.hint("shuffle_hash").join(
+        docs.select("doc_id", "n_chars").hint("shuffle_hash"), "doc_id"
+    )
     g = m.groupBy("cluster_id").agg(
         F.max("n_chars").alias("mc"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
     s = (
-        m.join(g.select("cluster_id", "mc"), "cluster_id")
+        m.join(g.select("cluster_id", "mc").hint("shuffle_hash"), "cluster_id")
         .where(F.col("n_chars") == F.col("mc"))
         .groupBy("cluster_id")
         .agg(F.min("doc_id").alias("survivor_doc_id"))
     )
     return (
-        g.join(s, "cluster_id")
+        g.join(s.hint("shuffle_hash"), "cluster_id")
         .select(
             "cluster_id",
             "survivor_doc_id",
