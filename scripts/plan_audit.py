@@ -119,6 +119,13 @@ def main() -> None:
         if k not in BOUNDED_WINDOW_WHITELIST
     )
     summary["bounded_window_whitelist"] = BOUNDED_WINDOW_WHITELIST
+    # Stale-entry gate: a whitelist row whose query no longer carries an
+    # unpartitioned window is a rotting excuse — it would silently cover a
+    # FUTURE data-sized window landing under the same name. Remove it.
+    summary["stale_window_whitelist"] = sorted(
+        k for k in BOUNDED_WINDOW_WHITELIST
+        if k not in summary["unpartitioned_windows"]
+    )
     out = {"sf_dir": SF, "summary": summary, "per_query": rows}
     if errors:
         out["build_errors"] = errors
@@ -131,6 +138,13 @@ def main() -> None:
         print(
             "GATE FAIL: data-sized single-partition window(s): "
             + ", ".join(summary["data_sized_unpartitioned_windows"]),
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    if summary["stale_window_whitelist"]:
+        print(
+            "GATE FAIL: stale bounded-window whitelist entr(ies): "
+            + ", ".join(summary["stale_window_whitelist"]),
             file=sys.stderr,
         )
         sys.exit(1)

@@ -156,9 +156,12 @@ def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     ops = sys.argv[2:] or DEFAULT_OPS
 
-    # a 300x slice with 32 executor threads needs real heap (the BPE /
-    # tokenizer ops OOM'd the 8g default mid-sweep); the box has 128 GiB
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+    # a 100x+ slice with 32 executor threads needs real heap (the BPE /
+    # tokenizer ops OOM'd the 8g default mid-300x-sweep on the 128 GiB
+    # box); smaller factors keep the 8g default so the sweep still runs
+    # on modest machines
+    if factor >= 100:
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
     from yamon_spark.queries import all_queries
     from yamon_spark.session import get_spark

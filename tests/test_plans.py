@@ -89,12 +89,22 @@ SMJ_OK: set[str] = set()
 
 
 # windows with an EMPTY partition spec move ALL rows to one partition —
-# acceptable ONLY over inputs bounded by construction (never data-sized):
-UPW_OK = {
-    "embed_kmeans",  # init rank over the k(=8)-row TakeOrdered centroid seed
-    "hybrid_rank_rrf",  # fused rank over the two bounded top-100 lists
-    "q91_alert_episodes",  # islands row_number over the hourly ALERT rollup (calendar-bounded)
-}
+# acceptable ONLY over inputs bounded by construction (never data-sized).
+# Single source of truth: scripts/plan_audit.py's BOUNDED_WINDOW_WHITELIST
+# (each entry documents its boundedness provenance there); loading it here
+# keeps the CI gate and the audit gate from drifting apart.
+def _load_bounded_window_whitelist() -> set[str]:
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py")
+    spec = importlib.util.spec_from_file_location("_plan_audit_wl", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return set(mod.BOUNDED_WINDOW_WHITELIST)
+
+
+UPW_OK = _load_bounded_window_whitelist()
 
 
 def _is_unpartitioned_window(line: str) -> bool:

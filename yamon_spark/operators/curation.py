@@ -905,7 +905,17 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
     side partial gradient sums, no driver collect, no shuffle beyond
     the single-row agg); `iters` bounds plan depth. Docs with zero
     words carry no gradient signal (ln(0) poisons the batch) and are
-    excluded up front."""
+    excluded up front.
+
+    Build-time execution caveat (deliberate): materializing the 1-row
+    weight frame requires RUNNING the GD rounds when the chain is
+    BUILT — the sim_mmr_topk eager-build precedent — which is what
+    collapses every downstream consumer to literals (50+ Exchange
+    plans otherwise). File-backed corpora memoize on (session, plan,
+    files), so the registry/bench/driver paths train once; in-memory
+    frames CANNOT be keyed safely (see below) and retrain per build —
+    acceptable in unit tests, and the reason plan-only tooling over
+    the registry still pays one training run per head query."""
     try:
         # Data identity needs BOTH halves: the canonicalized plan pins
         # the OPERATOR structure (filters, projections — attribute
@@ -1571,9 +1581,13 @@ def shard_balance(docs: DataFrame, n_shards: int = 16, salt: str = "shard") -> D
         16,
         10,
     ).cast("long")
-    words = F.split(F.trim(F.col("text")), r"\s+")
+    from yamon_spark.operators.text import words_col
+
     per = (
-        docs.select((h % n_shards).cast("int").alias("shard"), F.size(words).alias("tokens"))
+        docs.select(
+            (h % n_shards).cast("int").alias("shard"),
+            F.size(words_col(F.col("text"))).alias("tokens"),
+        )
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),

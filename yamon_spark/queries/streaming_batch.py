@@ -172,7 +172,8 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_id is dense 0..N-1 in every fixture (FIXTURES.md), so
     # row_number()-1 ordered by event_id IS event_id: the micro-batch id is
     # a pure projection, not a global (single-partition) window. The DuckDB
-    # oracle keeps the row_number form; tests/test_streaming_batch.py pins
+    # oracle keeps the row_number form;
+    # tests/test_plans.py::test_q63_batch_id_projection_equals_window_form pins
     # projection == window-form equality on the fixtures.
     ordered = ev.withColumn(
         "batch_id",

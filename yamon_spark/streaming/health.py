@@ -84,8 +84,12 @@ def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
     Block-scoped refresh, not append: a late row changes its whole 6 h
     window's denominator, so every 1 h row of the touched block is
     recomputed — and a replayed epoch rewrites identical partitions
-    (idempotent, no double counting). Cost per epoch: a partition-pruned
-    scan of the touched blocks only — independent of stream age."""
+    (idempotent, no double counting). Cost per epoch: the landed-table
+    read carries a RAW-ts range predicate (the touched blocks' envelope)
+    so parquet row-group min/max stats prune old files at the scan — a
+    derived-column filter alone (b6.isin) is unpushable and would rescan
+    the whole landing dir every epoch as the stream ages. The exact
+    block membership filter stays on top for sparse touched sets."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     from yamon_spark.queries.analytics_ext4 import burn_rate_frame
@@ -95,7 +99,15 @@ def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
     if not blocks:
         return
     spark = batch.sparkSession
-    ev = spark.read.parquet(events_path).where(b6.isin(blocks))
+    lo, hi = min(blocks) * 21600, (max(blocks) + 1) * 21600
+    ev = (
+        spark.read.parquet(events_path)
+        .where(
+            (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+            & (F.col("ts") < F.timestamp_seconds(F.lit(hi)))
+        )
+        .where(b6.isin(blocks))
+    )
     br = burn_rate_frame(ev).withColumn(
         "b6", (F.unix_timestamp("ws") / 21600).cast("bigint")
     )
