@@ -85,22 +85,32 @@ def main() -> None:
             return -1.0
         return round(time.perf_counter() - t0, 2)
 
+    # Noise floor (uniform min-of-2): EVERY query is measured twice and
+    # the min kept. This box shows sporadic multi-second CPU-steal
+    # spikes that land on random queries (observed 1.4 s -> 45 s on a
+    # pure-projection query) plus a uniform ~9% JVM-sharing drift as the
+    # registry grows; re-measuring only outliers left that drift needing
+    # manual adjudication every round (r4->r5). The second pass runs
+    # AFTER the full first sweep so both passes see the same
+    # steady-state JVM. BOTH passes are kept in the artifact
+    # (sweep_attempts totals on the contract line, full per-pass maps in
+    # bench_out.json): r11's total regressed 1.13x vs r10 across dozens
+    # of UNTOUCHED queries and the artifact couldn't distinguish box
+    # contention from a code regression because only the folded min was
+    # recorded — the per-pass totals make a contended round visible in
+    # the record itself (a quiet round has near-equal passes; a
+    # contended one shows a wide pass1/pass2 spread).
+    pass1: dict[str, float] = {}
+    for name in sorted(qs):
+        pass1[name] = run_one(name)
+    pass2: dict[str, float] = {}
+    for name in sorted(qs):
+        pass2[name] = run_one(name)
+
     timings: dict[str, float] = {}
     for name in sorted(qs):
-        timings[name] = run_one(name)
-
-    # Noise floor (uniform min-of-2): EVERY query is measured a second
-    # time and the min kept. This box shows sporadic multi-second
-    # CPU-steal spikes that land on random queries (observed 1.4 s ->
-    # 45 s on a pure-projection query) plus a uniform ~9% JVM-sharing
-    # drift as the registry grows; re-measuring only outliers left that
-    # drift needing manual adjudication every round (r4->r5). The second
-    # pass runs AFTER the full first sweep so both passes see the same
-    # steady-state JVM.
-    for name in sorted(qs):
-        second = run_one(name)
-        if second >= 0 and (timings[name] < 0 or second < timings[name]):
-            timings[name] = second
+        a, b = pass1[name], pass2[name]
+        timings[name] = b if a < 0 else (a if b < 0 else min(a, b))
 
     # third-pass guard for anything still outlier-shaped (> 3x median in
     # BOTH passes — genuine heavyweights confirm themselves, doubly
@@ -113,11 +123,16 @@ def main() -> None:
             timings[name] = min(timings[name], third)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sweep_attempts = [
+        round(sum(t for t in p.values() if t >= 0), 2) for p in (pass1, pass2)
+    ]
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sweep_attempts": sweep_attempts,
+        "sweep_passes": {"pass1": pass1, "pass2": pass2},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
     }
@@ -141,6 +156,9 @@ def main() -> None:
         result,
         metric="total_wall",
         queries=short,
+        # the two per-pass sweep totals ride the contract line (~20
+        # chars); full per-pass per-query maps stay in bench_out.json
+        sweep_passes=None,
         ingest={
             "rows_per_sec": ingest["rows_per_sec"],
             # the per-attempt record rides the contract line (~40 chars) so
@@ -150,6 +168,7 @@ def main() -> None:
             **({"attempts": ingest["attempts"]} if "attempts" in ingest else {}),
         },
     )
+    del line["sweep_passes"]
     # Hard cap: stay under the tail capture no matter how many queries are
     # registered — fold the CHEAPEST timings into one "_rest" bucket until
     # the encoded line fits (heavy hitters stay named; full detail is in

@@ -27,21 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
 # Unpartitioned Window nodes whose input is PROVABLY bounded (row count is a
-# constant independent of corpus size), with the provenance a reviewer can
-# check. Any unpartitioned window NOT in this map is data-sized — the whole
-# table funnels through one task — and fails the gate below.
-BOUNDED_WINDOW_WHITELIST = {
-    # operators/embeddings.py: window runs over .limit(k) rows (k=8 centroid
-    # seeds), never over the corpus.
-    "embed_kmeans": "window over limit(k=8) centroid seed rows",
-    # operators/similarity.py: RRF rank windows run over the two top-100
-    # candidate shortlists, never over the corpus.
-    "hybrid_rank_rrf": "rank windows over top-100 candidate shortlists",
-    # queries/analytics_ext4.py: the gaps-and-islands row_number runs over
-    # the ALERTING-HOURS rollup — time-range-sized (<= hours in retention,
-    # ~8.8k/year), corpus-size-independent.
-    "q91_alert_episodes": "window over the hourly alert rollup (calendar-bounded)",
-}
+# constant independent of corpus size). Any unpartitioned window NOT in this
+# map is data-sized — the whole table funnels through one task — and fails
+# the gate below. The map itself lives in the package (importable without
+# this script's top-level side effects) so the CI twin in
+# tests/test_plans.py loads the identical object.
+from yamon_spark.plans.audit_whitelist import BOUNDED_WINDOW_WHITELIST  # noqa: E402
 
 
 def audit_plan(plan: str) -> dict:

@@ -159,9 +159,19 @@ def main() -> None:
     # a 100x+ slice with 32 executor threads needs real heap (the BPE /
     # tokenizer ops OOM'd the 8g default mid-300x-sweep on the 128 GiB
     # box); smaller factors keep the 8g default so the sweep still runs
-    # on modest machines
+    # on modest machines. The raised default is clamped to ~40% of
+    # detected physical RAM so the JVM still starts on smaller hosts
+    # (an unconditional 48g fails outright where the old 8g could run a
+    # small op subset).
     if factor >= 100:
-        os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
+        heap_g = 48
+        try:
+            with open("/proc/meminfo") as f:
+                total_kb = int(next(l for l in f if l.startswith("MemTotal")).split()[1])
+            heap_g = min(48, max(8, int(total_kb / 1024 / 1024 * 0.4)))
+        except (OSError, StopIteration, ValueError):
+            pass
+        os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{heap_g}g")
 
     from yamon_spark.queries import all_queries
     from yamon_spark.session import get_spark

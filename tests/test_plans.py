@@ -76,6 +76,7 @@ BNLJ_OK = {
     "text_zipf_slope",  # <=64-row log2-bucket-total self-join (rank bases)
     "sim_ivf_pareto",  # bounded query/centroid/budget/totals broadcasts
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds
+    "quality_drift_alarm",  # the psi-row x ece-row composition (both 1-row)
     "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
     "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
     "shard_balance_report",  # broadcast of the ONE total-tokens row into 16 rows
@@ -90,21 +91,12 @@ SMJ_OK: set[str] = set()
 
 # windows with an EMPTY partition spec move ALL rows to one partition —
 # acceptable ONLY over inputs bounded by construction (never data-sized).
-# Single source of truth: scripts/plan_audit.py's BOUNDED_WINDOW_WHITELIST
-# (each entry documents its boundedness provenance there); loading it here
-# keeps the CI gate and the audit gate from drifting apart.
-def _load_bounded_window_whitelist() -> set[str]:
-    import importlib.util
-    import os
+# Single source of truth: yamon_spark.plans.audit_whitelist (each entry
+# documents its boundedness provenance there); scripts/plan_audit.py
+# imports the same object, so the CI gate and the audit gate can't drift.
+from yamon_spark.plans.audit_whitelist import BOUNDED_WINDOW_WHITELIST
 
-    path = os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py")
-    spec = importlib.util.spec_from_file_location("_plan_audit_wl", path)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return set(mod.BOUNDED_WINDOW_WHITELIST)
-
-
-UPW_OK = _load_bounded_window_whitelist()
+UPW_OK = set(BOUNDED_WINDOW_WHITELIST)
 
 
 def _is_unpartitioned_window(line: str) -> bool:

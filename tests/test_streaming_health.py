@@ -104,9 +104,12 @@ def test_burn_rate_monitor_matches_batch_and_replays_idempotently(spark, tmp_pat
 
     landing = str(tmp_path / "events")
     out = str(tmp_path / "burn")
+    episodes = str(tmp_path / "episodes")
 
     def run(ckpt):
-        q = start_burn_rate_monitor(spark, landing, out, str(tmp_path / ckpt))
+        q = start_burn_rate_monitor(
+            spark, landing, out, str(tmp_path / ckpt), episodes_path=episodes
+        )
         q.awaitTermination()
 
     # epoch 1: block 0 (hours 0-5) at 50% errors -> every hour alerts
@@ -134,10 +137,36 @@ def test_burn_rate_monitor_matches_batch_and_replays_idempotently(spark, tmp_pat
     }
     assert live_rows == batch
 
-    # replay from a fresh checkpoint: every epoch reprocessed -> same table
+    # the live episodes table == the scheduled q91 rollup over the same
+    # events (bit-identical: both run alert_episodes_frame over the same
+    # burn frame)
+    from yamon_spark.queries.analytics_ext4 import alert_episodes_frame
+
+    batch_eps = [
+        r.asDict()
+        for r in alert_episodes_frame(
+            burn_rate_frame(spark.read.parquet(landing))
+        ).collect()
+    ]
+    live_eps = [
+        r.asDict()
+        for r in spark.read.parquet(episodes)
+        .orderBy("episode_start")
+        .collect()
+    ]
+    assert live_eps == batch_eps
+    # one 6-hour alerting episode: block 0 alerts wall-to-wall, block 1 quiet
+    assert len(live_eps) == 1 and live_eps[0]["n_hours"] == 6
+
+    # replay from a fresh checkpoint: every epoch reprocessed -> same tables
     run("ck2")
     again = {
         r["ws"]: {k: v for k, v in r.asDict().items() if k != "b6"}
         for r in spark.read.parquet(out).collect()
     }
     assert again == batch
+    again_eps = [
+        r.asDict()
+        for r in spark.read.parquet(episodes).orderBy("episode_start").collect()
+    ]
+    assert again_eps == batch_eps

@@ -32,6 +32,28 @@ from pyspark.sql import functions as F
 from yamon_spark.operators.text import words_col
 
 
+# Default stop-shingle cap ("auto"): drop shingles shared by more than
+# this many docs before the posting-list pair expansion. A shingle's pair
+# cost is df^2/2, so without a cap ONE boilerplate shingle (license
+# header, nav bar, scraper banner) shared by 0.1% of a 10B-doc corpus
+# generates ~5e13 pairs; with the cap, total pair work is bounded by
+# (#shingles x CAP^2/2) — linear in corpus size. 1024 is far above any
+# real near-dup signal (genuinely near-dup docs share many RARE
+# shingles; a df>1024 shingle contributes no discriminative evidence)
+# and far above every verification fixture's max df (25 at sf0.1, and
+# the scale-sweep replicas are vocabulary-disjoint so df never grows
+# with the factor) — measured inert: scripts/stop_shingle_bench.py
+# shows byte-identical output on the fixtures and bounded wall on a
+# planted-boilerplate corpus, and tests/test_dedup_cap.py equality-pins
+# capped == uncapped at the oracle SFs. Pass max_doc_freq=None for
+# exact uncapped semantics.
+DEFAULT_MAX_DOC_FREQ = 1024
+
+
+def _resolve_cap(max_doc_freq) -> int | None:
+    return DEFAULT_MAX_DOC_FREQ if max_doc_freq == "auto" else max_doc_freq
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Hash-repartition on ``cols`` before a fan-out stage, so a small
     input file count never serializes the downstream explode compute.
@@ -207,15 +229,19 @@ def _pair_counts(sh: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_doc_freq: int | None = None
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_doc_freq="auto"
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jacc >= threshold).
 
-    ``max_doc_freq``: optionally drop shingles occurring in more than this
-    many docs (stop-shingle cap — keeps the pair expansion bounded at
-    100 TB; leave None for exact semantics against the oracle).
+    ``max_doc_freq``: drop shingles occurring in more than this many docs
+    (stop-shingle cap — keeps the pair expansion bounded at 100 TB).
+    Defaults to "auto" = DEFAULT_MAX_DOC_FREQ (inert at verification
+    SFs, equality-pinned in tests/test_dedup_cap.py); pass None for
+    uncapped semantics. With the cap active, n_sh denominators still
+    count ALL shingles, so a boilerplate-heavy pair's jaccard is
+    under-, never over-estimated.
     """
-    inter = _pair_counts(shingle_table(docs, ngram), max_doc_freq)
+    inter = _pair_counts(shingle_table(docs, ngram), _resolve_cap(max_doc_freq))
     jacc = F.col("n_inter").cast("double") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
@@ -645,7 +671,7 @@ def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataF
 
 
 def ngram_containment_pairs(
-    docs: DataFrame, ngram: int = 3, threshold: float = 0.7, max_doc_freq: int | None = None
+    docs: DataFrame, ngram: int = 3, threshold: float = 0.7, max_doc_freq="auto"
 ) -> DataFrame:
     """Asymmetric near-dup: n-gram containment |A ∩ B| / min(|A|, |B|)
     (doc_a < doc_b, containment >= threshold). Catches the pair Jaccard
@@ -656,8 +682,9 @@ def ngram_containment_pairs(
     Same single-shuffle posting-list plan as ngram_jaccard_pairs (the
     inverted index and pair expansion are shared code); only the final
     score expression differs, so the 100 TB bounds are identical —
-    candidate space capped by max_doc_freq, never all-pairs."""
-    inter = _pair_counts(shingle_table(docs, ngram), max_doc_freq)
+    candidate space capped by max_doc_freq ("auto" = the shared
+    DEFAULT_MAX_DOC_FREQ, inert at verification SFs), never all-pairs."""
+    inter = _pair_counts(shingle_table(docs, ngram), _resolve_cap(max_doc_freq))
     cont = F.col("n_inter").cast("double") / F.least("na", "nb")
     return (
         inter.select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))

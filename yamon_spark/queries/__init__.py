@@ -96,29 +96,11 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r6-vintage (oldest — front of the verified segment)
-    "bpe_apply": 6, "q13_anti_join": 6, "q14_range_join": 6,
-    "q15_asof_join": 6, "q16_cross_join_pairs": 6,
-    # r7-vintage
-    "ann_range_search": 7, "contamination_ngram": 7, "corpus_profile": 7,
-    "dedup_clusters": 7, "dedup_exact": 7, "dedup_jaccard": 7,
-    "dedup_minhash_lsh": 7, "dedup_simhash": 7, "dedup_simhash64": 7,
-    "dedup_simhash64_pairs": 7, "domain_mix_temperature": 7,
-    "embed_centroids": 7, "embed_norm_stats": 7,
-    "multimodal_audio_windows": 7, "multimodal_features": 7,
-    "multimodal_frames": 7, "multimodal_jpeg_roundtrip": 7,
-    "multimodal_meta": 7, "multimodal_video_frames": 7, "pq_codes": 7,
-    "pq_topk": 7, "q01_filter_project": 7, "q02_pushdown_predicates": 7,
-    "q03_distinct": 7, "q40_global_topk": 7, "q41_union_distinct": 7,
-    "q42_intersect": 7, "q43_except": 7, "q66_hll_rollup_merge": 7,
-    "q67_funnel": 7, "q68_cohort_retention": 7, "q72_grouped_agg_udaf": 7,
-    "q80_runtime_filter": 7, "quality_logit_train": 7,
-    "sample_rebalanced": 7, "sample_stratified": 7, "sim_cosine_topk": 7,
-    "sim_ivf_topk": 7, "sim_lsh_topk": 7, "sim_near_dup_lsh": 7,
-    "sim_near_dup_pairs": 7, "text_fingerprint": 7, "text_lang_id": 7,
-    "text_pii_scrub": 7, "text_quality_filter": 7, "text_repetition": 7,
-    "text_stats": 7, "text_token_count": 7, "text_winnow": 7,
-    "vocab_coverage": 7,
+    # r7-vintage (oldest — front of the verified segment)
+    "ann_range_search": 7, "corpus_profile": 7, "domain_mix_temperature": 7,
+    "pq_codes": 7, "pq_topk": 7, "q80_runtime_filter": 7,
+    "quality_logit_train": 7, "sample_rebalanced": 7, "sim_near_dup_lsh": 7,
+    "text_pii_scrub": 7, "text_winnow": 7,
     # r8-vintage
     "contamination_semantic": 8, "corpus_shuffle": 8,
     "corpus_snapshot_diff": 8, "dedup_budget_impact": 8,
@@ -160,7 +142,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "sim_sq8_recall": 9, "sim_sq8_topk": 9, "sq8_codes": 9,
     "text_chunk_windows": 9, "text_perplexity_buckets": 9, "text_search": 9,
     "text_zipf_slope": 9, "vocab_growth": 9,
-    # r10-vintage (freshest — back of the queue)
+    # r10-vintage
     "dedup_canonical": 10, "dedup_cluster_sizes": 10,
     "dedup_incremental": 10, "dedup_lsh_band_tuning": 10,
     "dedup_simhash_pairs": 10, "doc_length_survival": 10, "domain_mix": 10,
@@ -181,6 +163,26 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "source_divergence": 10, "source_overlap": 10, "text_bigrams": 10,
     "text_ngram_novelty": 10, "text_tfidf_pairs": 10,
     "train_test_split": 10,
+    # r11-vintage (freshest — back of the queue)
+    "bpe_apply": 11, "contamination_ngram": 11, "dedup_clusters": 11,
+    "dedup_exact": 11, "dedup_jaccard": 11, "dedup_minhash_lsh": 11,
+    "dedup_simhash": 11, "dedup_simhash64": 11, "dedup_simhash64_pairs": 11,
+    "dedup_source_matrix": 11, "dedup_survivors": 11, "embed_centroids": 11,
+    "embed_norm_stats": 11, "multimodal_audio_windows": 11,
+    "multimodal_features": 11, "multimodal_frames": 11,
+    "multimodal_jpeg_roundtrip": 11, "multimodal_meta": 11,
+    "multimodal_video_frames": 11, "q01_filter_project": 11,
+    "q02_pushdown_predicates": 11, "q03_distinct": 11, "q13_anti_join": 11,
+    "q14_range_join": 11, "q15_asof_join": 11, "q16_cross_join_pairs": 11,
+    "q40_global_topk": 11, "q41_union_distinct": 11, "q42_intersect": 11,
+    "q43_except": 11, "q66_hll_rollup_merge": 11, "q67_funnel": 11,
+    "q68_cohort_retention": 11, "q72_grouped_agg_udaf": 11,
+    "q90_burn_rate": 11, "q91_alert_episodes": 11, "sample_stratified": 11,
+    "shard_balance_report": 11, "sim_cosine_topk": 11, "sim_ivf_topk": 11,
+    "sim_lsh_topk": 11, "sim_near_dup_pairs": 11, "text_boilerplate": 11,
+    "text_fingerprint": 11, "text_lang_id": 11, "text_quality_filter": 11,
+    "text_repetition": 11, "text_stats": 11, "text_token_count": 11,
+    "vocab_coverage": 11,
 }
 
 

@@ -425,7 +425,10 @@ def burn_rate_frame(ev: DataFrame) -> DataFrame:
     WITH br AS ({_Q90_SQL}),
     a AS (
       SELECT ws, burn_1h, n_events,
-             CAST(epoch(ws) AS BIGINT) / 3600 AS hi
+             -- integer division: the grouping key is integral by
+             -- construction, not by fixture alignment (float / would be
+             -- exact only because ws is hour-truncated)
+             CAST(epoch(ws) AS BIGINT) // 3600 AS hi
       FROM br WHERE alert = 1),
     g AS (
       SELECT ws, burn_1h, n_events,
@@ -448,14 +451,21 @@ def burn_rate_frame(ev: DataFrame) -> DataFrame:
     ),
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return alert_episodes_frame(q90(spark, sf_dir))
+
+
+def alert_episodes_frame(br: DataFrame) -> DataFrame:
+    """The q91 computation over any burn-rate frame — shared with the
+    live monitor (streaming/health.py), which recomputes the episodes
+    table from the refreshed burn table per epoch so the batch and
+    streaming incident surfaces are bit-identical by construction."""
     from pyspark.sql import Window
 
-    br = q90(spark, sf_dir)
     a = br.where(F.col("alert") == 1).select(
         "ws",
         "burn_1h",
         "n_events",
-        (F.unix_timestamp("ws") / 3600).cast("bigint").alias("hi"),
+        F.floor(F.unix_timestamp("ws") / 3600).cast("bigint").alias("hi"),
     )
     grp = F.col("hi") - F.row_number().over(Window.orderBy("hi"))
     return (

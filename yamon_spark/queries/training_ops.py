@@ -831,3 +831,57 @@ def quality_score_psi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return quality_score_psi(ref, new, model)
+
+
+@register(
+    "quality_drift_alarm",
+    f"""
+    WITH psi_t AS ({_logit_psi_oracle(12, 4.0)}),
+    cal AS ({_logit_calibration_oracle(12, 4.0, 10)}),
+    ece_t AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             round(sum(n_docs * abs(mean_pred - frac_keep))
+                   / CAST(sum(n_docs) AS DOUBLE), 4) AS ece
+      FROM cal)
+    SELECT n_ref, n_new, psi,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi <= 0.25 THEN 'drifting'
+                ELSE 'retrain' END AS psi_status,
+           n_docs, ece,
+           CAST(CASE WHEN psi > 0.25 OR ece > 0.1 THEN 1 ELSE 0 END AS INT)
+             AS page
+    FROM psi_t, ece_t
+    """,
+    doc=(
+        "The operating table a quality-head owner pages on: ONE row "
+        "composing the two drift monitors that already exist — the "
+        "score-distribution PSI between the reference and new corpus "
+        "slices (data drift: the inputs changed) and the head's "
+        "expected calibration error (model drift: the probabilities "
+        "stopped meaning what the threshold sweep assumed). PSI banded "
+        "by the standard 0.1/0.25 rule, page = psi > 0.25 OR "
+        "ece > 0.1. Both sides share the session's ONE GD training via "
+        "the _logit_train_frames memo, so the composition adds a "
+        "single 1-row x 1-row join over plans that already ran."
+    ),
+)
+def quality_drift_alarm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    psi = quality_score_psi_q(spark, sf_dir)
+    ece = quality_head_ece_q(spark, sf_dir).select("n_docs", "ece")
+    psi_status = (
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") <= 0.25, "drifting")
+        .otherwise("retrain")
+    )
+    page = ((F.col("psi") > 0.25) | (F.col("ece") > 0.1)).cast("int")
+    return psi.crossJoin(ece).select(
+        "n_ref",
+        "n_new",
+        "psi",
+        psi_status.alias("psi_status"),
+        "n_docs",
+        "ece",
+        page.alias("page"),
+    )

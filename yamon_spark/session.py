@@ -33,9 +33,15 @@ def get_spark(app_name: str = "yamon-spark", shuffle_partitions: int | None = No
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
 
+    # SPARK_GRAFT_MASTER lets measurement harnesses swap the single-JVM
+    # local[N] for e.g. local-cluster[2,16,24576] — same session knobs,
+    # heap split across worker JVMs (used to de-confound GC effects in
+    # scale sweeps; see scripts/split_jvm_knee.py). Default unchanged.
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -50,4 +56,11 @@ def get_spark(app_name: str = "yamon-spark", shuffle_partitions: int | None = No
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # worker JVMs need an explicit executor heap; the memory-per-worker
+        # field in local-cluster[n,cores,mem] is the worker's budget, the
+        # executor must fit inside it
+        builder = builder.config(
+            "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEMORY", "20g")
+        )
     return builder.getOrCreate()

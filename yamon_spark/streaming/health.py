@@ -74,12 +74,19 @@ def start_health_monitor(
     )
 
 
-def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
+def burn_rate_epoch(
+    batch: DataFrame, events_path: str, out_path: str, episodes_path: str | None = None
+) -> None:
     """Refresh the live SLO burn-rate table for every 6 h block this
     batch touched: recompute q90's frame (`burn_rate_frame` — the SAME
     code path, so live and scheduled alerts cannot drift) over just
     those blocks of the landed events table and dynamic-overwrite their
-    partitions.
+    partitions. With ``episodes_path`` set, the q91 incident-episode
+    rollup (`alert_episodes_frame` — again the same code path) is then
+    recomputed from the refreshed burn table and overwritten whole: an
+    episode can span 6 h blocks, and the burn table is calendar-bounded
+    (<= hours in retention, ~8.8k rows/year), so the full recompute is
+    O(1) in corpus size and trivially replay-idempotent.
 
     Block-scoped refresh, not append: a late row changes its whole 6 h
     window's denominator, so every 1 h row of the touched block is
@@ -89,25 +96,34 @@ def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
     so parquet row-group min/max stats prune old files at the scan — a
     derived-column filter alone (b6.isin) is unpushable and would rescan
     the whole landing dir every epoch as the stream ages. The exact
-    block membership filter stays on top for sparse touched sets."""
+    block membership filter stays on top for sparse touched sets.
+
+    Consistency: the landed-table read is pinned to a file-list SNAPSHOT
+    captured once at epoch start (``inputFiles()``), not a live
+    directory listing — a file that lands mid-epoch would otherwise be
+    partially reflected (only in the blocks this epoch happens to
+    recompute), skewing the table across blocks until that file's own
+    epoch runs. Landing-zone files are immutable once visible, so the
+    snapshot is a consistent view; the late file's epoch recomputes its
+    blocks from its own snapshot."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    from yamon_spark.queries.analytics_ext4 import burn_rate_frame
+    from yamon_spark.queries.analytics_ext4 import alert_episodes_frame, burn_rate_frame
 
     b6 = (F.unix_timestamp("ts") / 21600).cast("bigint")
     blocks = [r[0] for r in batch.select(b6.alias("b6")).distinct().collect()]
     if not blocks:
         return
     spark = batch.sparkSession
+    snapshot = spark.read.parquet(events_path)
+    files = snapshot.inputFiles()
+    if files:
+        snapshot = spark.read.parquet(*files)
     lo, hi = min(blocks) * 21600, (max(blocks) + 1) * 21600
-    ev = (
-        spark.read.parquet(events_path)
-        .where(
-            (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
-            & (F.col("ts") < F.timestamp_seconds(F.lit(hi)))
-        )
-        .where(b6.isin(blocks))
-    )
+    ev = snapshot.where(
+        (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+        & (F.col("ts") < F.timestamp_seconds(F.lit(hi)))
+    ).where(b6.isin(blocks))
     br = burn_rate_frame(ev).withColumn(
         "b6", (F.unix_timestamp("ws") / 21600).cast("bigint")
     )
@@ -117,6 +133,9 @@ def burn_rate_epoch(batch: DataFrame, events_path: str, out_path: str) -> None:
         .partitionBy("b6")
         .parquet(out_path)
     )
+    if episodes_path is not None:
+        burn = spark.read.parquet(out_path).drop("b6")
+        alert_episodes_frame(burn).write.mode("overwrite").parquet(episodes_path)
 
 
 def start_burn_rate_monitor(
@@ -130,15 +149,18 @@ def start_burn_rate_monitor(
     ),
     trigger: dict | None = None,
     query_name: str = "burn_rate",
+    episodes_path: str | None = None,
 ) -> StreamingQuery:
     """Start the live burn-rate monitor over a parquet events landing
     dir: each landed file batch refreshes the burn table's touched 6 h
-    blocks. The landing dir doubles as the events table (files are the
-    ground truth; the monitor never keeps its own state)."""
+    blocks — and, with ``episodes_path``, the q91 incident-episode
+    rollup a pager actually consumes. The landing dir doubles as the
+    events table (files are the ground truth; the monitor never keeps
+    its own state)."""
     stream = spark.readStream.schema(schema).parquet(events_dir)
 
     def run_epoch(batch: DataFrame, epoch: int) -> None:
-        burn_rate_epoch(batch, events_dir, out_path)
+        burn_rate_epoch(batch, events_dir, out_path, episodes_path)
 
     return (
         stream.writeStream.foreachBatch(run_epoch)
