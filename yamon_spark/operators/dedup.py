@@ -228,6 +228,40 @@ def _pair_counts(sh: DataFrame, max_doc_freq: int | None = None) -> DataFrame:
     )
 
 
+def stop_shingle_cap_plan(
+    docs: DataFrame, ngram: int = 3, caps: tuple[int, ...] = (8, 16, 32, 64, 128, 256, 512, 1024)
+) -> DataFrame:
+    """The operating table for choosing ``max_doc_freq``: per candidate
+    cap, how many shingles it would stop and how much pair work
+    (Σ df·(df−1)/2, the posting-list explode's exact output size) it
+    drops vs keeps. Run on a sample before a corpus-wide near-dup pass:
+    the right cap sits where pairs_dropped has exploded (boilerplate
+    mass) while n_stop_shingles is still a sliver of the vocabulary.
+
+    Plan shape: ONE df-histogram groupBy over the shingle table (same
+    uniform keys as the posting list), a broadcast ×|caps| fan-out, and
+    a |caps|-row partial agg — linear in corpus, no pair expansion at
+    any cap."""
+    spark = docs.sparkSession
+    sh = shingle_table(docs, ngram)
+    post = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    cap_df = spark.createDataFrame([(c,) for c in caps], "cap int")
+    pair_work = (F.col("df") * (F.col("df") - F.lit(1)) / F.lit(2)).cast("bigint")
+    hot = F.col("df") > F.col("cap")
+    return (
+        post.crossJoin(F.broadcast(cap_df))
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_stop_shingles"),
+            F.sum(F.when(hot, pair_work).otherwise(0)).cast("bigint").alias("pairs_dropped"),
+            F.sum(F.when(~hot & (F.col("df") >= 2), pair_work).otherwise(0))
+            .cast("bigint")
+            .alias("pairs_kept"),
+        )
+        .orderBy("cap")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, ngram: int = 3, threshold: float = 0.5, max_doc_freq="auto"
 ) -> DataFrame:

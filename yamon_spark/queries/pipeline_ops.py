@@ -161,6 +161,40 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
 
 
+@register(
+    "dedup_cap_plan",
+    f"""
+    WITH {_shingle_cte(3)}
+    , post AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle)
+    , caps AS (SELECT unnest([8, 16, 32, 64, 128, 256, 512, 1024]) AS cap)
+    SELECT cap,
+      CAST(coalesce(sum(CASE WHEN df > cap THEN 1 END), 0) AS BIGINT)
+        AS n_stop_shingles,
+      CAST(coalesce(sum(CASE WHEN df > cap THEN df * (df - 1) // 2 END), 0)
+        AS BIGINT) AS pairs_dropped,
+      CAST(coalesce(sum(CASE WHEN df >= 2 AND df <= cap
+                        THEN df * (df - 1) // 2 END), 0) AS BIGINT)
+        AS pairs_kept
+    FROM caps CROSS JOIN post GROUP BY cap ORDER BY cap
+    """,
+    doc=(
+        "Operating table for choosing the stop-shingle cap "
+        "(max_doc_freq): per candidate cap, shingles stopped and exact "
+        "posting-list pair work (sum df*(df-1)/2) dropped vs kept. The "
+        "pre-flight a curation pipeline runs on a sample before a "
+        "corpus-wide near-dup pass — the right cap sits where "
+        "pairs_dropped has exploded (boilerplate mass) while "
+        "n_stop_shingles is still a sliver of the vocabulary. ONE "
+        "df-histogram groupBy (uniform shingle keys), a broadcast x8 "
+        "fan-out, an 8-row agg; no pair expansion at any cap."
+    ),
+)
+def dedup_cap_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.dedup import stop_shingle_cap_plan
+
+    return stop_shingle_cap_plan(table(spark, sf_dir, "documents"), ngram=3)
+
+
 def _minhash_sig_sql(num_hashes: int = 16, band_size: int = 4) -> tuple[str, str]:
     """(sig-select-list, band-key-select-list) embedding the same affine-
     permutation literals as operators.dedup.minhash_coeffs — one md5 per
