@@ -78,6 +78,7 @@ BNLJ_OK = {
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds
     "quality_drift_alarm",  # the psi-row x ece-row composition (both 1-row)
     "dedup_cap_plan",  # broadcast of the constant 8-row candidate-cap table
+    "contamination_report",  # the two 1-row contamination aggregates joined
     "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
     "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
     "shard_balance_report",  # broadcast of the ONE total-tokens row into 16 rows

@@ -73,9 +73,8 @@ def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(table(spark, sf_dir, "documents"), ngram=3, max_rep=0.1)
 
 
-@register(
-    "contamination_ngram",
-    f"""
+# module constant so contamination_report can nest the same SQL verbatim
+_CONTAM_NGRAM_SQL = f"""
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
     sh AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
@@ -96,7 +95,12 @@ def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5
                 THEN 1 ELSE 0 END AS INT) AS contaminated
     FROM j ORDER BY doc_id
-    """,
+    """
+
+
+@register(
+    "contamination_ngram",
+    _CONTAM_NGRAM_SQL,
     doc="Benchmark contamination: distinct 5-gram overlap vs the eval set.",
 )
 def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,9 +224,8 @@ def text_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(table(spark, sf_dir, "documents"), top_k=2000, lam=0.8)
 
 
-@register(
-    "contamination_semantic",
-    f"""
+# module constant so contamination_report can nest the same SQL verbatim
+_CONTAM_SEM_SQL = f"""
     WITH q AS (
       SELECT vec_id AS b_id, embedding AS q_emb FROM embeddings
       WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 256
@@ -240,7 +243,12 @@ def text_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, b_id AS nearest_bench, cos_sim,
            CAST(cos_sim >= 0.3 AS INT) AS contaminated
     FROM best WHERE rn = 1 ORDER BY vec_id
-    """,
+    """
+
+
+@register(
+    "contamination_semantic",
+    _CONTAM_SEM_SQL,
     doc=(
         "Embedding-space benchmark decontamination (semantic twin of "
         "contamination_ngram — n-gram overlap misses paraphrased eval "
@@ -258,6 +266,71 @@ def contamination_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return contamination_semantic(
         table(spark, sf_dir, "embeddings"), bench_mod=50, threshold=0.3, max_bench=256
+    )
+
+
+@register(
+    "contamination_report",
+    f"""
+    WITH cn AS ({_CONTAM_NGRAM_SQL}),
+    cs AS ({_CONTAM_SEM_SQL}),
+    a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(contaminated), 0) AS BIGINT)
+                   AS ngram_flagged
+          FROM cn),
+    b AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                 CAST(coalesce(sum(contaminated), 0) AS BIGINT)
+                   AS semantic_flagged
+          FROM cs)
+    SELECT n_docs, ngram_flagged,
+           round(CAST(ngram_flagged AS DOUBLE) / n_docs, 4) AS ngram_rate,
+           n_vecs, semantic_flagged,
+           round(CAST(semantic_flagged AS DOUBLE) / n_vecs, 4)
+             AS semantic_rate,
+           CAST(CASE WHEN CAST(ngram_flagged AS DOUBLE) / n_docs > 0.05
+                      OR CAST(semantic_flagged AS DOUBLE) / n_vecs > 0.05
+                THEN 1 ELSE 0 END AS INT) AS page
+    FROM a, b
+    """,
+    doc=(
+        "The decontamination page row: ONE row composing the two "
+        "contamination monitors — n-gram eval-set overlap (verbatim "
+        "leakage) and embedding nearest-benchmark cosine (paraphrased "
+        "leakage the n-gram side structurally misses) — as corpus-level "
+        "flag rates with a page bit when either exceeds 5%. The "
+        "release-gate number a training-data pipeline alarms on before "
+        "shipping a corpus snapshot; both sides reduce existing plans "
+        "to 1-row aggregates, so the composition adds a single tiny "
+        "cross join."
+    ),
+)
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    cn = contamination_q(spark, sf_dir)
+    cs = contamination_semantic_q(spark, sf_dir)
+    a = cn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum("contaminated"), F.lit(0)).cast("bigint").alias("ngram_flagged"),
+    )
+    b = cs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.coalesce(F.sum("contaminated"), F.lit(0)).cast("bigint").alias("semantic_flagged"),
+    )
+    ngram_rate = F.round(F.col("ngram_flagged").cast("double") / F.col("n_docs"), 4)
+    sem_rate = F.round(F.col("semantic_flagged").cast("double") / F.col("n_vecs"), 4)
+    page = (
+        (F.col("ngram_flagged").cast("double") / F.col("n_docs") > 0.05)
+        | (F.col("semantic_flagged").cast("double") / F.col("n_vecs") > 0.05)
+    ).cast("int")
+    return a.crossJoin(b).select(
+        "n_docs",
+        "ngram_flagged",
+        ngram_rate.alias("ngram_rate"),
+        "n_vecs",
+        "semantic_flagged",
+        sem_rate.alias("semantic_rate"),
+        page.alias("page"),
     )
 
 

@@ -46,6 +46,16 @@ def get_spark(app_name: str = "yamon-spark", shuffle_partitions: int | None = No
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # shuffles START wide and AQE merges small partitions by observed
+        # size — partitions track data volume instead of a fixed count.
+        # Measured (SCALE_CURVE.json partition_knee): halves the posting-
+        # list pair kernel's wall at 300x corpus (dedup_jaccard 299->140 s,
+        # segment exponent 1.09) because per-task shuffle volume stays
+        # bounded; at sf0.1 verification scale the coalescer collapses the
+        # extra width for free (probe: 9.2 vs 9.0 s over 6 queries, noise).
+        # On a real cluster this is the standard sizing (start wide,
+        # coalesce down) — a fixed 32 would be the deployment bug.
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
