@@ -18,8 +18,17 @@ Slice synthesis (self-similar, not pathological):
 - embeddings: vec_id reindexed per replica, vectors unchanged (the ANN
   scans/top-k paths are data-independent in cost).
 
-Usage: python scripts/scale_curve.py [factor] [ops...]
+Usage: python scripts/scale_curve.py [--fresh] [factor] [ops...]
 Writes SCALE_CURVE.json next to the repo root and prints one line per op.
+
+``--fresh`` measures each op in its own SUBPROCESS (a stopped-and-
+recreated SparkSession reuses the same driver JVM, so only a new
+process truly freshens the heap). Round 12 measured that a long
+single-session sweep AGES the JVM enough to fake a superlinear segment
+on heavy ops (dedup_source_matrix @300x: 305 s mid-sweep vs 104 s
+fresh — SCALE_CURVE.json `partition_knee`); the ~15 s JVM start per op
+is noise against the heavy factors where it matters, so use --fresh
+for any 100x+ sweep whose numbers will be read as evidence.
 """
 
 from __future__ import annotations
@@ -153,8 +162,26 @@ def main() -> None:
             print(f"{name:28s} exponent={rec['exponent']:5.2f} factors={rec['factors']}")
         print(f"wrote {path}")
         return
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    ops = sys.argv[2:] or DEFAULT_OPS
+    if len(sys.argv) > 1 and sys.argv[1] == "--one":
+        # internal fresh-mode worker: measure ONE op against an already-
+        # synthesized slice and print a single JSON result line
+        factor, big_dir, name = int(sys.argv[2]), sys.argv[3], sys.argv[4]
+        from yamon_spark.queries import all_queries
+        from yamon_spark.session import get_spark
+
+        spark = get_spark("yamon-scale-one")
+        spark.sparkContext.setLogLevel("ERROR")
+        build = all_queries()[name].build
+        build(spark, WARM).write.format("noop").mode("overwrite").save()
+        t1 = time_op(build, spark, BASE)
+        tn = time_op(build, spark, big_dir)
+        print("RESULT " + json.dumps({"t1": t1, "tn": tn}), flush=True)
+        return
+
+    args = [a for a in sys.argv[1:] if a != "--fresh"]
+    fresh = "--fresh" in sys.argv[1:]
+    factor = int(args[0]) if args else 10
+    ops = args[1:] or DEFAULT_OPS
 
     # a 100x+ slice with 32 executor threads needs real heap (the BPE /
     # tokenizer ops OOM'd the 8g default mid-300x-sweep on the 128 GiB
@@ -188,10 +215,30 @@ def main() -> None:
 
         results = {}
         for name in ops:
-            build = qs[name].build
-            build(spark, WARM).write.format("noop").mode("overwrite").save()  # JIT warm-up
-            t1 = time_op(build, spark, BASE)
-            tn = time_op(build, spark, big_dir)
+            if fresh:
+                # one op per JVM process: a long sweep's aged heap
+                # inflates heavy walls (measured 3x on
+                # dedup_source_matrix @300x)
+                import subprocess
+
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one",
+                     str(factor), big_dir, name],
+                    capture_output=True, text=True, env=os.environ,
+                )
+                line = next(
+                    (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")), None
+                )
+                if line is None:
+                    print(f"{name}: fresh worker failed\n{proc.stderr[-1500:]}")
+                    continue
+                r = json.loads(line[len("RESULT "):])
+                t1, tn = r["t1"], r["tn"]
+            else:
+                build = qs[name].build
+                build(spark, WARM).write.format("noop").mode("overwrite").save()  # JIT warm-up
+                t1 = time_op(build, spark, BASE)
+                tn = time_op(build, spark, big_dir)
             ratio = tn / t1 if t1 > 0 else float("inf")
             results[name] = {
                 "t_1x_sec": round(t1, 2),
