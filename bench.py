@@ -381,6 +381,42 @@ _SHORT_WHOLE.update({
     "dedup_simhash64_pairs": "s6p",
     "quality_logit_train": "qlt",
 })
+# r12 tightening: 213 registered queries + the sweep_attempts field
+# re-folded the line, so every remaining >=6-char mnemonic shrinks to 3-5
+# (same bijectivity assert; full names always in bench_out.json)
+_SHORT_WHOLE.update({
+    "quality_head_calibration": "qhc",
+    "quality_threshold_sweep": "qts",
+    "contamination_semantic": "cts",
+    "embedding_assign_delta": "ead",
+    "contamination_report": "ctr",
+    "quality_gopher_rules": "qgr",
+    "shard_balance_report": "sbr",
+    "doc_length_survival": "dls",
+    "quality_drift_alarm": "qda",
+    "tokenizer_fertility": "tkf",
+    "dedup_lsh_band_tuning": "dlb",
+    "multimodal_mjpeg_roundtrip": "mjpg",
+    "quality_head_model": "qhm",
+    "sim_centroid_margin": "scm",
+    "text_bigram_logprob": "tbl",
+    "corpus_snapshot_diff": "cosd",
+    "dedup_budget_impact": "dbi",
+    "dedup_cluster_sizes": "dcs",
+    "dedup_source_matrix": "dsm",
+    "embed_intrinsic_dim": "eid",
+    "embed_outlier_score": "eos",
+    "quality_head_ece": "qhe",
+    "sketch_count_min": "skcm",
+    "mix_repeat_plan": "mrp",
+    "text_boilerplate": "tbp",
+    "multimodal_audio_trim": "mtrim",
+    "sample_eval_slice": "sevs",
+    "dedup_survivors": "dsv",
+    "dedup_cap_plan": "dcp",
+    "multimodal_adpcm_roundtrip": "adpcm",
+    "text_mattr": "mattr",
+})
 _SHORT_PREFIX = [
     ("multimodal_", "mm_"), ("dedup_", "dd_"), ("text_", "tx_"),
     ("sample_", "sp_"), ("embed_", "em_"), ("corpus_", "co_"),
