@@ -178,6 +178,21 @@ def main() -> None:
         print("RESULT " + json.dumps({"t1": t1, "tn": tn}), flush=True)
         return
 
+    if len(sys.argv) > 1 and sys.argv[1] == "--synth":
+        # internal fresh-mode worker: synthesize the slice and exit, so
+        # the orchestrating parent never starts a JVM (a resident 48 g
+        # parent heap alongside each measuring child double-books the
+        # box's memory — measured 86% kernel time and 4-5x walls from
+        # page-reclaim thrash when the parent kept its session)
+        factor, big_dir = int(sys.argv[2]), sys.argv[3]
+        from yamon_spark.session import get_spark
+
+        spark = get_spark("yamon-scale-synth")
+        spark.sparkContext.setLogLevel("ERROR")
+        synthesize(spark, BASE, big_dir, factor)
+        print("SYNTH_OK", flush=True)
+        return
+
     args = [a for a in sys.argv[1:] if a != "--fresh"]
     fresh = "--fresh" in sys.argv[1:]
     factor = int(args[0]) if args else 10
@@ -200,17 +215,32 @@ def main() -> None:
             pass
         os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{heap_g}g")
 
-    from yamon_spark.queries import all_queries
-    from yamon_spark.session import get_spark
+    if fresh:
+        # the parent stays JVM-free: synthesis and every measurement run
+        # in their own processes (see --synth note above)
+        spark = qs = None
+    else:
+        from yamon_spark.queries import all_queries
+        from yamon_spark.session import get_spark
 
-    spark = get_spark("yamon-scale-curve")
-    spark.sparkContext.setLogLevel("ERROR")
-    qs = all_queries()
+        spark = get_spark("yamon-scale-curve")
+        spark.sparkContext.setLogLevel("ERROR")
+        qs = all_queries()
 
     big_dir = tempfile.mkdtemp(prefix=f"yamon_scale{factor}x_")
     try:
         t0 = time.perf_counter()
-        synthesize(spark, BASE, big_dir, factor)
+        if fresh:
+            import subprocess
+
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--synth", str(factor), big_dir],
+                capture_output=True, text=True, env=os.environ,
+            )
+            if "SYNTH_OK" not in proc.stdout:
+                raise SystemExit(f"synth worker failed\n{proc.stderr[-1500:]}")
+        else:
+            synthesize(spark, BASE, big_dir, factor)
         print(f"synthesized {factor}x slice in {time.perf_counter() - t0:.1f}s -> {big_dir}")
 
         results = {}
