@@ -279,17 +279,27 @@ def main() -> None:
 
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json")
         # merge-by-(factor, op): partial runs refresh their entries
-        # without discarding other factors' records
+        # without discarding other factors' records — or ANY sibling key
+        # another harness wrote (split_jvm, partition_knee; an earlier
+        # version rebuilt the dict from scratch and silently dropped them)
         out = {"base": BASE, "runs": {}}
         if os.path.exists(path):
             with open(path) as f:
                 prev = json.load(f)
-            if "runs" in prev:
-                out["runs"] = prev["runs"]
-            elif "ops" in prev:  # migrate the old single-factor layout
-                out["runs"][str(prev.get("factor", "10"))] = prev["ops"]
-        out["runs"].setdefault(str(factor), {}).update(results)
+            out.update(prev)
+            if "runs" not in out:
+                out["runs"] = {}
+            if "ops" in prev:  # migrate the old single-factor layout
+                out["runs"][str(prev.get("factor", "10"))] = prev.pop("ops")
+        # fresh-protocol results live under their own key: every wall in
+        # "runs" is warm-sweep vintage, every wall in "fresh_runs" is
+        # one-JVM-per-op; mixing them in one table would corrupt the
+        # fitted exponents (fresh walls run 1-6x warm on this box)
+        runs_key = "fresh_runs" if fresh else "runs"
+        out.setdefault(runs_key, {}).setdefault(str(factor), {}).update(results)
         out["exponents"] = fit_exponents(out["runs"])
+        if out.get("fresh_runs"):
+            out["fresh_exponents"] = fit_exponents(out["fresh_runs"])
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
         print(f"wrote {path}")
