@@ -143,9 +143,10 @@ def main() -> None:
     # unparseable), so it is compact-encoded via _short_name (bijective —
     # asserted below) and the ingest block reduced to its headline rate.
     # Until round 4 the cap was met by folding the ~11 cheapest timings
-    # into "_rest", which cost the driver their per-query history; the
-    # name-shortening map now fits ALL entries, keeping the fold as a
-    # never-expected last resort.
+    # into "_rest". At 213 registered queries the fold is the normal
+    # path again (~49 cheapest ride "_rest" in r12); that is fine —
+    # failures are never folded and full per-query detail stays in
+    # bench_out.json.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as f:
         json.dump(result, f, indent=1)
     short = {_short_name(n): t for n, t in timings.items()}

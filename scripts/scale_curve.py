@@ -147,6 +147,59 @@ def fit_exponents(runs: dict) -> dict:
     return out
 
 
+def write_curve(path: str, results: dict, factor: int, fresh: bool) -> dict:
+    """Merge one sweep's results into SCALE_CURVE.json without losing
+    ANY sibling evidence another harness wrote.
+
+    Merge-by-(factor, op): partial runs refresh their entries without
+    discarding other factors' records — or any top-level key such as
+    split_jvm / partition_knee / fresh_runs (an earlier version rebuilt
+    the dict from scratch and silently dropped them; r12 lost the
+    round's de-confounding evidence to exactly that).
+    """
+    out = {"base": BASE, "runs": {}}
+    prev_keys: set = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        out.update(prev)
+        prev_keys = set(prev.keys()) - {"ops", "factor"}
+        if "runs" not in out:
+            out["runs"] = {}
+        if "ops" in prev:  # migrate the old single-factor layout
+            out["runs"][str(prev.get("factor", "10"))] = prev["ops"]
+            # drop the legacy keys from OUT too (out.update(prev)
+            # copied them); leaving them makes every later run
+            # re-detect the legacy layout and clobber runs[factor]
+            # with this stale snapshot
+            out.pop("ops", None)
+            out.pop("factor", None)
+    # fresh-protocol results live under their own key: every wall in
+    # "runs" is warm-sweep vintage, every wall in "fresh_runs" is
+    # one-JVM-per-op; mixing them in one table would corrupt the
+    # fitted exponents (fresh walls run 1-6x warm on this box)
+    runs_key = "fresh_runs" if fresh else "runs"
+    out.setdefault(runs_key, {}).setdefault(str(factor), {}).update(results)
+    out["exponents"] = fit_exponents(out["runs"])
+    if out.get("fresh_runs"):
+        out["fresh_exponents"] = fit_exponents(out["fresh_runs"])
+    # hard guard, not just merge-by-convention: refuse to write a file
+    # that loses any pre-existing top-level key — the assert makes
+    # losing evidence impossible rather than merely unlikely
+    _assert_no_key_loss(prev_keys, out)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
+def _assert_no_key_loss(prev_keys: set, out: dict) -> None:
+    lost = set(prev_keys) - set(out.keys())
+    assert not lost, (
+        f"SCALE_CURVE.json write would drop top-level keys {sorted(lost)}; "
+        "refusing to destroy another harness's evidence"
+    )
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--fit":
         path = os.path.join(
@@ -278,30 +331,7 @@ def main() -> None:
             print(f"{name:24s} 1x={t1:6.2f}s {factor}x={tn:6.2f}s ratio={ratio:5.2f}")
 
         path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json")
-        # merge-by-(factor, op): partial runs refresh their entries
-        # without discarding other factors' records — or ANY sibling key
-        # another harness wrote (split_jvm, partition_knee; an earlier
-        # version rebuilt the dict from scratch and silently dropped them)
-        out = {"base": BASE, "runs": {}}
-        if os.path.exists(path):
-            with open(path) as f:
-                prev = json.load(f)
-            out.update(prev)
-            if "runs" not in out:
-                out["runs"] = {}
-            if "ops" in prev:  # migrate the old single-factor layout
-                out["runs"][str(prev.get("factor", "10"))] = prev.pop("ops")
-        # fresh-protocol results live under their own key: every wall in
-        # "runs" is warm-sweep vintage, every wall in "fresh_runs" is
-        # one-JVM-per-op; mixing them in one table would corrupt the
-        # fitted exponents (fresh walls run 1-6x warm on this box)
-        runs_key = "fresh_runs" if fresh else "runs"
-        out.setdefault(runs_key, {}).setdefault(str(factor), {}).update(results)
-        out["exponents"] = fit_exponents(out["runs"])
-        if out.get("fresh_runs"):
-            out["fresh_exponents"] = fit_exponents(out["fresh_runs"])
-        with open(path, "w") as f:
-            json.dump(out, f, indent=1)
+        write_curve(path, results, factor, fresh)
         print(f"wrote {path}")
     finally:
         shutil.rmtree(big_dir, ignore_errors=True)

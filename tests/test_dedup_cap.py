@@ -75,3 +75,13 @@ def test_auto_resolves_to_shared_default(spark):
     assert dedup._resolve_cap("auto") == dedup.DEFAULT_MAX_DOC_FREQ
     assert dedup._resolve_cap(None) is None
     assert dedup._resolve_cap(7) == 7
+
+
+def test_resolve_cap_rejects_typos():
+    import pytest
+
+    from yamon_spark.operators import dedup
+
+    for bad in ("Auto", "1024", 0, -5, 3.5, True):
+        with pytest.raises(ValueError):
+            dedup._resolve_cap(bad)

@@ -51,7 +51,20 @@ DEFAULT_MAX_DOC_FREQ = 1024
 
 
 def _resolve_cap(max_doc_freq) -> int | None:
-    return DEFAULT_MAX_DOC_FREQ if max_doc_freq == "auto" else max_doc_freq
+    if max_doc_freq == "auto":
+        return DEFAULT_MAX_DOC_FREQ
+    if max_doc_freq is None:
+        return None
+    # fail fast on typos ('Auto', '1024'): an unvalidated string would
+    # only surface later as an opaque Column-comparison analysis error
+    # deep inside _pair_counts
+    if isinstance(max_doc_freq, bool) or not isinstance(max_doc_freq, int):
+        raise ValueError(
+            f"max_doc_freq must be 'auto', None, or an int; got {max_doc_freq!r}"
+        )
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1; got {max_doc_freq}")
+    return max_doc_freq
 
 
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -246,7 +259,11 @@ def stop_shingle_cap_plan(
     sh = shingle_table(docs, ngram)
     post = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     cap_df = spark.createDataFrame([(c,) for c in caps], "cap int")
-    pair_work = (F.col("df") * (F.col("df") - F.lit(1)) / F.lit(2)).cast("bigint")
+    # integer `div`, not float `/`: double division loses exactness once
+    # df·(df−1) exceeds 2^53 (df ≳ 9.5e7, plausible for boilerplate
+    # shingles at 10B docs) and would diverge from the oracle's integer
+    # `//`
+    pair_work = F.expr("df * (df - 1) div 2")
     hot = F.col("df") > F.col("cap")
     return (
         post.crossJoin(F.broadcast(cap_df))
