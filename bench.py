@@ -19,11 +19,80 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from yamon_spark.queries import all_queries
 from yamon_spark.session import get_spark
 
+# Fresh-session headline basket: the cross-round perf anchor. The warm
+# sweep's totals drift ~13%/round from JVM/session aging alone (r11->r12
+# measured; SCALE.md "Round 12"), so round-over-round comparison needs
+# walls measured in a FRESH JVM per query — one subprocess each, JIT
+# warm-up at sf0.001, min-of-2 at the bench SF. The basket is PINNED
+# (r12 bench top-10 + q20/q25/q31/q60 + the minhash pair): a stable set
+# is the whole point of an anchor, so do not re-derive it from current
+# timings; extend it only by appending.
+FRESH_HEADLINE = [
+    "dedup_minhash_err",
+    "dedup_simhash64_pairs",
+    "quality_drift_alarm",
+    "text_ngram_novelty",
+    "dedup_minhash_lsh",
+    "dedup_funnel",
+    "source_overlap",
+    "dedup_clusters",
+    "dedup_simhash_pairs",
+    "multimodal_jpeg_roundtrip",
+    "dedup_jaccard",
+    "q20_hash_agg",
+    "q25_gauge_rollup_mv",
+    "q31_counter_delta",
+    "q60_tumbling_window",
+]
+
+
+def fresh_one(name: str, sf_dir: str) -> None:
+    """Child-process mode: measure ONE query in this fresh JVM."""
+    spark = get_spark("yamon-bench-fresh", data_dir=sf_dir)
+    spark.sparkContext.setLogLevel("ERROR")
+    build = all_queries()[name].build
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        build(spark, warm_dir).write.format("noop").mode("overwrite").save()
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 2))
+    print("RESULT " + json.dumps({"walls": walls}), flush=True)
+
+
+def fresh_headline_walls(sf_dir: str) -> dict[str, float]:
+    """Spawn one subprocess per basket query; -1.0 sentinel on failure.
+
+    A stopped-and-recreated SparkSession reuses the driver JVM, so only
+    a new process truly freshens the heap (same finding that drove
+    scale_curve --fresh). The parent's own session stays alive but idle
+    (8g driver — not the 48g resident-heap thrash case).
+    """
+    import subprocess
+
+    out: dict[str, float] = {}
+    for name in FRESH_HEADLINE:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--fresh-one", name],
+                capture_output=True,
+                text=True,
+                timeout=300,
+                env=dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir),
+            )
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+            out[name] = min(json.loads(lines[-1][len("RESULT "):])["walls"]) if lines else -1.0
+        except Exception:  # noqa: BLE001 - anchor failure must not kill the bench
+            out[name] = -1.0
+    return out
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark("yamon-bench")
+    spark = get_spark("yamon-bench", data_dir=sf_dir)
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
@@ -126,6 +195,13 @@ def main() -> None:
     sweep_attempts = [
         round(sum(t for t in p.values() if t >= 0), 2) for p in (pass1, pass2)
     ]
+    # fresh-JVM anchor walls, AFTER the sweep (children are fresh
+    # processes either way; running last keeps the warm sweep's thermal
+    # profile comparable to earlier rounds). SPARK_GRAFT_FRESH_HEADLINE=0
+    # skips it for quick local iterations.
+    fresh: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_FRESH_HEADLINE", "1") != "0":
+        fresh = fresh_headline_walls(sf_dir)
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,
@@ -136,6 +212,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
     }
+    if fresh:
+        result["fresh_headline"] = fresh
     if errors:
         result["errors"] = errors
     # Full result lands in bench_out.json; the stdout contract line must fit
@@ -157,6 +235,13 @@ def main() -> None:
         result,
         metric="total_wall",
         queries=short,
+        # fresh-JVM anchor walls ride the line short-named and are NEVER
+        # folded into _rest — they are the cross-round comparison signal
+        **(
+            {"fresh_headline": {_short_name(n): w for n, w in fresh.items()}}
+            if fresh
+            else {}
+        ),
         # the two per-pass sweep totals ride the contract line (~20
         # chars); full per-pass per-query maps stay in bench_out.json
         sweep_passes=None,
@@ -506,4 +591,7 @@ def ingest_bench(spark, n_lines: int = 20000, per_line: int = 100) -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--fresh-one":
+        fresh_one(sys.argv[2], os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    else:
+        main()

@@ -222,7 +222,10 @@ def main() -> None:
         from yamon_spark.queries import all_queries
         from yamon_spark.session import get_spark
 
-        spark = get_spark("yamon-scale-one")
+        # width sized from the BIG slice: the knee evidence says the wide
+        # start's value is at the heavy factor, and t1 (sf0.1) pays only
+        # noise for extra width when AQE coalesces it back down
+        spark = get_spark("yamon-scale-one", data_dir=big_dir)
         spark.sparkContext.setLogLevel("ERROR")
         build = all_queries()[name].build
         build(spark, WARM).write.format("noop").mode("overwrite").save()

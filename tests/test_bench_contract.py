@@ -27,6 +27,10 @@ def test_bench_main_emits_contract_line(spark, monkeypatch, tmp_path):
     monkeypatch.setattr(bench, "all_queries", lambda: stub)
     monkeypatch.setattr(bench, "get_spark", lambda *a, **k: spark)
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # the fresh-JVM anchor spawns 15 real subprocesses (~20 s each);
+    # stub it here — its emit path has its own test below
+    fresh_stub = {"dedup_minhash_lsh": 1.23, "q20_hash_agg": 0.45}
+    monkeypatch.setattr(bench, "fresh_headline_walls", lambda sf: dict(fresh_stub))
     # keep the ingest leg tiny: 50 lines x 100 metrics parse in ~2 s
     orig_ingest = bench.ingest_bench
     monkeypatch.setattr(
@@ -52,6 +56,8 @@ def test_bench_main_emits_contract_line(spark, monkeypatch, tmp_path):
         assert len(atts) == 2 and all(a >= 0 for a in atts)
         assert line["ingest"]["rows_per_sec"] > 0
         assert len(line["ingest"]["attempts"]) >= 3
+        # fresh-JVM anchor rides the line short-named, never folded
+        assert line["fresh_headline"] == {"mh": 1.23, "20": 0.45}
 
         with open(art_path) as f:
             full_art = json.load(f)
@@ -69,3 +75,36 @@ def test_bench_main_emits_contract_line(spark, monkeypatch, tmp_path):
             # on a clean checkout, don't leave the 2-query stub artifact
             # behind masquerading as a real sweep
             os.remove(art_path)
+
+
+def test_fresh_headline_basket_is_registered():
+    """Every pinned anchor query must exist in the registry (a renamed
+    query would otherwise silently record -1.0 forever), and each must
+    have a distinct short name so the contract line stays bijective."""
+    import bench
+    from yamon_spark.queries import all_queries
+
+    qs = all_queries()
+    missing = [n for n in bench.FRESH_HEADLINE if n not in qs]
+    assert not missing, f"FRESH_HEADLINE names not in registry: {missing}"
+    shorts = [bench._short_name(n) for n in bench.FRESH_HEADLINE]
+    assert len(set(shorts)) == len(shorts)
+
+
+def test_fresh_one_subprocess_contract():
+    """One real fresh-JVM child at sf0.001: prints a RESULT line with two
+    positive walls (the parent-side parser depends on this exact shape)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(REPO, "bench.py"), "--fresh-one", "q20_hash_agg"],
+        capture_output=True,
+        text=True,
+        timeout=240,
+        env=dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001"),
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+    assert lines, f"no RESULT line:\n{proc.stdout[-500:]}\n{proc.stderr[-500:]}"
+    walls = json.loads(lines[-1][len("RESULT "):])["walls"]
+    assert len(walls) == 2 and all(w > 0 for w in walls)
