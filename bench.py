@@ -467,6 +467,10 @@ _SHORT_WHOLE.update({
     "dedup_simhash64_pairs": "s6p",
     "quality_logit_train": "qlt",
 })
+# r13 additions
+_SHORT_WHOLE.update({
+    "curriculum_plan": "curp",
+})
 # r12 tightening: 213 registered queries + the sweep_attempts field
 # re-folded the line, so every remaining >=6-char mnemonic shrinks to 3-5
 # (same bijectivity assert; full names always in bench_out.json)

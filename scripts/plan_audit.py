@@ -139,6 +139,40 @@ def main() -> None:
             file=sys.stderr,
         )
         sys.exit(1)
+    bad_fresh = superlinear_fresh_exponents()
+    if bad_fresh:
+        print(
+            "GATE FAIL: fresh-protocol scale exponent(s) above "
+            f"{FRESH_EXPONENT_CAP}: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(bad_fresh.items())),
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+
+# The r12 de-confounding result as a standing invariant: every
+# fresh-protocol (one-JVM-per-op) scale exponent measured landed 0.3-1.3,
+# bracketing linear. A fresh exponent above this cap means an operator's
+# wall genuinely grows superlinearly with corpus size — a 100-TB design
+# failure, not measurement noise (the aged `exponents` table is NOT
+# gated: warm-sweep walls inflate with session age and would false-alarm).
+FRESH_EXPONENT_CAP = 1.3
+
+
+def superlinear_fresh_exponents(path: str | None = None) -> dict[str, float]:
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_CURVE.json"
+        )
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        curve = json.load(f)
+    return {
+        name: rec["exponent"]
+        for name, rec in curve.get("fresh_exponents", {}).items()
+        if rec.get("exponent", 0) > FRESH_EXPONENT_CAP
+    }
 
 
 if __name__ == "__main__":

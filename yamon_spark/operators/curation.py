@@ -1654,3 +1654,62 @@ def dedup_survivors(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> 
         )
         .orderBy("cluster_id")
     )
+
+
+def curriculum_plan(docs: DataFrame, n_stages: int = 4) -> DataFrame:
+    """Curriculum schedule: bucket the corpus into ``n_stages`` training
+    stages by a difficulty proxy and report each stage's mass — the
+    table a curriculum-learning run reads to size its phases (classic
+    short/simple-first ordering; Bengio et al. 2009's length/complexity
+    staging applied at corpus scale).
+
+    Difficulty score (deterministic, JVM expressions only):
+    ``ln(1 + n_words) * avg_word_chars`` — longer documents with longer
+    words land in later stages. Rounded to 6dp BEFORE the quantile so
+    both engines interpolate over identical doubles.
+
+    Stage assignment WITHOUT a global sort: exact score quantiles
+    (``F.percentile`` — one partial-aggregated scan, the q28 parity
+    precedent) give n_stages-1 boundaries broadcast as one row; stage =
+    1 + #(boundaries strictly below score). No data-sized window, no
+    ntile, no global ordering — the plan is two corpus scans (score agg,
+    stage agg) + a 1-row broadcast, which is the 100 TB shape (an
+    ntile-based curriculum would single-partition the whole corpus).
+    """
+    probs = [i / n_stages for i in range(1, n_stages)]
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    score = F.round(
+        F.log(F.lit(1.0) + n_words) * (F.col("n_chars").cast("double") / n_words), 6
+    )
+    scored = docs.select(
+        score.alias("score"), F.expr("n_chars DIV 4 + 1").alias("toks")
+    )
+    bounds = scored.agg(
+        F.percentile(F.col("score"), F.array(*[F.lit(p) for p in probs])).alias("b")
+    )
+    stage = F.lit(1)
+    for i in range(n_stages - 1):
+        stage = stage + (F.col("score") > F.col("b")[i]).cast("int")
+    staged = scored.crossJoin(F.broadcast(bounds)).select(
+        stage.alias("stage"), "score", "toks"
+    )
+    per_stage = staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )
+    total = per_stage.agg(F.sum("tokens").cast("double").alias("all_toks"))
+    return (
+        per_stage.crossJoin(F.broadcast(total))
+        .select(
+            "stage",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("all_toks"), 4).alias("token_share"),
+            "min_score",
+            "max_score",
+        )
+        .orderBy("stage")
+    )

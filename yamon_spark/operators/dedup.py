@@ -468,7 +468,13 @@ def minhash_estimate_error(
     sigs = minhash_signatures(docs, ngram, num_hashes).localCheckpoint()
     # same degenerate-banding guard as minhash_lsh_pairs: candidates are
     # bucket-bounded under sane banding, but a near-identical corpus can
-    # blow them toward O(corpus) — fall back to shuffle joins there
+    # blow them toward O(corpus) — fall back to shuffle joins there.
+    # NOTE: this count() is a BLOCKING driver action at build time — a
+    # bounded, justified size probe (candidates are bucket-capped, and
+    # the persisted result feeds every downstream join so nothing
+    # recomputes), but callers composing this into a lazily-declared
+    # multi-query session should know the candidate job runs eagerly
+    # here, not at the returned frame's first action.
     cand = _lsh_candidate_pairs(sigs, num_hashes, band_size).persist()
     small = cand.count() <= max_broadcast_candidates
     hint = F.broadcast if small else (lambda df: df)

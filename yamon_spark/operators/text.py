@@ -877,6 +877,14 @@ def boilerplate_report(docs: DataFrame, seg_words: int = 8, min_docs: int = 2) -
     boilerplate key set, and per-doc totals are one |docs|-row aggregate.
     Docs shorter than one segment are excluded (they have no unit to
     score, and keeping them would divide by zero).
+
+    Relation to the stop-shingle cap: this operator never expands pairs,
+    so a hot segment costs one groupBy row — no cap needed HERE. But its
+    output is exactly the evidence that the posting-list pair kernel
+    (dedup_jaccard / dedup_source_matrix) needs capping on this corpus:
+    a high boilerplate fraction means hot shingles, and dedup_cap_plan
+    (operators/dedup.py stop_shingle_cap_plan) is the operating table
+    for choosing that kernel's max_doc_freq before a corpus-wide pass.
     """
     from yamon_spark.operators.dedup import _spread
 

@@ -1292,3 +1292,53 @@ def dedup_survivors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import dedup_survivors
 
     return dedup_survivors(table(spark, sf_dir, "documents"), ngram=3, threshold=0.5)
+
+
+@register(
+    "curriculum_plan",
+    """
+    WITH s AS (
+      SELECT round(ln(1 + len(""" + _WORDS + """)) *
+                   (CAST(n_chars AS DOUBLE) / len(""" + _WORDS + """)), 6) AS score,
+             n_chars // 4 + 1 AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(score, 0.25) AS b1,
+             quantile_cont(score, 0.50) AS b2,
+             quantile_cont(score, 0.75) AS b3
+      FROM s
+    ),
+    st AS (
+      SELECT 1 + CAST(score > b1 AS INT) + CAST(score > b2 AS INT)
+               + CAST(score > b3 AS INT) AS stage,
+             score, toks
+      FROM s, b
+    ),
+    g AS (
+      SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens,
+             round(min(score), 4) AS min_score,
+             round(max(score), 4) AS max_score
+      FROM st GROUP BY stage
+    )
+    SELECT stage, n_docs, tokens,
+           round(CAST(tokens AS DOUBLE) /
+                 (SELECT CAST(sum(tokens) AS DOUBLE) FROM g), 4) AS token_share,
+           min_score, max_score
+    FROM g ORDER BY stage
+    """,
+    doc=(
+        "Curriculum schedule: the corpus bucketed into 4 training "
+        "stages by a difficulty proxy (ln(1+words) x avg word chars — "
+        "simple/short first), with each stage's doc count, token mass "
+        "and share. Stage assignment via exact score quantiles "
+        "broadcast as ONE row (the q28 percentile-parity precedent) — "
+        "two partial-agg corpus scans, no ntile, no global sort, no "
+        "data-sized window."
+    ),
+)
+def curriculum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import curriculum_plan
+
+    return curriculum_plan(table(spark, sf_dir, "documents"), n_stages=4)

@@ -1428,7 +1428,12 @@ def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Jaccard per unordered source pair — the 'which crawls mirror "
         "each other' ingest-budget report (diagonal = intra-source "
         "duplication). Reuses the posting-list pair kernel; joins and "
-        "the |sources|^2-bounded groupBy shuffle only the pair set."
+        "the |sources|^2-bounded groupBy shuffle only the pair set. "
+        "Because it shares the pair kernel, the stop-shingle cap "
+        "(DEFAULT_MAX_DOC_FREQ, operators/dedup.py) applies here too: "
+        "on a boilerplate-heavy corpus run dedup_cap_plan first and "
+        "pass the chosen max_doc_freq, or the cross-source pair "
+        "expansion inherits the same quadratic hot-shingle mass."
     ),
 )
 def dedup_source_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
