@@ -82,6 +82,7 @@ BNLJ_OK = {
     "dedup_threshold_sweep",  # the ONE corpus-total row broadcast into 7 rows
     "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
     "shard_balance_report",  # broadcast of the ONE total-tokens row into 16 rows
+    "curriculum_plan",  # 1-row quantile-boundary + 1-row token-total broadcasts
 }
 
 
