@@ -470,6 +470,7 @@ _SHORT_WHOLE.update({
 # r13 additions
 _SHORT_WHOLE.update({
     "curriculum_plan": "curp",
+    "curriculum_mix": "curm",
 })
 # r12 tightening: 213 registered queries + the sweep_attempts field
 # re-folded the line, so every remaining >=6-char mnemonic shrinks to 3-5

@@ -53,3 +53,20 @@ def test_no_global_sort_or_python_in_plan(spark, sf_dir):
     # corpus-wide ordering or an ntile window
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_shares_sum_to_one_per_stage(spark):
+    from yamon_spark.operators.curation import curriculum_mix
+
+    texts = [" ".join(f"w{j}" for j in range(4 + i * 3)) for i in range(16)]
+    rows = [(i, t, len(t), ["web", "book"][i % 2]) for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, n_chars bigint, source string")
+    out = curriculum_mix(docs, n_stages=4).collect()
+    from collections import defaultdict
+
+    per_stage = defaultdict(float)
+    for r in out:
+        per_stage[r["stage"]] += r["stage_share"]
+    assert set(per_stage) == {1, 2, 3, 4}
+    for stage, s in per_stage.items():
+        assert abs(s - 1.0) < 1e-3, (stage, s)

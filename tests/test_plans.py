@@ -83,6 +83,7 @@ BNLJ_OK = {
     "q63_watermark_late_drop",  # prefix-scan chunk-level carry: rows/2^20-row self-join
     "shard_balance_report",  # broadcast of the ONE total-tokens row into 16 rows
     "curriculum_plan",  # 1-row quantile-boundary + 1-row token-total broadcasts
+    "curriculum_mix",  # same 1-row boundary broadcast; totals join is keyed
 }
 
 

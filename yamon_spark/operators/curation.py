@@ -1713,3 +1713,56 @@ def curriculum_plan(docs: DataFrame, n_stages: int = 4) -> DataFrame:
         )
         .orderBy("stage")
     )
+
+
+def curriculum_mix(docs: DataFrame, n_stages: int = 4) -> DataFrame:
+    """Curriculum × domain-mix schedule: per (stage, source), the token
+    mass and its share WITHIN the stage — the diagnostic read alongside
+    curriculum_plan before training: a difficulty-staged curriculum can
+    silently concentrate one source into a stage (web boilerplate is
+    "easy", academic text is "hard"), skewing early-training exposure.
+
+    Same stage machinery as curriculum_plan (exact score quantiles
+    broadcast as one row — no ntile, no global sort); the mix adds one
+    (stage, source) partial-agg groupBy plus a broadcast join of the
+    n_stages-row per-stage totals. Two corpus scans total, every join
+    side bounded by |stages| × |sources|.
+    """
+    probs = [i / n_stages for i in range(1, n_stages)]
+    w = words_col(F.col("text"))
+    n_words = F.size(w)
+    score = F.round(
+        F.log(F.lit(1.0) + n_words) * (F.col("n_chars").cast("double") / n_words), 6
+    )
+    scored = docs.select(
+        score.alias("score"),
+        "source",
+        F.expr("n_chars DIV 4 + 1").alias("toks"),
+    )
+    bounds = scored.agg(
+        F.percentile(F.col("score"), F.array(*[F.lit(p) for p in probs])).alias("b")
+    )
+    stage = F.lit(1)
+    for i in range(n_stages - 1):
+        stage = stage + (F.col("score") > F.col("b")[i]).cast("int")
+    staged = scored.crossJoin(F.broadcast(bounds)).select(
+        stage.alias("stage"), "source", "toks"
+    )
+    cell = staged.groupBy("stage", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("tokens"),
+    )
+    stage_tot = cell.groupBy("stage").agg(
+        F.sum("tokens").cast("double").alias("stage_toks")
+    )
+    return (
+        cell.join(F.broadcast(stage_tot), "stage")
+        .select(
+            "stage",
+            "source",
+            "n_docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("stage_toks"), 4).alias("stage_share"),
+        )
+        .orderBy("stage", "source")
+    )

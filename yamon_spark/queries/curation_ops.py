@@ -1342,3 +1342,54 @@ def curriculum_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from yamon_spark.operators.curation import curriculum_plan
 
     return curriculum_plan(table(spark, sf_dir, "documents"), n_stages=4)
+
+
+@register(
+    "curriculum_mix",
+    """
+    WITH s AS (
+      SELECT source,
+             round(ln(1 + len(""" + _WORDS + """)) *
+                   (CAST(n_chars AS DOUBLE) / len(""" + _WORDS + """)), 6) AS score,
+             n_chars // 4 + 1 AS toks
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(score, 0.25) AS b1,
+             quantile_cont(score, 0.50) AS b2,
+             quantile_cont(score, 0.75) AS b3
+      FROM s
+    ),
+    st AS (
+      SELECT 1 + CAST(score > b1 AS INT) + CAST(score > b2 AS INT)
+               + CAST(score > b3 AS INT) AS stage,
+             source, toks
+      FROM s, b
+    ),
+    cell AS (
+      SELECT stage, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS tokens
+      FROM st GROUP BY stage, source
+    ),
+    tot AS (
+      SELECT stage, CAST(sum(tokens) AS DOUBLE) AS stage_toks
+      FROM cell GROUP BY stage
+    )
+    SELECT cell.stage, cell.source, cell.n_docs, cell.tokens,
+           round(CAST(cell.tokens AS DOUBLE) / tot.stage_toks, 4) AS stage_share
+    FROM cell JOIN tot ON tot.stage = cell.stage
+    ORDER BY cell.stage, cell.source
+    """,
+    doc=(
+        "Curriculum x domain-mix schedule: per (stage, source) token "
+        "mass and within-stage share — catches a difficulty-staged "
+        "curriculum silently concentrating one source into a stage. "
+        "Same broadcast-quantile stage assignment as curriculum_plan "
+        "plus one (stage, source) partial agg and an n_stages-row "
+        "totals broadcast; two corpus scans, no windows."
+    ),
+)
+def curriculum_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import curriculum_mix
+
+    return curriculum_mix(table(spark, sf_dir, "documents"), n_stages=4)
