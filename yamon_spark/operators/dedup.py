@@ -1043,7 +1043,22 @@ def source_dup_matrix(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -
         .groupBy("src_a", "src_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+            # tie-proof mean of 4dp-rounded jaccards: pair jaccards are
+            # exact 4dp values, so their mean can land EXACTLY on a 4dp
+            # half-tie (sf0.1 hits four: e.g. (0.9492+0.9493)/2) where
+            # double round() is engine-dependent. Sum the 1e4-scaled
+            # values as exact integers and round half-up in integer
+            # arithmetic: floor((2*S + k) / (2k)) / 1e4 — both engines
+            # compute the identical integer, no float tie exists.
+            F.sum(F.round(F.col("jaccard") * 10000, 0).cast("bigint")).alias("_s"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_pairs",
+            (
+                F.expr("(2 * _s + n_pairs) DIV (2 * n_pairs)").cast("double") / 10000.0
+            ).alias("avg_jaccard"),
         )
         .orderBy(F.col("n_pairs").desc(), "src_a", "src_b")
     )

@@ -792,21 +792,34 @@ def mattr(docs: DataFrame, window: int = 25) -> DataFrame:
     fall back to plain TTR and flag windowed=0 so downstream thresholds
     can treat them separately.
 
-    Determinism: each per-window ratio is an exact small-int division;
-    the mean folds sequentially over the per-doc window list (not a
-    cross-partition sum), so both engines add in the identical order —
-    only the final value rounds 4dp. Shuffle-free per-doc array math,
-    O(n·window) per doc with a constant window."""
+    Determinism: per-window distinct counts are INTEGERS, so the mean is
+    Σd_i / (window·k) — computed entirely in integer arithmetic with an
+    explicit half-up at 4dp: floor((2·Σd·10⁴ + D) / (2D)) / 10⁴. A
+    double fold-then-round was 1 ulp apart between engines on sf0.1's
+    exact half-ties (doc 1977's mean lands on .xxxx5; caught by the r13
+    sf0.1 oracle sweep) because window/25 ratios aren't binary-exact.
+    Shuffle-free per-doc array math, O(n·window) per doc."""
     t = docs.select("doc_id", words_col(F.col("text")).alias("w"))
     n = F.size("w")
-    wins = F.expr(
-        f"transform(sequence(1, size(w) - {window} + 1),"
-        f" i -> cast(size(array_distinct(slice(w, i, {window}))) as double) / {window})"
+    # integer DIV throughout (double division would re-introduce the
+    # exactness loss this formulation removes)
+    windowed_score = (
+        F.expr(
+            f"(2 * aggregate(transform(sequence(1, size(w) - {window} + 1),"
+            f"                         i -> cast(size(array_distinct(slice(w, i, {window}))) as bigint)),"
+            f"               cast(0 as bigint), (a, x) -> a + x) * 10000"
+            f" + {window} * cast(size(w) - {window} + 1 as bigint))"
+            f" DIV (2 * {window} * cast(size(w) - {window} + 1 as bigint))"
+        ).cast("double")
+        / 10000.0
     )
-    windowed_score = F.round(
-        F.aggregate(wins, F.lit(0.0), lambda a, x: a + x) / (n - window + 1).cast("double"), 4
+    ttr = (
+        F.expr(
+            "(2 * cast(size(array_distinct(w)) as bigint) * 10000"
+            " + cast(size(w) as bigint)) DIV (2 * cast(size(w) as bigint))"
+        ).cast("double")
+        / 10000.0
     )
-    ttr = F.round(F.size(F.array_distinct("w")).cast("double") / n, 4)
     return t.select(
         "doc_id",
         n.cast("bigint").alias("n_words"),

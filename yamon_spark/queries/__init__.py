@@ -130,7 +130,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "pack_sequences": 10, "q10_inner_join_dims": 10,
     "q11_left_outer_count": 10, "q12_semi_join": 10, "q24_rollup": 10,
     "q25_gauge_rollup_mv": 10, "q26_counter_rollup_mv": 10,
-    "q38_approx_quantile": 10, "q39_cond_aggs": 10, "q44_union_all": 10,
+    "q38_approx_quantile": 10,  "q44_union_all": 10,
     "q47_exists_correlated": 10, "q48_cte_reuse": 10,
     "q49_first_last_window": 10, "q50_string_funcs": 10,
     "q51_datetime_funcs": 10, "q52_math_funcs": 10, "q53_json_extract":
@@ -147,7 +147,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "bpe_apply": 11, "contamination_ngram": 11, "dedup_clusters": 11,
     "dedup_exact": 11, "dedup_jaccard": 11, "dedup_minhash_lsh": 11,
     "dedup_simhash": 11, "dedup_simhash64": 11, "dedup_simhash64_pairs":
-    11, "dedup_source_matrix": 11, "dedup_survivors": 11,
+    11,  "dedup_survivors": 11,
     "embed_centroids": 11, "embed_norm_stats": 11,
     "multimodal_audio_windows": 11, "multimodal_features": 11,
     "multimodal_frames": 11, "multimodal_jpeg_roundtrip": 11,
@@ -156,7 +156,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     "q03_distinct": 11, "q13_anti_join": 11, "q14_range_join": 11,
     "q15_asof_join": 11, "q16_cross_join_pairs": 11, "q40_global_topk":
     11, "q41_union_distinct": 11, "q42_intersect": 11, "q43_except": 11,
-    "q66_hll_rollup_merge": 11, "q67_funnel": 11, "q68_cohort_retention":
+    "q66_hll_rollup_merge": 11,  "q68_cohort_retention":
     11, "q72_grouped_agg_udaf": 11, "q90_burn_rate": 11,
     "q91_alert_episodes": 11, "sample_stratified": 11,
     "shard_balance_report": 11, "sim_cosine_topk": 11, "sim_ivf_topk": 11,
@@ -184,7 +184,7 @@ _DRIVER_GREEN_ROUND: dict[str, int] = {
     12, "sim_ivf_recall_batch": 12, "sim_knn_join": 12,
     "sim_near_dup_lsh": 12, "sim_truncation_recall": 12,
     "sketch_count_min": 12, "text_bigram_logprob": 12, "text_entropy": 12,
-    "text_mattr": 12, "text_pii_scrub": 12, "text_unigram_logprob": 12,
+     "text_pii_scrub": 12, "text_unigram_logprob": 12,
     "text_winnow": 12,
 }
 

@@ -53,24 +53,29 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_cond_aggs",
     """
     SELECT event_type,
-           arg_max(event_id, value) AS id_at_max,
-           arg_min(event_id, value) AS id_at_min,
+           struct_extract(max({'v': value, 'id': event_id}), 'id') AS id_at_max,
+           struct_extract(min({'v': value, 'id': event_id}), 'id') AS id_at_min,
            count(*) FILTER (WHERE value > 250) AS n_hi,
            bool_or(value > 490)  AS any_hi,
            bool_and(value >= 0)  AS all_nonneg
     FROM events GROUP BY event_type ORDER BY event_type
     """,
-    doc="Conditional aggregates: max_by/min_by (arg extremes), count_if, "
-    "bool_or/bool_and — one partial-agg shuffle. Extremes verified unique "
-    "per group in the compared SFs (ties would be engine-dependent).",
+    doc="Conditional aggregates: arg extremes, count_if, bool_or/bool_and "
+    "— one partial-agg shuffle. Extremes use lexicographic (value, "
+    "event_id) struct min/max instead of max_by/arg_max: sf0.1 has "
+    "VALUE TIES per group, where bare arg extremes are engine-dependent "
+    "(caught by the r13 sf0.1 oracle sweep); the struct key makes the "
+    "tie-break deterministic in both engines (max picks the largest id "
+    "among max-value ties, min the smallest among min-value ties).",
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    pair = F.struct(F.col("value").alias("v"), F.col("event_id").alias("id"))
     return (
         ev.groupBy("event_type")
         .agg(
-            F.max_by("event_id", "value").alias("id_at_max"),
-            F.min_by("event_id", "value").alias("id_at_min"),
+            F.max(pair)["id"].alias("id_at_max"),
+            F.min(pair)["id"].alias("id_at_min"),
             F.count_if(F.col("value") > 250).alias("n_hi"),
             F.bool_or(F.col("value") > 490).alias("any_hi"),
             F.bool_and(F.col("value") >= 0).alias("all_nonneg"),

@@ -115,10 +115,15 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents)
     SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
            CASE WHEN len(w) >= 25 THEN
-             round(list_reduce(list_transform(range(1, len(w) - 25 + 2),
-               i -> CAST(len(list_distinct(w[i:i+24])) AS DOUBLE) / 25),
-               (a, b) -> a + b) / CAST(len(w) - 25 + 1 AS DOUBLE), 4)
-           ELSE round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 4)
+             CAST((2 * list_reduce(list_transform(range(1, len(w) - 25 + 2),
+                    i -> CAST(len(list_distinct(w[i:i+24])) AS BIGINT)),
+                    (a, b) -> a + b) * 10000
+                   + 25 * CAST(len(w) - 25 + 1 AS BIGINT))
+                  // (2 * 25 * CAST(len(w) - 25 + 1 AS BIGINT)) AS DOUBLE) / 10000.0
+           ELSE
+             CAST((2 * CAST(len(list_distinct(w)) AS BIGINT) * 10000
+                   + CAST(len(w) AS BIGINT))
+                  // (2 * CAST(len(w) AS BIGINT)) AS DOUBLE) / 10000.0
            END AS mattr,
            CAST(len(w) >= 25 AS INT) AS windowed
     FROM t ORDER BY doc_id
@@ -129,8 +134,11 @@ def contamination_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(TTR is confounded by doc length): mean distinct-ratio over "
         "all 25-word sliding windows; templated/looping text scores "
         "low at any length. Short docs fall back to plain TTR with "
-        "windowed=0. Per-window ratios fold sequentially inside the "
-        "doc's own list (no cross-partition sum), shuffle-free."
+        "windowed=0. The mean is computed in exact INTEGER arithmetic "
+        "(Σ window-distinct counts, one half-up division at 4dp): the "
+        "earlier double fold hit an exact .xxxx5 half-tie at sf0.1 "
+        "where engine round() directions diverge. Per-doc array math, "
+        "shuffle-free."
     ),
 )
 def text_mattr_q(spark: SparkSession, sf_dir: str) -> DataFrame:

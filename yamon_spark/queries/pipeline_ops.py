@@ -1416,7 +1416,11 @@ def dedup_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_source_matrix",
     "SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs, "
-    "round(avg(jaccard), 4) AS avg_jaccard FROM ("
+    # tie-proof mean (see operators/dedup.py source_dup_matrix): exact
+    # integer half-up over 1e4-scaled 4dp jaccards — double round(avg)
+    # is engine-dependent on the exact half-ties sf0.1 produces
+    "CAST((2 * sum(CAST(round(jaccard * 10000, 0) AS BIGINT)) + count(*)) "
+    "     // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_jaccard FROM ("
     "  SELECT least(da.source, db.source) AS src_a, "
     "         greatest(da.source, db.source) AS src_b, p.jaccard"
     "  FROM (WITH " + _shingle_cte(3) + _JACCARD_TAIL.format(thr=0.5) + ") p"

@@ -33,30 +33,45 @@ _STAGES = ("signup", "click", "purchase")
 @register(
     "q67_funnel",
     f"""
-    WITH e AS (
-      SELECT user_id, ts,
-             CASE event_type WHEN '{_STAGES[0]}' THEN 1
-                             WHEN '{_STAGES[1]}' THEN 2
-                             WHEN '{_STAGES[2]}' THEN 3 END AS stage
-      FROM events WHERE event_type IN ('{_STAGES[0]}', '{_STAGES[1]}', '{_STAGES[2]}')),
-    s AS (
-      SELECT user_id, list_sort(list(struct_pack(t := ts, st := stage))) AS seq
-      FROM e GROUP BY user_id),
+    WITH u AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('{_STAGES[0]}', '{_STAGES[1]}', '{_STAGES[2]}')),
+    a AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = '{_STAGES[0]}' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e JOIN a USING (user_id)
+      WHERE e.event_type = '{_STAGES[1]}'
+        AND e.ts >= a.t0 AND e.ts <= a.t0 + INTERVAL 1 DAY
+      GROUP BY e.user_id),
+    p AS (
+      SELECT DISTINCT e.user_id FROM events e
+      JOIN a USING (user_id) JOIN c USING (user_id)
+      WHERE e.event_type = '{_STAGES[2]}'
+        AND e.ts >= c.t1 AND e.ts <= a.t0 + INTERVAL 1 DAY),
     d AS (
-      SELECT user_id,
-             list_reduce(list_prepend(struct_pack(t := TIMESTAMP '1970-01-01', st := 0), seq),
-                         (acc, x) -> CASE WHEN x.st = acc.st + 1
-                                          AND (acc.st = 0 OR x.t <= acc.t + INTERVAL 1 DAY)
-                                     THEN struct_pack(
-                                            t := CASE WHEN acc.st = 0 THEN x.t ELSE acc.t END,
-                                            st := acc.st + 1)
-                                     ELSE acc END).st AS depth
-      FROM s)
+      SELECT u.user_id,
+             CASE WHEN p.user_id IS NOT NULL THEN 3
+                  WHEN c.user_id IS NOT NULL THEN 2
+                  WHEN a.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth
+      FROM u LEFT JOIN a USING (user_id) LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id))
     SELECT depth, count(*) AS n_users FROM d GROUP BY depth ORDER BY depth
     """,
     doc="Funnel depth per user (windowFunnel semantics: strictly-ordered "
     "stages signup->click->purchase, all within 1 day of the first "
-    "matched stage); histogram of users by depth.",
+    "matched stage); histogram of users by depth. The oracle is the "
+    "SET-BASED equivalent of the Spark fold: anchor = first signup, "
+    "depth 2 iff a click lands in [anchor, anchor+1d], depth 3 iff a "
+    "purchase lands in [first qualifying click, anchor+1d]. The original "
+    "list_reduce struct-accumulator oracle hit DuckDB's inconsistent "
+    "cross-field struct-fold evaluation at sf0.1 (the documented "
+    "adpcm-roundtrip hazard): many users' depths flipped 1<->2 while the "
+    "histogram moved by only one — never host a state machine in a "
+    "DuckDB lambda fold. Equivalence of the two forms: stage events at "
+    "the same timestamp sort (t, st)-lexicographically in the fold, so "
+    "the boundary >= comparisons here match the fold's tie behavior.",
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").where(F.col("event_type").isin(*_STAGES))
