@@ -491,6 +491,7 @@ _SHORT_WHOLE.update({
     "quality_head_model": "qhm",
     "sim_centroid_margin": "scm",
     "text_bigram_logprob": "tbl",
+    "text_trigram_logprob": "ttl",
     "corpus_snapshot_diff": "cosd",
     "dedup_budget_impact": "dbi",
     "dedup_cluster_sizes": "dcs",

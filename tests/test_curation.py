@@ -407,6 +407,32 @@ def test_bigram_logprob_penalizes_word_soup(spark):
         assert r.mean_logprob < 0.0 and r.n_bigrams > 0
 
 
+def test_trigram_logprob_catches_shuffled_pairs(spark):
+    """Three docs over the same vocabulary: one repeats a fixed 5-word
+    phrase (its trigrams dominate the model), one repeats the same
+    BIGRAMS chained in a different order (every adjacent pair is
+    common, but the trigram contexts differ from the phrase doc's),
+    one is scrambled soup. The phrase doc must outscore the re-chained
+    doc — the separation a bigram filter cannot make — and the soup
+    doc must score lowest. Docs with <3 words are absent."""
+    from yamon_spark.operators.curation import trigram_logprob
+
+    phrase = "the quick brown fox jumps " * 8
+    # same bigrams as common English-ish chains, different trigram contexts
+    rechain = "quick brown fox jumps the " * 8
+    soup = "fox the jumps quick brown jumps the fox brown quick " * 4
+    docs = spark.createDataFrame(
+        [(0, phrase.strip()), (1, rechain.strip()), (2, soup.strip()), (3, "two words")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in trigram_logprob(docs, top_k=50).collect()}
+    assert set(out) == {0, 1, 2}  # the 2-word doc has no trigrams
+    assert out[0].mean_logprob > out[2].mean_logprob
+    assert out[1].mean_logprob > out[2].mean_logprob
+    for r in out.values():
+        assert r.mean_logprob < 0.0 and r.n_trigrams > 0
+
+
 def test_sample_eval_slice_exact_size_and_content_keyed(spark):
     """Exactly per_group docs per (lang, source); the slice is keyed on
     CONTENT, so re-assigning doc_ids (a re-crawl) keeps the same texts

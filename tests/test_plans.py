@@ -73,6 +73,7 @@ BNLJ_OK = {
     "quality_head_model",  # the 1-row stats x 1-row weights artifact join
     "quality_head_ece",  # the calibration chain's 1-row broadcasts + bin agg
     "text_bigram_logprob",  # broadcast of the ONE corpus-total row
+    "text_trigram_logprob",  # broadcast of the ONE corpus-total row
     "text_zipf_slope",  # <=64-row log2-bucket-total self-join (rank bases)
     "sim_ivf_pareto",  # bounded query/centroid/budget/totals broadcasts
     "quality_score_psi",  # the GD chain's 1-row broadcasts + 10-cell folds

@@ -782,6 +782,119 @@ def bigram_logprob(docs: DataFrame, top_k: int = 2000, lam: float = 0.8) -> Data
     )
 
 
+def trigram_logprob(
+    docs: DataFrame, top_k: int = 3000, lam3: float = 0.6, lam2: float = 0.3
+) -> DataFrame:
+    """Interpolated trigram-LM quality score — the next rung of the
+    :func:`unigram_logprob` → :func:`bigram_logprob` ladder toward
+    CCNet's 5-gram LM (Wenzek et al. 2020): per doc, the mean log of
+
+        P(w | u, v) = lam3·c(u,v,w)/c(u,v)
+                    + lam2·c(v,w)/c(v)
+                    + (1 − lam3 − lam2)·P_uni(w)
+
+    (Jelinek–Mercer interpolation). The trigram term applies only when
+    BOTH the trigram is in the top_k trigram model and its (u,v)
+    context is in the top_k bigram model; the bigram term only when
+    (v,w) is in the bigram model and v in the top_k unigram model —
+    each level otherwise contributes 0, and the unigram OOV half-count
+    floor keeps every probability positive. Thresholding on this score
+    catches shuffled/templated text whose word PAIRS are individually
+    common — the failure mode a bigram filter cannot see, exactly as
+    bigram_logprob catches what the unigram filter cannot. Docs with
+    fewer than 3 words have no trigrams and are absent from the output.
+
+    Scale shape: five bounded broadcasts (top_k trigrams; the top_k
+    bigram model joined twice — as the trigram denominator on (u,v)
+    and as the bigram numerator on (v,w); top_k unigrams; the 1-row
+    total) against one trigram-exploded scan, then a per-doc partial
+    agg. Each model is ONE partial-agg shuffle bounded by top_k —
+    never vocabulary or corpus size — so the whole plan is the
+    bigram_logprob plan plus one more bounded model build. Mean rounds
+    4dp; expression association is shared verbatim with the SQL
+    oracle (including the IEEE residual weight 1.0 − lam3 − lam2)."""
+    t = docs.select("doc_id", words_col(F.col("text")).alias("w")).where(F.size("w") >= 3)
+    flat = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(w) - 1),"
+                " i -> struct(w[i-2] AS u, w[i-1] AS v, w[i] AS wrd))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.u").alias("u"), F.col("s.v").alias("v"), F.col("s.wrd").alias("wrd"))
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total_df = uni.agg(F.sum("cnt").cast("double").alias("total"))
+    univ = uni.orderBy(F.col("cnt").desc(), "word").limit(top_k)
+    t2 = docs.select(words_col(F.col("text")).alias("w")).where(F.size("w") >= 2)
+    flat2 = t2.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS p, w[i] AS q))")
+        ).alias("s")
+    ).select(F.col("s.p").alias("p"), F.col("s.q").alias("q"))
+    biv = (
+        flat2.groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("bcnt"))
+        .orderBy(F.col("bcnt").desc(), "p", "q")
+        .limit(top_k)
+    )
+    triv = (
+        flat.groupBy("u", "v", "wrd")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .orderBy(F.col("tcnt").desc(), "u", "v", "wrd")
+        .limit(top_k)
+    )
+    scored = (
+        flat.join(F.broadcast(triv), ["u", "v", "wrd"], "left")
+        .join(
+            F.broadcast(
+                biv.select(F.col("p").alias("u"), F.col("q").alias("v"), F.col("bcnt").alias("ctx_cnt"))
+            ),
+            ["u", "v"],
+            "left",
+        )
+        .join(
+            F.broadcast(
+                biv.select(F.col("p").alias("v"), F.col("q").alias("wrd"), F.col("bcnt").alias("vw_cnt"))
+            ),
+            ["v", "wrd"],
+            "left",
+        )
+        .join(
+            F.broadcast(univ.select(F.col("word").alias("v"), F.col("cnt").alias("v_cnt"))),
+            "v",
+            "left",
+        )
+        .join(
+            F.broadcast(univ.select(F.col("word").alias("wrd"), F.col("cnt").alias("w_cnt"))),
+            "wrd",
+            "left",
+        )
+        .crossJoin(F.broadcast(total_df))
+    )
+    tri_term = F.when(
+        F.col("tcnt").isNotNull() & F.col("ctx_cnt").isNotNull(),
+        F.col("tcnt").cast("double") / F.col("ctx_cnt"),
+    ).otherwise(F.lit(0.0))
+    bi_term = F.when(
+        F.col("vw_cnt").isNotNull() & F.col("v_cnt").isNotNull(),
+        F.col("vw_cnt").cast("double") / F.col("v_cnt"),
+    ).otherwise(F.lit(0.0))
+    uni_term = F.coalesce(F.col("w_cnt").cast("double"), F.lit(0.5)) / F.col("total")
+    logp = F.log(
+        F.lit(lam3) * tri_term + F.lit(lam2) * bi_term + F.lit(1.0 - lam3 - lam2) * uni_term
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+            F.round(F.avg(logp), 4).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # fixed weights of the distilled linear quality head (quality_logit):
 # intercept, ln(n_words), avg_word_len, stop_ratio. Published-classifier
 # shape (fastText/logistic quality heads); constants are part of the

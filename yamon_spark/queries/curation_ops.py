@@ -232,6 +232,80 @@ def text_bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(table(spark, sf_dir, "documents"), top_k=2000, lam=0.8)
 
 
+@register(
+    "text_trigram_logprob",
+    f"""
+    WITH t AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+    flat AS (
+      SELECT doc_id, s.u AS u, s.v AS v, s.wrd AS wrd FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+          i -> struct_pack(u := w[i], v := w[i + 1], wrd := w[i + 2]))) AS s
+        FROM t WHERE len(w) >= 3
+      )
+    ),
+    flat2 AS (
+      SELECT s.p AS p, s.q AS q FROM (
+        SELECT unnest(list_transform(range(1, len(w)),
+          i -> struct_pack(p := w[i], q := w[i + 1]))) AS s
+        FROM t WHERE len(w) >= 2
+      )
+    ),
+    uni AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest({_WORDS}) AS word FROM documents
+      ) GROUP BY word
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM uni),
+    univ AS (SELECT word, cnt FROM uni ORDER BY cnt DESC, word LIMIT 3000),
+    biv AS (
+      SELECT p, q, count(*) AS bcnt FROM flat2 GROUP BY p, q
+      ORDER BY bcnt DESC, p, q LIMIT 3000
+    ),
+    triv AS (
+      SELECT u, v, wrd, count(*) AS tcnt FROM flat GROUP BY u, v, wrd
+      ORDER BY tcnt DESC, u, v, wrd LIMIT 3000
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             ln(0.6 * (CASE WHEN tr.tcnt IS NOT NULL AND bc.bcnt IS NOT NULL
+                            THEN CAST(tr.tcnt AS DOUBLE) / bc.bcnt ELSE 0.0 END)
+                + 0.3 * (CASE WHEN bn.bcnt IS NOT NULL AND uv.cnt IS NOT NULL
+                              THEN CAST(bn.bcnt AS DOUBLE) / uv.cnt ELSE 0.0 END)
+                + {1.0 - 0.6 - 0.3!r} * (coalesce(CAST(uw.cnt AS DOUBLE), 0.5) / tot.total))
+               AS logp
+      FROM flat f
+      LEFT JOIN triv tr ON f.u = tr.u AND f.v = tr.v AND f.wrd = tr.wrd
+      LEFT JOIN biv bc ON f.u = bc.p AND f.v = bc.q
+      LEFT JOIN biv bn ON f.v = bn.p AND f.wrd = bn.q
+      LEFT JOIN univ uv ON f.v = uv.word
+      LEFT JOIN univ uw ON f.wrd = uw.word
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(logp), 4) AS mean_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc=(
+        "Interpolated trigram-LM quality score — the next rung of the "
+        "unigram → bigram ladder toward CCNet's 5-gram LM: mean log of "
+        "lam3·c(u,v,w)/c(u,v) + lam2·c(v,w)/c(v) + residual·P_uni(w) "
+        "(Jelinek–Mercer), each backoff level gated on BOTH its count "
+        "and its denominator being inside the top-3000 models, unigram "
+        "OOV half-count floor keeping every probability positive. "
+        "Catches shuffled/templated text whose word PAIRS are common — "
+        "what a bigram filter cannot see. Five bounded model "
+        "broadcasts (the bigram model joined twice: trigram "
+        "denominator and bigram numerator) against one trigram-"
+        "exploded scan; the IEEE residual weight 1.0-0.6-0.3 is "
+        "spelled identically on both sides."
+    ),
+)
+def text_trigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from yamon_spark.operators.curation import trigram_logprob
+
+    return trigram_logprob(table(spark, sf_dir, "documents"), top_k=3000, lam3=0.6, lam2=0.3)
+
+
 # module constant so contamination_report can nest the same SQL verbatim
 _CONTAM_SEM_SQL = f"""
     WITH q AS (
