@@ -251,6 +251,14 @@ def main() -> None:
 
     args = [a for a in sys.argv[1:] if a != "--fresh"]
     fresh = "--fresh" in sys.argv[1:]
+    # --dir PATH: measure against an already-synthesized slice (and leave
+    # it in place afterwards) — a 1000x synthesis costs ~35 min, so a
+    # multi-invocation sweep at one factor reuses a single slice
+    reuse_dir = None
+    if "--dir" in args:
+        i = args.index("--dir")
+        reuse_dir = args[i + 1]
+        del args[i : i + 2]
     factor = int(args[0]) if args else 10
     ops = args[1:] or DEFAULT_OPS
 
@@ -283,21 +291,26 @@ def main() -> None:
         spark.sparkContext.setLogLevel("ERROR")
         qs = all_queries()
 
-    big_dir = tempfile.mkdtemp(prefix=f"yamon_scale{factor}x_")
+    big_dir = reuse_dir or tempfile.mkdtemp(prefix=f"yamon_scale{factor}x_")
     try:
-        t0 = time.perf_counter()
-        if fresh:
-            import subprocess
-
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--synth", str(factor), big_dir],
-                capture_output=True, text=True, env=os.environ,
-            )
-            if "SYNTH_OK" not in proc.stdout:
-                raise SystemExit(f"synth worker failed\n{proc.stderr[-1500:]}")
+        if reuse_dir:
+            if not os.path.exists(os.path.join(big_dir, "documents.parquet")):
+                raise SystemExit(f"--dir {big_dir} has no documents.parquet")
+            print(f"reusing slice -> {big_dir}")
         else:
-            synthesize(spark, BASE, big_dir, factor)
-        print(f"synthesized {factor}x slice in {time.perf_counter() - t0:.1f}s -> {big_dir}")
+            t0 = time.perf_counter()
+            if fresh:
+                import subprocess
+
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--synth", str(factor), big_dir],
+                    capture_output=True, text=True, env=os.environ,
+                )
+                if "SYNTH_OK" not in proc.stdout:
+                    raise SystemExit(f"synth worker failed\n{proc.stderr[-1500:]}")
+            else:
+                synthesize(spark, BASE, big_dir, factor)
+            print(f"synthesized {factor}x slice in {time.perf_counter() - t0:.1f}s -> {big_dir}")
 
         results = {}
         for name in ops:
@@ -337,7 +350,8 @@ def main() -> None:
         write_curve(path, results, factor, fresh)
         print(f"wrote {path}")
     finally:
-        shutil.rmtree(big_dir, ignore_errors=True)
+        if not reuse_dir:
+            shutil.rmtree(big_dir, ignore_errors=True)
 
 
 if __name__ == "__main__":
