@@ -369,6 +369,16 @@ def dedup_clusters(
     Scale shape: the standard distributed CC loop — O(log diameter)
     rounds (near-dup clusters are shallow), each round one join + one
     partial-agg groupBy, lineage truncated per round so plans stay flat.
+
+    Convergence test (r13): labels are MONOTONE NON-INCREASING (every
+    round takes mins of the previous labels), and the doc set is fixed,
+    so the label sum strictly decreases until fixpoint — "unchanged
+    exact sum" IS "no label changed". That turns the r12 per-round
+    convergence probe (a |docs| x |docs| shuffle join of new vs old
+    labels + count: 2 Exchanges + a hash join per round) into one
+    partial-agg scan of the just-checkpointed label frame (0 Exchanges).
+    decimal(38,0) keeps the sum exact far beyond any corpus (10B docs x
+    int64-max ids ~ 1e29 < 1e38); bigint sum would overflow there.
     """
     from yamon_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -382,6 +392,13 @@ def dedup_clusters(
         .withColumn("cluster_id", F.col("doc_id"))
         .localCheckpoint()
     )
+
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for it in range(max_iter):
         # (1) neighbor-min: m(x) = min(label(x), labels of neighbors)
         neigh = edges.join(
@@ -401,15 +418,11 @@ def dedup_clusters(
             F.least(F.col("l1.cluster_id"), F.col("l2.cluster_id")).alias("cluster_id"),
         )
         new_labels = jump.localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("cluster_id", "new_cid")
-            .join(labels, "doc_id")
-            .where(F.col("new_cid") != F.col("cluster_id"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        cur_sum = label_sum(new_labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds — "
@@ -1456,17 +1469,30 @@ def source_overlap(docs: DataFrame, ngram: int = 8) -> DataFrame:
     the contamination-detection granularity (the contamination_ngram
     scale), long enough that sharing is copying, not vocabulary.
 
-    Scale shape: distinct (shingle-hash, source) is one hash agg on the
-    uniform md5 key; per-shingle source lists come from a posting-list
-    groupBy; the 2-combination explode is bounded by |sources| per
-    shingle and the result by |sources|^2 rows. Integer-exact (no float
-    contract)."""
-    w = words_col(F.col("text"))
-    sh = (
-        docs.select("source", F.explode(shingles_col(w, ngram)).alias("shingle"))
-        .select("source", F.md5("shingle").alias("g"))
-        .distinct()
-    )
+    Scale shape: per-shingle source lists come from ONE posting-list
+    groupBy on the uniform md5 key — collect_set dedups (shingle,
+    source) itself, so the r12 shape's separate pre-`distinct()` was a
+    second full hash agg + Exchange over the corpus x shingles table
+    doing the same work (r13: 6 -> 4 Exchanges, one shuffle of the
+    exploded table instead of two); per-doc array_distinct trims the
+    explode fan-out before the md5. The 2-combination explode is
+    bounded by |sources| per shingle and the result by |sources|^2
+    rows. Integer-exact (no float contract).
+
+    Per-task shape (the shingle_table recipe, r13): the doc text is
+    repartitioned before the explode so a small input file count never
+    serializes the shingle fan-out on a few tasks, and the words array
+    is materialized in its own projection so the interpreted
+    shingles_col lambda references a COLUMN — inlined, the split
+    re-tokenizes the doc per shingle index (the measured 4.5x
+    shingle_table hazard)."""
+    from yamon_spark.operators.dedup import _spread
+
+    base = _spread(docs.select("doc_id", "source", "text"), "doc_id")
+    words = base.select("source", words_col(F.col("text")).alias("w"))
+    sh = words.select(
+        "source", F.explode(F.array_distinct(shingles_col(F.col("w"), ngram))).alias("shingle")
+    ).select("source", F.md5("shingle").alias("g"))
     groups = (
         sh.groupBy("g")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
@@ -1733,40 +1759,37 @@ def dedup_survivors(docs: DataFrame, ngram: int = 3, threshold: float = 0.5) -> 
     dedup pass.
 
     Scale shape: cluster labels come from the iterative min-label CC
-    (O(log diameter) rounds); everything after is two cluster-keyed
-    partial-agg groupBys plus one hash join back on (cluster_id,
-    max-chars) — no windows, no data-sized single partitions.
+    (O(log diameter) rounds); everything after is ONE cluster-keyed
+    partial-agg groupBy — the survivor falls out of the same aggregate
+    as the stats via min_by over the (−n_chars, doc_id) policy struct
+    (lexicographic min = longest text, then smallest doc_id), so the
+    r12 shape's second pass over the member frame, its max-chars join
+    back, and the final stats⋈survivor join are gone (r13: 12 → 5
+    exchanges, one scan of the member frame instead of two). No
+    windows, no data-sized single partitions.
     """
     labels = dedup_clusters(docs, ngram=ngram, threshold=threshold)
-    # shuffle-hash hints throughout: the label frame's post-iteration
-    # stats are opaque to the planner and the cluster-keyed joins
-    # otherwise fall back to sort-merge (the registry's zero-SMJ
-    # invariant, tests/test_plans.py)
+    # shuffle-hash hints: the label frame's post-iteration stats are
+    # opaque to the planner and the cluster-keyed join otherwise falls
+    # back to sort-merge (the registry's zero-SMJ invariant,
+    # tests/test_plans.py)
     m = labels.hint("shuffle_hash").join(
         docs.select("doc_id", "n_chars").hint("shuffle_hash"), "doc_id"
     )
+    policy = F.struct((-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("doc_id"))
     g = m.groupBy("cluster_id").agg(
         F.max("n_chars").alias("mc"),
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min_by("doc_id", policy).alias("survivor_doc_id"),
     )
-    s = (
-        m.join(g.select("cluster_id", "mc").hint("shuffle_hash"), "cluster_id")
-        .where(F.col("n_chars") == F.col("mc"))
-        .groupBy("cluster_id")
-        .agg(F.min("doc_id").alias("survivor_doc_id"))
-    )
-    return (
-        g.join(s.hint("shuffle_hash"), "cluster_id")
-        .select(
-            "cluster_id",
-            "survivor_doc_id",
-            "n_members",
-            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
-            (F.col("total_chars") - F.col("mc")).cast("bigint").alias("chars_dropped"),
-        )
-        .orderBy("cluster_id")
-    )
+    return g.select(
+        "cluster_id",
+        "survivor_doc_id",
+        "n_members",
+        (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        (F.col("total_chars") - F.col("mc")).cast("bigint").alias("chars_dropped"),
+    ).orderBy("cluster_id")
 
 
 def curriculum_plan(docs: DataFrame, n_stages: int = 4) -> DataFrame:

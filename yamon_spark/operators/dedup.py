@@ -327,15 +327,32 @@ def minhash_signatures(docs: DataFrame, ngram: int = 3, num_hashes: int = 16) ->
     faster end-to-end, and min() over bigint beats min() over 32-char
     strings in both the agg buffer and the shuffle. h is materialized in
     its own projection so the k agg expressions share it instead of
-    re-hashing."""
-    sh = shingle_table(docs, ngram)
+    re-hashing.
+
+    Deliberately does NOT ride shingle_table: no signature consumer
+    (band keying, candidate explode, signature-equality estimation)
+    needs the per-doc distinct-shingle count, and shingle_table's n_sh
+    is a Window over the exploded shingle table — a full per-partition
+    SORT of corpus x ~shingles rows that Catalyst cannot prune away
+    because n_sh rides the groupBy keys (r13 plan capture: the Window +
+    Sort sat in every minhash chain's signature stage). Building the
+    bare (doc_id, shingle) explode here removes that sort from all four
+    minhash-family queries; exact-Jaccard verifiers keep using
+    shingle_table, where n_sh is genuinely consumed."""
+    from yamon_spark.operators.text import shingles_col
+
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
+    words = base.select("doc_id", words_col(F.col("text")).alias("w"))
+    sh = words.select(
+        "doc_id", F.explode(F.array_distinct(shingles_col(F.col("w"), ngram))).alias("shingle")
+    )
     h = F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long") % MINHASH_P
-    hashed = sh.select("doc_id", "n_sh", h.alias("h"))
+    hashed = sh.select("doc_id", h.alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"sig_{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return hashed.groupBy("doc_id", "n_sh").agg(*aggs)
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def _band_rows(sigs: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
@@ -511,12 +528,16 @@ def minhash_estimate_error(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 16, ordered: bool = True) -> DataFrame:
     """Per-doc SimHash fingerprint from distinct word unigrams.
 
     Bit j of a word's hash = bit (3 - j%4) of hex nibble j//4 of
     md5(word); fingerprint bit j = 1 iff the majority of words set bit j.
     Arithmetic-only hex decoding keeps the oracle byte-identical.
+
+    ``ordered=False`` skips the output orderBy for internal consumers
+    (the Hamming pair expansion) whose joins/groupBys would only throw
+    the global sort away.
     """
     w = F.array_distinct(words_col(F.col("text")))
     base = _spread(docs.select("doc_id", "text"), "doc_id")
@@ -539,7 +560,8 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     for j in range(bits):
         term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)
         fp = term if fp is None else fp + term
-    return votes.select("doc_id", fp.cast("bigint").alias("simhash")).orderBy("doc_id")
+    out = votes.select("doc_id", fp.cast("bigint").alias("simhash"))
+    return out.orderBy("doc_id") if ordered else out
 
 
 def dedup_incremental(
@@ -639,7 +661,22 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 2)
     contract needed."""
     from itertools import combinations
 
-    fps = simhash(docs, bits)
+    # The fingerprint subtree feeds FOUR consumers below (distinct fps,
+    # the existence probe, both doc-id attach sides); without a
+    # materialization barrier each copy re-ran the whole explode + md5 +
+    # per-bit vote aggregation (r13 plan capture: four inlined copies of
+    # the fps chain, no ReusedExchange — the vote groupBy rides the
+    # _spread partitioning and plans shuffle-free, so there is no
+    # exchange to reuse). Eager localCheckpoint materializes the tiny
+    # (doc_id, fingerprint) table ONCE — the minhash_estimate_error
+    # `sigs` idiom; |docs| x ~12 bytes at any scale. A repartition() to
+    # force exchange reuse instead was probed and REJECTED: the planner
+    # never emitted a ReusedExchange (+2 Exchanges, no sharing) and an
+    # interleaved fresh-JVM A/B at sf0.1 measured it 1.37x SLOWER
+    # (6.30 s vs 4.59 s). ordered=False: the consumers throw any order
+    # away, so simhash()'s output orderBy would be a dead Sort in the
+    # checkpoint job.
+    fps = simhash(docs, bits, ordered=False).localCheckpoint()
     # combinatorial mask generation — NOT a 2^bits scan (range(2^32) at
     # call time is a 4-billion-iteration hang)
     masks = [
@@ -750,7 +787,7 @@ def ngram_containment_pairs(
     )
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
+def simhash64(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """64-bit SimHash fingerprints as TWO 32-bit words (sim_hi = bits
     0-31, sim_lo = bits 32-63), each stored in a BIGINT — the Manku
     et al. 2007 production operating point, where the fingerprint space
@@ -784,9 +821,10 @@ def simhash64(docs: DataFrame) -> DataFrame:
     for j in range(32, 64):
         t = F.when(F.col(f"b{j}") > 0, 2 ** (63 - j)).otherwise(0)
         lo = t if lo is None else lo + t
-    return votes.select(
+    out = votes.select(
         "doc_id", hi.cast("bigint").alias("sim_hi"), lo.cast("bigint").alias("sim_lo")
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def simhash64_masks(max_hamming: int = 2) -> list[tuple[int, int]]:
@@ -819,7 +857,11 @@ def simhash64_hamming_pairs(docs: DataFrame, max_hamming: int = 2) -> DataFrame:
     measured sub-linear at 30x in SCALE_CURVE.json. Hamming is
     integer-exact: bit_count(hi XOR) + bit_count(lo XOR)."""
     spark = docs.sparkSession
-    fps = simhash64(docs)
+    # same four-consumer shape as simhash_hamming_pairs: eager
+    # localCheckpoint runs the expensive vote chain once instead of per
+    # consumer copy (see the comment there; repartition-for-reuse probed
+    # and rejected, ordered=False drops the dead output Sort)
+    fps = simhash64(docs, ordered=False).localCheckpoint()
     masks = spark.createDataFrame(simhash64_masks(max_hamming), "mhi bigint, mlo bigint")
     d = fps.select(F.col("sim_hi").alias("fa_hi"), F.col("sim_lo").alias("fa_lo")).distinct()
     nb = (

@@ -672,21 +672,37 @@ def ngram_novelty(docs: DataFrame, ngram: int = 8) -> DataFrame:
     n-gram granularity rather than unigrams).
 
     Scale shape: shingles hash to uniform md5 keys; first-owner is one
-    partial-agg groupBy to |distinct shingles| rows; per-doc totals and
-    novel counts are then two |docs|-row aggregates joined on doc_id —
-    no posting-list join back to the corpus. Novelty is one int/int IEEE
-    division (unrounded per the determinism contract)."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(shingles_col(words_col(F.col("text")), ngram))
-        ).alias("g"),
-    ).select("doc_id", F.md5("g").alias("g"))
+    partial-agg groupBy to |distinct shingles| rows; the novel count is
+    a |docs|-row aggregate joined on doc_id — no posting-list join back
+    to the corpus. Per-doc totals are MAP-ONLY (r13): the shingle array
+    is already array_distinct'd, so n_shingles = size(array) straight
+    off the scan — the r12 shape re-ran the whole explode + md5 chain
+    and shuffled corpus x shingles rows a second time just to count
+    rows per doc (r13 plan: 10 -> 7 Exchanges, one Generate instead of
+    two). Novelty is one int/int IEEE division (unrounded per the
+    determinism contract).
+
+    Per-task shape (the shingle_table recipe, r13): text repartitioned
+    before the explode so a small input file count never serializes the
+    fan-out; the words array materialized in its own projection so the
+    interpreted shingles_col lambda references a COLUMN, not an inlined
+    re-tokenizing split (the measured 4.5x shingle_table hazard)."""
+    from yamon_spark.operators.dedup import _spread
+
+    base = _spread(docs.select("doc_id", "text"), "doc_id")
+    words = base.select("doc_id", words_col(F.col("text")).alias("w"))
+    arr = F.array_distinct(shingles_col(F.col("w"), ngram))
+    sh = words.select("doc_id", F.explode(arr).alias("g")).select(
+        "doc_id", F.md5("g").alias("g")
+    )
     first = sh.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_novel")
     )
-    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_shingles"))
+    # map-only totals: no repartition on this branch (it feeds a
+    # doc_id-keyed join, not a fan-out) — just the words projection
+    wt = docs.select("doc_id", words_col(F.col("text")).alias("w"))
+    tot = wt.select("doc_id", F.size(arr).cast("bigint").alias("n_shingles"))
     return (
         tot.join(novel, "doc_id", "left")
         .select(
