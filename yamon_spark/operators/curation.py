@@ -12,7 +12,8 @@ Scale shapes (the 100 TB contract):
   partial-agg groupBy on (stratum, bin).
 - domain_mix aggregates to |sources| rows before its window — the
   single-partition window runs over dozens of rows, not the corpus.
-- dedup_canonical is one hash-partitioned window over the content digest.
+- dedup_canonical is one partial-agg groupBy on the content digest
+  (survivor via min_by, fused with the copy count).
 - dedup_clusters is iterative min-label propagation (the standard
   distributed connected-components loop; O(log diameter) rounds, lineage
   truncated per round).
@@ -346,14 +347,26 @@ def dedup_canonical(docs: DataFrame) -> DataFrame:
     """Exact-dup clusters with canonical-survivor selection: group by
     content digest, keep the longest doc (ties: lowest doc_id). Unlike
     plain exact dedup this preserves a chosen representative's metadata.
-    One hash-partitioned window on the digest."""
-    w = Window.partitionBy("digest").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+
+    One PARTIAL-AGG groupBy on the digest (r13, the dedup_survivors
+    min_by recipe): survivor = min_by over struct(-n_chars, doc_id) —
+    lexicographic min = longest text then lowest doc_id, byte-identical
+    to the r12 window's (n_chars DESC, doc_id) row_number pick — fused
+    with the copy count in the SAME aggregate. The r12 shape shuffled
+    EVERY corpus row to a digest-partitioned Window + Sort; map-side
+    partial aggregation ships at most one candidate struct per (digest,
+    map partition), and the sort is gone."""
     return (
         docs.select("doc_id", "lang", "source", "n_chars", F.sha2("text", 256).alias("digest"))
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n_copies", F.count("*").over(Window.partitionBy("digest")).cast("bigint"))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "lang", "source", "n_chars", "n_copies")
+        .groupBy("digest")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "lang", "source", "n_chars"),
+                F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("d")),
+            ).alias("s"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select("s.doc_id", "s.lang", "s.source", "s.n_chars", "n_copies")
         .orderBy("doc_id")
     )
 

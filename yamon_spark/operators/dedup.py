@@ -688,7 +688,9 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 2)
     # neighbor expansion over the DISTINCT fp table; fb > fa halves the
     # space and fixes pair direction at the fp level
     nb = (
-        d.select("fa", F.explode(F.array(*[F.lit(m) for m in masks])).alias("m"))
+        # one array<bigint> Literal node, not 528 CreateArray children
+        # (plan-size guard; values and coercion identical)
+        d.select("fa", F.explode(F.lit([int(m) for m in masks])).alias("m"))
         .select("fa", F.col("fa").bitwiseXOR(F.col("m")).alias("fb"))
         .where(F.col("fb") > F.col("fa"))
     )

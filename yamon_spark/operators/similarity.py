@@ -251,9 +251,11 @@ def embedding_assign_delta(
     100 TB shape: centroids are a |labels| x dim bounded aggregate that
     BROADCASTS back; assignment is one map-side pass over the delta
     batch (batch x |labels| compares) — per-batch cost independent of
-    index size, exactly ivf_append's plan."""
-    from pyspark.sql import Window
-
+    index size, exactly ivf_append's plan. The argmin is array_min over
+    struct(dist, cell) against the ONE-ROW collected centroid array
+    (lexicographic struct min = the same (dist, cell) ordering), so no
+    vec_id re-shuffle of the batch x cells expansion ever happens — the
+    r12 shape paid an Exchange + Window for exactly that reduction."""
     is_delta = (F.col("vec_id") % batch_mod) == batch_rem
     emb = embeddings.select(
         "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("e"), is_delta.alias("d")
@@ -271,26 +273,35 @@ def embedding_assign_delta(
         )
         .select(F.col("label").alias("cell"), "carr")
     )
-    dist = F.round(
-        F.aggregate(
-            F.zip_with("e", "carr", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ),
-        4,
+    cents_arr = cents.groupBy().agg(
+        F.collect_list(F.struct("cell", "carr")).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("e"), c["carr"], lambda x, cc: (x - cc) * (x - cc)),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    ),
+                    4,
+                ).alias("dist"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
     return (
         emb.where(F.col("d"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn("dist", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("b", best)
+        .where(F.col("b").isNotNull())  # empty-centroid guard = old inner crossJoin
         .select(
             "vec_id",
-            F.col("cell").cast("int").alias("assigned_cell"),
-            F.col("dist").alias("sq_dist"),
-            (F.col("cell") == F.col("label")).cast("int").alias("label_hit"),
+            F.col("b.cell").cast("int").alias("assigned_cell"),
+            F.col("b.dist").alias("sq_dist"),
+            (F.col("b.cell") == F.col("label")).cast("int").alias("label_hit"),
         )
         .orderBy("vec_id")
     )
@@ -313,9 +324,12 @@ def embedding_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 3) -> DataF
     row_number ordered (dist, cluster). Output avg_sqdist rounds at 4dp.
 
     100 TB shape: each iteration is ONE full scan — distances against a
-    broadcast ≤k-row centroid table (crossJoin of a k-row side), argmin
-    per vector via a vec_id-partitioned window, then a map-side-combined
-    (cluster, dim) avg — exactly Spark MLlib KMeans' per-step cost. No
+    broadcast ONE-ROW collected centroid array, argmin per vector as a
+    map-side array_min over struct(dist, cluster) (lexicographic struct
+    min = the same (dist, cluster) tie-break the r12 window applied),
+    then a map-side-combined (cluster, dim) avg — exactly Spark MLlib
+    KMeans' per-step cost, with zero assignment shuffle (the r12 shape
+    re-shuffled the k x |vecs| expansion by vec_id every round). No
     collect: centroids stay DataFrames end to end; `iters` bounds plan
     depth. Empty clusters simply drop out (documented Lloyd behavior)."""
     from pyspark.sql import Window
@@ -335,14 +349,28 @@ def embedding_kmeans(embeddings: DataFrame, k: int = 8, iters: int = 3) -> DataF
     )
     assigned = None
     for _ in range(iters):
-        d = F.aggregate(
-            F.zip_with("e", "carr", lambda x, c: (x - c) * (x - c)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        cent_arr = cent.groupBy().agg(
+            F.collect_list(F.struct("cluster", "carr")).alias("cents")
         )
-        scored = emb.crossJoin(F.broadcast(cent)).withColumn("dist", d)
-        w = Window.partitionBy("vec_id").orderBy("dist", "cluster")
-        assigned = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+        best = F.array_min(
+            F.transform(
+                "cents",
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(F.col("e"), c["carr"], lambda x, cc: (x - cc) * (x - cc)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
+        )
+        assigned = (
+            emb.crossJoin(F.broadcast(cent_arr))
+            .withColumn("b", best)
+            .where(F.col("b").isNotNull())  # empty-centroid guard = old inner crossJoin
+            .select("vec_id", "e", F.col("b.cluster").alias("cluster"), F.col("b.dist").alias("dist"))
+        )
         cent = (
             assigned.select("cluster", F.posexplode("e").alias("dim", "v"))
             .groupBy("cluster", "dim")
@@ -474,7 +502,7 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """SimHash-style bucket id: bit j = sign(emb . plane_j)."""
     code = F.lit(0)
     for j, h in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in h])
+        arr = F.lit(h)  # one array<double> Literal node per plane (plan-size guard)
         dot = _fold_sum(F.zip_with(emb, arr, lambda x, y: x.cast("double") * y))
         code = code + F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return code
@@ -544,7 +572,13 @@ def _sq_dist(a: Column, b: Column) -> Column:
 
 
 def _cents_lit(cb_j: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb_j])
+    # ONE array<array<double>> Literal node, not 16x8 CreateArray+Literal
+    # nodes: the codebook appears m times per plan (and the topk plans
+    # embed it twice more per subspace), so the nested-literal form blew
+    # the expression tree into the tens of thousands of nodes and made
+    # Catalyst analysis itself the sf0.1 wall (guide §7.3: planning cost
+    # of giant trees). Identical values, identical semantics.
+    return F.lit(cb_j)
 
 
 def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, sub_dim: int = 8) -> DataFrame:
@@ -685,25 +719,37 @@ def ivf_search(
 def assign_cells(new_vectors: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest-centroid cell assignment — the shared kernel of
     :func:`ivf_append` and the streaming maintenance twin: squared-
-    Euclidean argmin against the BROADCAST centroid table (the same
-    rule as KMeans.transform), ties to the lowest cell id. One map-side
-    pass over the batch: O(batch x n_cells), independent of index
+    Euclidean argmin against the BROADCAST one-row collected centroid
+    array (the same rule as KMeans.transform), ties to the lowest cell
+    id via lexicographic array_min over struct(d, cell). One genuinely
+    map-side pass over the batch — no vec_id re-shuffle of the
+    batch x cells expansion (the r12 shape paid an Exchange + Window
+    for that reduction): O(batch x n_cells), independent of index
     size."""
-    from pyspark.sql import Window
-
-    dist = _fold_sum(
-        F.zip_with(
-            F.col("embedding").cast("array<double>"), "centroid", lambda x, c: (x - c) * (x - c)
+    cents_arr = cents.groupBy().agg(
+        F.collect_list(F.struct("cell", "centroid")).alias("cents")
+    )
+    best = F.array_min(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                _fold_sum(
+                    F.zip_with(
+                        F.col("embedding").cast("array<double>"),
+                        c["centroid"],
+                        lambda x, cc: (x - cc) * (x - cc),
+                    )
+                ).alias("d"),
+                c["cell"].alias("cell"),
+            ),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("d", "cell")
     return (
         new_vectors.select("vec_id", "embedding")
-        .crossJoin(F.broadcast(cents))
-        .withColumn("d", dist)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell")
+        .crossJoin(F.broadcast(cents_arr))
+        .withColumn("b", best)
+        .where(F.col("b").isNotNull())  # empty-centroid guard = old inner crossJoin
+        .select("vec_id", "embedding", F.col("b.cell").alias("cell"))
     )
 
 
@@ -1181,15 +1227,20 @@ def mmr_topk(
 
     Scale shape: candidate generation is the brute-force/ANN top-pool
     scan (one pass, TakeOrderedAndProject); everything after operates on
-    the POOL-BOUNDED candidate set (pool rows, pool^2 pair sims), cached
-    once. The greedy loop is unrolled into k tiny anti-join + agg-join
-    steps over that cached frame — no driver-side collect, no unbounded
-    state; cost is independent of corpus size by construction. Each
-    step's 1-row pick is localCheckpoint-materialized (pool-bounded), so
-    the k-step plan stays flat instead of compounding lineage. All
-    comparisons use ROUNDED(4) sims with vec_id tiebreaks, so the
-    selection sequence is engine-deterministic (the DuckDB oracle unrolls
-    the identical k steps in SQL)."""
+    the POOL-BOUNDED candidate set (pool rows, pool^2 pair sims). Both
+    relevance and pair sims are SPARK-computed (4dp-rounded), collected
+    once — a hard-capped O(pool) driver transfer, the ivf_recall /
+    knn_join bounded-batch idiom — and the inherently sequential greedy
+    runs in the driver over those exact values: the r12 shape unrolled
+    it into k anti-join + agg-join Spark rounds with a blocking
+    localCheckpoint each (~2k tiny jobs of pure scheduling overhead at
+    any scale; the data was already pool-bounded there too). The only
+    arithmetic the driver adds is lambda*rel - mu*max_sim (the same
+    IEEE-double ops the JVM ran) and the 4dp HALF_UP round, replicated
+    via Decimal(repr(x)) == BigDecimal.valueOf semantics with a signed-
+    zero guard. All comparisons use ROUNDED(4) sims with vec_id
+    tiebreaks, so the selection sequence is engine-deterministic (the
+    DuckDB oracle unrolls the identical k steps in SQL)."""
     q = embeddings.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb")
     )
@@ -1207,49 +1258,45 @@ def mmr_topk(
     )
     a = cand.select(F.col("vec_id").alias("i"), F.col("embedding").alias("ea"))
     b = cand.select(F.col("vec_id").alias("j"), F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, F.col("i") != F.col("j"))
-        .select("i", "j", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("s"))
-        .cache()
+    pairs = a.join(b, F.col("i") != F.col("j")).select(
+        "i", "j", F.round(cosine_sim(F.col("ea"), F.col("eb")), 4).alias("s")
     )
-    selected = (
-        cand.orderBy(F.col("rel").desc(), "vec_id")
-        .limit(1)
-        .select(
-            F.lit(1).alias("rank"),
-            "vec_id",
-            "rel",
-            F.col("rel").alias("mmr_score"),
-        )
-        .localCheckpoint()
-    )
-    for r in range(2, k + 1):
-        sel_ids = selected.select("vec_id")
-        mx = (
-            pairs.join(sel_ids.withColumnRenamed("vec_id", "j"), "j")
-            .groupBy("i")
-            .agg(F.max("s").alias("mx"))
-        )
-        nxt = (
-            cand.join(sel_ids, "vec_id", "left_anti")
-            .join(mx, F.col("vec_id") == F.col("i"))
-            .select(
-                F.lit(r).alias("rank"),
-                "vec_id",
-                "rel",
-                F.round(
-                    F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("mx"), 4
-                ).alias("mmr_score"),
-            )
-            .orderBy(F.col("mmr_score").desc(), "vec_id")
-            .limit(1)
-        )
-        selected = selected.unionAll(nxt).localCheckpoint()
-    # the final selection is checkpoint-materialized; release the
-    # pool-bounded scratch frames instead of pinning them per invocation
+    spark = embeddings.sparkSession
+    schema = "rank int, vec_id bigint, rel double, mmr_score double"
+    cand_rows = cand.select("vec_id", "rel").collect()  # <= pool rows
+    if not cand_rows:
+        cand.unpersist()
+        return spark.createDataFrame([], schema)
+    smap = {(p.i, p.j): p.s for p in pairs.collect()}  # <= pool*(pool-1) rows
     cand.unpersist()
-    pairs.unpersist()
-    return selected.orderBy("rank")
+
+    def _round4(x: float) -> float:
+        # replicate Spark Round(double, 4): BigDecimal.valueOf (shortest
+        # decimal repr, = Python repr) + HALF_UP; BigDecimal has no -0.0,
+        # so normalize the signed zero Python's Decimal preserves
+        from decimal import ROUND_HALF_UP, Decimal
+
+        v = float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        return 0.0 if v == 0.0 else v
+
+    first = min(cand_rows, key=lambda r: (-r.rel, r.vec_id))
+    sel = [(1, first.vec_id, first.rel, first.rel)]
+    chosen = {first.vec_id}
+    for rank in range(2, k + 1):
+        best = None
+        for c in cand_rows:
+            if c.vec_id in chosen:
+                continue
+            mx = max(smap[(c.vec_id, j)] for j in chosen)
+            score = _round4(MMR_LAMBDA * c.rel - MMR_MU * mx)
+            key = (-score, c.vec_id)
+            if best is None or key < best[0]:
+                best = (key, c.vec_id, c.rel, score)
+        if best is None:  # pool exhausted before k picks (matches the
+            break  # r12 loop: empty per-round limit(1) added nothing)
+        chosen.add(best[1])
+        sel.append((rank, best[1], best[2], best[3]))
+    return spark.createDataFrame(sel, schema).orderBy("rank")
 
 
 def semantic_dedup(
