@@ -1240,22 +1240,47 @@ def quality_head_score(docs: DataFrame, model: DataFrame, threshold: float = 0.5
     quality_head_fit's 1-row frame (broadcast); features z-score against
     the model's TRAINING stats, so serving is one shuffle-free map-side
     pass — the at-ingest shape the streaming corpus pipeline wires in.
-    Docs with no words score NULL / keep_pred 0 (no feature signal)."""
-    wcol = words_col(F.col("text"))
+    Docs with no words score NULL / keep_pred 0 (no feature signal).
+
+    Per-row shape (r13, guide §1.2 per-task work): the words array and
+    the three raw features MATERIALIZE as columns in their own
+    projections before the logit composes them. Higher-order functions
+    run interpreted (CodegenFallback, no common-subexpression
+    elimination), so the previous inlined form re-ran the split +
+    aggregate + filter chain once per REFERENCE — and the score
+    expression references the features through z-score, guard, AND the
+    thresholded verdict (the shingle_table re-tokenization hazard,
+    multiplied). Multiple non-cheap references block CollapseProject,
+    so the staged projections survive optimization. Same expressions,
+    same 4dp round — bit-identical scores."""
+    wcol = F.col("_qh_w")
     n_words = F.size(wcol).cast("double")
+    base = docs.select(*docs.columns, words_col(F.col("text")).alias("_qh_w"))
     awl = F.aggregate(wcol, F.lit(0.0), lambda a, x: a + F.length(x).cast("double")) / n_words
     stop_ratio = F.size(F.filter(wcol, lambda x: x.isin(*STOPWORDS))).cast("double") / n_words
-    xs = {1: F.log(n_words), 2: awl, 3: stop_ratio}
+    feat = base.select(
+        *docs.columns,
+        n_words.alias("_qh_n"),
+        F.log(n_words).alias("_qh_x1"),
+        awl.alias("_qh_x2"),
+        stop_ratio.alias("_qh_x3"),
+    )
     z = [
-        (xs[i] - F.col(f"m{i}")) / F.when(F.col(f"s{i}") == 0.0, 1.0).otherwise(F.col(f"s{i}"))
+        (F.col(f"_qh_x{i}") - F.col(f"m{i}"))
+        / F.when(F.col(f"s{i}") == 0.0, 1.0).otherwise(F.col(f"s{i}"))
         for i in (1, 2, 3)
     ]
     logit = F.col("w0") + F.col("w1") * z[0] + F.col("w2") * z[1] + F.col("w3") * z[2]
-    p = F.when(n_words >= 1, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4))
-    return docs.crossJoin(F.broadcast(model)).select(
+    p = F.when(F.col("_qh_n") >= 1, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4))
+    scored = feat.crossJoin(F.broadcast(model)).select(
+        *docs.columns, p.alias("quality_score")
+    )
+    return scored.select(
         *docs.columns,
-        p.alias("quality_score"),
-        F.coalesce((p >= threshold).cast("int"), F.lit(0)).alias("keep_pred"),
+        "quality_score",
+        F.coalesce((F.col("quality_score") >= threshold).cast("int"), F.lit(0)).alias(
+            "keep_pred"
+        ),
     )
 
 

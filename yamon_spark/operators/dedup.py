@@ -542,18 +542,23 @@ def simhash(docs: DataFrame, bits: int = 16, ordered: bool = True) -> DataFrame:
     w = F.array_distinct(words_col(F.col("text")))
     base = _spread(docs.select("doc_id", "text"), "doc_id")
     exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
-    hexmap = "0123456789abcdef"
-    # decode each hex nibble ONCE into its own column; the 4 bit
-    # expressions per nibble then share it (16 substring+instr calls per
-    # word -> 4)
-    n_nib = (bits + 3) // 4
-    nibs = [
-        (F.instr(F.lit(hexmap), F.substring("h", k + 1, 1)) - 1).alias(f"nib{k}") for k in range(n_nib)
+    # decode the digest in 8-hex-char (32-bit) words ONCE — one conv per
+    # word-half instead of a per-nibble instr/substring probe (r13: 16
+    # string ops per word -> ceil(bits/32) conv calls; bit extraction is
+    # then a codegen'd shiftright+mask). Bit j of half k=j//32 sits at
+    # position 31 - (j % 32) of conv(chars 8k+1..8k+8): nibble n = hex
+    # char n+1 contributes nib_n * 16^(7 - n%8), so bit (3 - j%4) of
+    # nib j//4 lands at 4*(7 - (j//4)%8) + (3 - j%4) = 31 - j%32 —
+    # identical bits, identical votes, identical fingerprints.
+    n_half = (bits + 31) // 32
+    halves = [
+        F.conv(F.substring("h", 8 * k + 1, 8), 16, 10).cast("bigint").alias(f"hf{k}")
+        for k in range(n_half)
     ]
-    decoded = exploded.select("doc_id", *nibs)
+    decoded = exploded.select("doc_id", *halves)
     bit_sums = []
     for j in range(bits):
-        bit = F.floor(F.col(f"nib{j // 4}") / (2 ** (3 - j % 4))) % 2
+        bit = F.shiftright(F.col(f"hf{j // 32}"), 31 - (j % 32)).bitwiseAND(F.lit(1))
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
     votes = decoded.groupBy("doc_id").agg(*bit_sums)
     fp = None
@@ -805,15 +810,17 @@ def simhash64(docs: DataFrame, ordered: bool = True) -> DataFrame:
     w = F.array_distinct(words_col(F.col("text")))
     base = _spread(docs.select("doc_id", "text"), "doc_id")
     exploded = base.select("doc_id", F.explode(w).alias("word")).withColumn("h", F.md5("word"))
-    hexmap = "0123456789abcdef"
-    nibs = [
-        (F.instr(F.lit(hexmap), F.substring("h", k + 1, 1)) - 1).alias(f"nib{k}")
-        for k in range(16)
+    # 32-bit-half conv decode + shiftright bit extraction — see simhash()
+    # (r13): two conv calls per word instead of 16 instr/substring
+    # probes; bit j of half j//32 sits at position 31 - (j % 32)
+    halves = [
+        F.conv(F.substring("h", 8 * k + 1, 8), 16, 10).cast("bigint").alias(f"hf{k}")
+        for k in range(2)
     ]
-    decoded = exploded.select("doc_id", *nibs)
+    decoded = exploded.select("doc_id", *halves)
     bit_sums = []
     for j in range(64):
-        bit = F.floor(F.col(f"nib{j // 4}") / (2 ** (3 - j % 4))) % 2
+        bit = F.shiftright(F.col(f"hf{j // 32}"), 31 - (j % 32)).bitwiseAND(F.lit(1))
         bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
     votes = decoded.groupBy("doc_id").agg(*bit_sums)
     hi = lo = None

@@ -595,12 +595,28 @@ def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, sub_dim: int = 8) 
     base = embeddings.select(
         "vec_id", *[F.slice(F.col("embedding"), j * sub_dim + 1, sub_dim).alias(f"s{j}") for j in range(m)]
     )
-    cols = []
-    for j in range(m):
+    # ...and materialize each subspace's k-entry distance array too
+    # (r13): the argmin expression references it TWICE (array_position +
+    # array_min), and with no CSE for interpreted HOFs the inlined form
+    # re-ran the whole k x sub_dim zip_with fold per reference — 2x the
+    # encode cost. Two non-cheap references block CollapseProject, so
+    # the staged projection survives optimization.
+    def _dist_arr(j: int) -> Column:
+        # factory keeps a 1-arg lambda (a 2-arg/default-arg lambda would
+        # be read by pyspark as the (element, index) form)
         sub = F.col(f"s{j}")
-        dists = F.transform(_cents_lit(cb[j]), lambda c: _sq_dist(c, sub))  # noqa: B023
-        cols.append((F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"c{j}"))
-    return base.select("vec_id", *cols).orderBy("vec_id")
+        return F.transform(_cents_lit(cb[j]), lambda c: _sq_dist(c, sub))
+
+    dists = base.select(
+        "vec_id", *[_dist_arr(j).alias(f"d{j}") for j in range(m)]
+    )
+    cols = [
+        (F.array_position(F.col(f"d{j}"), F.array_min(F.col(f"d{j}"))) - 1)
+        .cast("int")
+        .alias(f"c{j}")
+        for j in range(m)
+    ]
+    return dists.select("vec_id", *cols).orderBy("vec_id")
 
 
 def pq_topk(

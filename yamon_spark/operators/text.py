@@ -929,22 +929,25 @@ def boilerplate_report(docs: DataFrame, seg_words: int = 8, min_docs: int = 2) -
     seg = base.select("doc_id", F.explode(segs).alias("s")).select(
         "doc_id", F.md5("s").alias("seg")
     )
-    freq = (
-        seg.select("doc_id", "seg")
-        .distinct()
-        .groupBy("seg")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    # ONE explode, one pass (r13, guide §2.3/§2.4): the r12 shape ran the
+    # whole explode+md5 subtree TWICE (once to build the doc-frequency
+    # table, once as the left side of the flag join) and shuffled raw
+    # segment occurrences twice more through distinct + join. Instead:
+    # fold occurrences to per-(doc, segment) multiplicities (one shuffle
+    # on the uniform pair key), attach each segment's doc frequency as a
+    # COUNT WINDOW over the pair table (n_docs per seg = rows per seg,
+    # since the pair table is distinct by construction — no join, no
+    # second subtree), and partial-agg per doc. Exchanges 5 -> 3, one
+    # Generate instead of two; identical counts.
+    cnt = seg.groupBy("doc_id", "seg").agg(F.count(F.lit(1)).alias("c"))
+    flagged = cnt.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("seg"))
     )
-    boiler = freq.where(F.col("n_docs") >= min_docs).select(
-        "seg", F.lit(1).cast("bigint").alias("is_boiler")
-    )
-    per_doc = (
-        seg.join(boiler, "seg", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
-            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0))).cast("bigint").alias("n_boiler"),
-        )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("n_docs") >= min_docs, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_boiler"),
     )
     return per_doc.select(
         "doc_id",
