@@ -736,39 +736,42 @@ def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataF
     trimming / doc dropping).
 
     Scale shape: window explode is bounded to len/stride rows per doc;
-    both aggregations (per-window distinct-doc count, per-doc coverage)
-    are hash-uniform partial-agg groupBys — no suffix array, no global
-    sort, no skew (md5 keys). The repeated-window set joins back
-    shuffle-partitioned on the same md5 key, so the join reuses the
-    first aggregation's partitioning. A production pass would follow
-    with span-merge trimming per doc (map-only)."""
+    all aggregations are hash-uniform (md5 keys) — no suffix array, no
+    global sort, no skew. One explode, one pass (r13, the
+    boilerplate_report recipe): the r12 shape re-ran the explode+md5
+    subtree THREE times (the repeated-set build, the semi-join left
+    side, and the per-doc window count) and shuffled raw occurrences
+    twice. Instead occurrences fold to per-(doc, window) multiplicities
+    once, each window's doc frequency attaches as a COUNT WINDOW over
+    that pair table (distinct by construction, so rows-per-window IS
+    countDistinct(doc)), and one per-doc partial agg emits both the
+    total and the repeated coverage. Identical counts. A production
+    pass would follow with span-merge trimming per doc (map-only)."""
+    from pyspark.sql import Window
+
     base = _spread(docs.select("doc_id", "text"), "doc_id")
     n = F.length("text")
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)), F.lit(stride))
     wins = F.transform(idx, lambda i: F.md5(F.col("text").substr(i, F.lit(k))))
     w = base.select("doc_id", F.explode(wins).alias("h"))
-    repeated = (
-        w.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .where(F.col("n_docs") > 1)
-        .select("h")
+    cnt = w.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    flagged = cnt.withColumn(
+        "n_docs", F.count(F.lit(1)).over(Window.partitionBy("h"))
     )
-    flagged = w.join(repeated, "h", "left_semi").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_repeated")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("n_repeated"),
     )
-    per_doc = w.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_windows"))
-    return (
-        per_doc.join(flagged, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_windows",
-            F.coalesce(F.col("n_repeated"), F.lit(0)).cast("bigint").alias("n_repeated"),
-            F.round(
-                F.coalesce(F.col("n_repeated"), F.lit(0)).cast("double") / F.col("n_windows"), 4
-            ).alias("rep_frac"),
-        )
-        .orderBy("doc_id")
-    )
+    return per_doc.select(
+        "doc_id",
+        "n_windows",
+        "n_repeated",
+        F.round(F.col("n_repeated").cast("double") / F.col("n_windows"), 4).alias(
+            "rep_frac"
+        ),
+    ).orderBy("doc_id")
 
 
 def ngram_containment_pairs(
