@@ -96,96 +96,98 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #   4. re-verify the WHOLE registry locally (scripts/driver_sim.py at
 #      sf0.001) before each end-of-round snapshot.
 _DRIVER_GREEN_ROUND: dict[str, int] = {
-    # r8-vintage (oldest — front of the verified segment)
-    "embed_outlier_score": 8, "embedding_assign_delta": 8,
-    "hybrid_rank_rrf": 8, "q69_time_range_window": 8,
-    "q81_asof_tolerance": 8, "q82_deadman": 8, "q83_event_transitions": 8,
-    "quality_head_calibration": 8, "quality_head_ece": 8,
-    "quality_head_model": 8, "quality_threshold_sweep": 8, "text_bm25": 8,
-    "text_pmi": 8, "tokenizer_fertility": 8,
-    # r9-vintage
-    "bpe_merge_step": 9, "bpe_pair_counts": 9, "chunk_dup_groups": 9,
-    "dedup_containment": 9, "dedup_funnel": 9, "dedup_minhash_err": 9,
-    "dedup_semantic": 9, "dedup_threshold_sweep": 9, "dsir_weights": 9,
-    "embed_label_metrics": 9, "hard_negative_mining": 9,
+    # r9-vintage (oldest — front of the verified segment)
+    "bpe_merge_step": 9, "chunk_dup_groups": 9, "dedup_containment": 9,
+    "dedup_funnel": 9, "embed_label_metrics": 9, "hard_negative_mining": 9,
     "lang_id_confusion": 9, "mix_budget_plan": 9,
-    "multimodal_adpcm_roundtrip": 9, "multimodal_png_roundtrip": 9,
-    "pack_boundary_report": 9, "q20_hash_agg": 9, "q21_distinct_agg": 9,
-    "q22_approx_distinct": 9, "q23_grouping_sets": 9, "q36_dist_windows":
-    9, "q37_histogram": 9, "q45_scalar_subquery": 9, "q46_in_subquery": 9,
-    "q84_mad_outliers": 9, "q85_histogram_quantile": 9,
     "q86_seasonal_baseline": 9, "q87_level_shift": 9, "q88_autocorr": 9,
-    "q89_ewma": 9, "quality_logit": 9, "quality_score_psi": 9,
-    "sim_cascade_recall": 9, "sim_cascade_topk": 9, "sim_hamming_recall":
-    9, "sim_hamming_topk": 9, "sim_ivf_pareto": 9, "sim_ivfpq_recall": 9,
-    "sim_ivfpq_topk": 9, "sim_mmr_topk": 9, "sim_pq_recall": 9,
-    "sim_sq8_recall": 9, "sim_sq8_topk": 9, "sq8_codes": 9,
-    "text_chunk_windows": 9, "text_perplexity_buckets": 9, "text_search":
-    9, "text_zipf_slope": 9, "vocab_growth": 9,
+    "q89_ewma": 9, "quality_score_psi": 9, "sim_cascade_recall": 9,
+    "sim_cascade_topk": 9, "sim_hamming_recall": 9, "sim_hamming_topk": 9,
+    "sim_sq8_recall": 9, "text_chunk_windows": 9, "vocab_growth": 9,
     # r10-vintage
-    "dedup_canonical": 10, "dedup_cluster_sizes": 10, "dedup_incremental":
-    10, "dedup_lsh_band_tuning": 10, "dedup_simhash_pairs": 10,
-    "doc_length_survival": 10, "domain_mix": 10, "embed_intrinsic_dim":
-    10, "embed_kmeans": 10, "embed_pca_power": 10, "mix_repeat_plan": 10,
-    "pack_sequences": 10, "q10_inner_join_dims": 10,
+    "dedup_canonical": 10, "dedup_cluster_sizes": 10,
+    "dedup_incremental": 10, "dedup_lsh_band_tuning": 10,
+    "dedup_simhash_pairs": 10, "doc_length_survival": 10, "domain_mix": 10,
+    "embed_intrinsic_dim": 10, "embed_kmeans": 10, "embed_pca_power": 10,
+    "mix_repeat_plan": 10, "pack_sequences": 10, "q10_inner_join_dims": 10,
     "q11_left_outer_count": 10, "q12_semi_join": 10, "q24_rollup": 10,
     "q25_gauge_rollup_mv": 10, "q26_counter_rollup_mv": 10,
-    "q38_approx_quantile": 10,  "q44_union_all": 10,
+    "q38_approx_quantile": 10, "q44_union_all": 10,
     "q47_exists_correlated": 10, "q48_cte_reuse": 10,
     "q49_first_last_window": 10, "q50_string_funcs": 10,
-    "q51_datetime_funcs": 10, "q52_math_funcs": 10, "q53_json_extract":
-    10, "q54_map_tag_ops": 10, "q55_array_funcs": 10, "q56_struct_ops":
-    10, "q57_conditionals": 10, "q58_regex_funcs": 10,
-    "q65_interval_join": 10, "q73_unpivot": 10, "q74_lateral_explode": 10,
-    "q75_bitmap_distinct": 10, "q76_zip_with": 10, "q77_cube_grouping":
-    10, "q78_median_stats": 10, "q79_fuzzy_match": 10,
-    "quality_gopher_rules": 10, "sample_weighted": 10,
-    "sim_centroid_margin": 10, "source_divergence": 10, "source_overlap":
-    10, "text_bigrams": 10, "text_ngram_novelty": 10, "text_tfidf_pairs":
-    10, "train_test_split": 10,
+    "q51_datetime_funcs": 10, "q52_math_funcs": 10, "q53_json_extract": 10,
+    "q54_map_tag_ops": 10, "q55_array_funcs": 10, "q56_struct_ops": 10,
+    "q57_conditionals": 10, "q58_regex_funcs": 10, "q65_interval_join": 10,
+    "q73_unpivot": 10, "q74_lateral_explode": 10, "q75_bitmap_distinct": 10,
+    "q76_zip_with": 10, "q77_cube_grouping": 10, "q78_median_stats": 10,
+    "q79_fuzzy_match": 10, "quality_gopher_rules": 10,
+    "sample_weighted": 10, "sim_centroid_margin": 10,
+    "source_divergence": 10, "source_overlap": 10, "text_bigrams": 10,
+    "text_ngram_novelty": 10, "text_tfidf_pairs": 10,
+    "train_test_split": 10,
     # r11-vintage
     "bpe_apply": 11, "contamination_ngram": 11, "dedup_clusters": 11,
     "dedup_exact": 11, "dedup_jaccard": 11, "dedup_minhash_lsh": 11,
-    "dedup_simhash": 11, "dedup_simhash64": 11, "dedup_simhash64_pairs":
-    11,  "dedup_survivors": 11,
-    "embed_centroids": 11, "embed_norm_stats": 11,
+    "dedup_simhash": 11, "dedup_simhash64": 11, "dedup_simhash64_pairs": 11,
+    "dedup_survivors": 11, "embed_centroids": 11, "embed_norm_stats": 11,
     "multimodal_audio_windows": 11, "multimodal_features": 11,
     "multimodal_frames": 11, "multimodal_jpeg_roundtrip": 11,
     "multimodal_meta": 11, "multimodal_video_frames": 11,
     "q01_filter_project": 11, "q02_pushdown_predicates": 11,
     "q03_distinct": 11, "q13_anti_join": 11, "q14_range_join": 11,
-    "q15_asof_join": 11, "q16_cross_join_pairs": 11, "q40_global_topk":
-    11, "q41_union_distinct": 11, "q42_intersect": 11, "q43_except": 11,
-    "q66_hll_rollup_merge": 11,  "q68_cohort_retention":
-    11, "q72_grouped_agg_udaf": 11, "q90_burn_rate": 11,
+    "q15_asof_join": 11, "q16_cross_join_pairs": 11, "q40_global_topk": 11,
+    "q41_union_distinct": 11, "q42_intersect": 11, "q43_except": 11,
+    "q66_hll_rollup_merge": 11, "q68_cohort_retention": 11,
+    "q72_grouped_agg_udaf": 11, "q90_burn_rate": 11,
     "q91_alert_episodes": 11, "sample_stratified": 11,
     "shard_balance_report": 11, "sim_cosine_topk": 11, "sim_ivf_topk": 11,
     "sim_lsh_topk": 11, "sim_near_dup_pairs": 11, "text_boilerplate": 11,
     "text_fingerprint": 11, "text_lang_id": 11, "text_quality_filter": 11,
     "text_repetition": 11, "text_stats": 11, "text_token_count": 11,
     "vocab_coverage": 11,
-    # r12-vintage (freshest — back of the queue)
+    # r12-vintage
     "ann_range_search": 12, "contamination_report": 12,
-    "contamination_semantic": 12, "corpus_profile": 12, "corpus_shuffle":
-    12, "corpus_snapshot_diff": 12, "dedup_budget_impact": 12,
-    "dedup_cap_plan": 12, "dedup_substring": 12, "domain_mix_temperature":
-    12, "multimodal_audio_trim": 12, "multimodal_avi_roundtrip": 12,
-    "multimodal_bmp_roundtrip": 12, "multimodal_mjpeg_roundtrip": 12,
-    "multimodal_wav_roundtrip": 12, "pq_codes": 12, "pq_topk": 12,
-    "q27_pivot": 12, "q28_percentiles": 12, "q29_heavy_hitters": 12,
-    "q30_topk_per_group": 12, "q31_counter_delta": 12, "q32_moving_avg":
-    12, "q33_running_sum": 12, "q34_counter_rate": 12, "q35_gap_fill": 12,
-    "q60_tumbling_window": 12, "q61_sliding_window": 12,
-    "q62_session_window": 12, "q63_watermark_late_drop": 12,
-    "q64_stateful_dedup": 12, "q70_scalar_pandas_udf": 12,
-    "q71_grouped_map_zscore": 12, "q80_runtime_filter": 12,
-    "quality_drift_alarm": 12, "quality_logit_train": 12,
-    "sample_eval_slice": 12, "sample_rebalanced": 12, "sim_ivf_recall":
-    12, "sim_ivf_recall_batch": 12, "sim_knn_join": 12,
-    "sim_near_dup_lsh": 12, "sim_truncation_recall": 12,
-    "sketch_count_min": 12, "text_bigram_logprob": 12, "text_entropy": 12,
-     "text_pii_scrub": 12, "text_unigram_logprob": 12,
-    "text_winnow": 12,
+    "contamination_semantic": 12, "corpus_profile": 12,
+    "corpus_shuffle": 12, "corpus_snapshot_diff": 12,
+    "dedup_budget_impact": 12, "dedup_cap_plan": 12, "dedup_substring": 12,
+    "domain_mix_temperature": 12, "multimodal_audio_trim": 12,
+    "multimodal_avi_roundtrip": 12, "multimodal_bmp_roundtrip": 12,
+    "multimodal_mjpeg_roundtrip": 12, "multimodal_wav_roundtrip": 12,
+    "pq_codes": 12, "pq_topk": 12, "q27_pivot": 12, "q28_percentiles": 12,
+    "q29_heavy_hitters": 12, "q30_topk_per_group": 12,
+    "q31_counter_delta": 12, "q32_moving_avg": 12, "q33_running_sum": 12,
+    "q34_counter_rate": 12, "q35_gap_fill": 12, "q60_tumbling_window": 12,
+    "q61_sliding_window": 12, "q62_session_window": 12,
+    "q63_watermark_late_drop": 12, "q64_stateful_dedup": 12,
+    "q70_scalar_pandas_udf": 12, "q71_grouped_map_zscore": 12,
+    "q80_runtime_filter": 12, "quality_drift_alarm": 12,
+    "quality_logit_train": 12, "sample_eval_slice": 12,
+    "sample_rebalanced": 12, "sim_ivf_recall": 12,
+    "sim_ivf_recall_batch": 12, "sim_knn_join": 12, "sim_near_dup_lsh": 12,
+    "sim_truncation_recall": 12, "sketch_count_min": 12,
+    "text_bigram_logprob": 12, "text_entropy": 12, "text_pii_scrub": 12,
+    "text_unigram_logprob": 12, "text_winnow": 12,
+    # r13-vintage (freshest — back of the queue)
+    "bpe_pair_counts": 13, "curriculum_mix": 13, "curriculum_plan": 13,
+    "dedup_minhash_err": 13, "dedup_semantic": 13,
+    "dedup_source_matrix": 13, "dedup_threshold_sweep": 13,
+    "dsir_weights": 13, "embed_outlier_score": 13,
+    "embedding_assign_delta": 13, "hybrid_rank_rrf": 13,
+    "multimodal_adpcm_roundtrip": 13, "multimodal_png_roundtrip": 13,
+    "pack_boundary_report": 13, "q20_hash_agg": 13, "q21_distinct_agg": 13,
+    "q22_approx_distinct": 13, "q23_grouping_sets": 13,
+    "q36_dist_windows": 13, "q37_histogram": 13, "q39_cond_aggs": 13,
+    "q45_scalar_subquery": 13, "q46_in_subquery": 13, "q67_funnel": 13,
+    "q69_time_range_window": 13, "q81_asof_tolerance": 13,
+    "q82_deadman": 13, "q83_event_transitions": 13, "q84_mad_outliers": 13,
+    "q85_histogram_quantile": 13, "quality_head_calibration": 13,
+    "quality_head_ece": 13, "quality_head_model": 13, "quality_logit": 13,
+    "quality_threshold_sweep": 13, "sim_ivf_pareto": 13,
+    "sim_ivfpq_recall": 13, "sim_ivfpq_topk": 13, "sim_mmr_topk": 13,
+    "sim_pq_recall": 13, "sim_sq8_topk": 13, "sq8_codes": 13,
+    "text_bm25": 13, "text_mattr": 13, "text_perplexity_buckets": 13,
+    "text_pmi": 13, "text_search": 13, "text_trigram_logprob": 13,
+    "text_zipf_slope": 13, "tokenizer_fertility": 13,
 }
 
 
