@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from yamon_spark.operators._fastlit import lit_array
 from yamon_spark.operators.text import words_col
 
 
@@ -694,8 +695,9 @@ def simhash_hamming_pairs(docs: DataFrame, bits: int = 32, max_hamming: int = 2)
     # space and fixes pair direction at the fp level
     nb = (
         # one array<bigint> Literal node, not 528 CreateArray children
-        # (plan-size guard; values and coercion identical)
-        d.select("fa", F.explode(F.lit([int(m) for m in masks])).alias("m"))
+        # (plan-size guard; values and coercion identical), built in one
+        # py4j round trip (r14 — see _fastlit)
+        d.select("fa", F.explode(lit_array([int(m) for m in masks], "array<bigint>")).alias("m"))
         .select("fa", F.col("fa").bitwiseXOR(F.col("m")).alias("fb"))
         .where(F.col("fb") > F.col("fa"))
     )

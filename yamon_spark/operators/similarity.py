@@ -21,6 +21,9 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from yamon_spark.operators._fastlit import _render as _render_lit
+from yamon_spark.operators._fastlit import lit_array
+
 
 def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
@@ -502,7 +505,9 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     """SimHash-style bucket id: bit j = sign(emb . plane_j)."""
     code = F.lit(0)
     for j, h in enumerate(planes):
-        arr = F.lit(h)  # one array<double> Literal node per plane (plan-size guard)
+        # one array<double> Literal node per plane (plan-size guard),
+        # built in one py4j round trip (r14 — see _fastlit)
+        arr = lit_array(h, "array<double>")
         dot = _fold_sum(F.zip_with(emb, arr, lambda x, y: x.cast("double") * y))
         code = code + F.when(dot >= 0, F.lit(2**j)).otherwise(F.lit(0))
     return code
@@ -571,6 +576,19 @@ def _sq_dist(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y.cast("double")) * (x - y.cast("double"))))
 
 
+def _sq_dist_sql(a_sql: str, b_sql: str) -> str:
+    """SQL-string twin of :func:`_sq_dist` for call sites whose children
+    are plain column names: the SAME zip_with + aggregate fold (verified
+    plan-identical up to lambda-variable names, values bit-identical),
+    built in ONE py4j round trip instead of ~500 — PySpark constructs
+    each HOF lambda through dozens of driver<->JVM socket calls, which
+    the r14 overhead decomposition measured as the dominant BUILD cost
+    of the PQ query family (pq_topk 1.7 s of py4j for a 0.5 s execution).
+    0.0D is the double-literal spelling of F.lit(0.0)."""
+    zw = f"zip_with({a_sql}, {b_sql}, (x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE)))"
+    return f"aggregate({zw}, 0.0D, (acc, x) -> acc + x)"
+
+
 def _cents_lit(cb_j: list[list[float]]) -> Column:
     # ONE array<array<double>> Literal node, not 16x8 CreateArray+Literal
     # nodes: the codebook appears m times per plan (and the topk plans
@@ -578,7 +596,13 @@ def _cents_lit(cb_j: list[list[float]]) -> Column:
     # the expression tree into the tens of thousands of nodes and made
     # Catalyst analysis itself the sf0.1 wall (guide §7.3: planning cost
     # of giant trees). Identical values, identical semantics.
-    return F.lit(cb_j)
+    #
+    # r14: built via lit_array, ONE py4j round trip — F.lit(list) expands
+    # to array(*[lit(x) per element]) driver-side, which was 0.13 s of
+    # socket latency per codebook x 16 references in the topk plans
+    # (~1.7 s of pq_topk's build wall). Bit-identical Literal (pinned by
+    # tests/test_fastlit.py).
+    return lit_array(cb_j, "array<array<double>>")
 
 
 def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, sub_dim: int = 8) -> DataFrame:
@@ -602,10 +626,11 @@ def pq_encode(embeddings: DataFrame, m: int = 8, k: int = 16, sub_dim: int = 8) 
     # encode cost. Two non-cheap references block CollapseProject, so
     # the staged projection survives optimization.
     def _dist_arr(j: int) -> Column:
-        # factory keeps a 1-arg lambda (a 2-arg/default-arg lambda would
-        # be read by pyspark as the (element, index) form)
-        sub = F.col(f"s{j}")
-        return F.transform(_cents_lit(cb[j]), lambda c: _sq_dist(c, sub))
+        # one-round-trip SQL form of transform(codebook, c -> _sq_dist(c,
+        # s{j})) — same analyzed expression, none of the per-lambda py4j
+        # chatter (see _sq_dist_sql)
+        cents = f"CAST({_render_lit(cb[j])} AS array<array<double>>)"
+        return F.expr(f"transform({cents}, c -> {_sq_dist_sql('c', f's{j}')})")
 
     dists = base.select(
         "vec_id", *[_dist_arr(j).alias(f"d{j}") for j in range(m)]
@@ -645,9 +670,11 @@ def pq_topk(
         *[F.element_at(_cents_lit(cb[j]), F.col(f"c{j}") + 1).alias(f"cent{j}") for j in range(m)],
         *[F.slice(F.col("q_emb"), j * sub_dim + 1, sub_dim).alias(f"qs{j}") for j in range(m)],
     )
-    dist = F.lit(0.0)
-    for j in range(m):
-        dist = dist + _sq_dist(F.col(f"cent{j}"), F.col(f"qs{j}"))
+    # left-associated Add chain, identical to F.lit(0.0) + fold + fold...
+    # but built in one py4j round trip (see _sq_dist_sql)
+    dist = F.expr(
+        " + ".join(["0.0D"] + [_sq_dist_sql(f"cent{j}", f"qs{j}") for j in range(m)])
+    )
     return (
         mat.select("vec_id", F.round(dist, 4).alias("pq_dist"))
         .orderBy(F.col("pq_dist"), F.col("vec_id"))
@@ -716,7 +743,7 @@ def ivf_search(
     rebuild that crashed mid-swap is recovered here (:func:`_ivf_read_guard`)
     rather than failing until the next rebuild."""
     _ivf_read_guard(index_path)
-    q = F.lit(query).cast("array<double>")
+    q = lit_array([float(x) for x in query], "array<double>")
     cents = spark.read.parquet(index_path.rstrip("/") + "_centroids")
     dist = _fold_sum(F.zip_with("centroid", q, lambda c, x: (c - x) * (c - x)))
     probes = [
