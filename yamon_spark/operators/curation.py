@@ -1001,15 +1001,11 @@ _GD_MEMO: dict[tuple, tuple] = {}
 def _gd_memo_sweep() -> None:
     """Evict memo entries whose owning SparkSession has stopped — their
     persisted frames are unreachable through any live session and would
-    otherwise pin memory for the process lifetime (ADVICE r9)."""
-    for key in list(_GD_MEMO):
-        feats = _GD_MEMO[key][0]
-        try:
-            alive = not feats.sparkSession.sparkContext._jsc.sc().isStopped()
-        except Exception:
-            alive = False
-        if not alive:
-            _GD_MEMO.pop(key, None)
+    otherwise pin memory for the process lifetime (ADVICE r9). Shared
+    implementation: operators/_memo.py (r14 — the BPE memo reuses it)."""
+    from yamon_spark.operators._memo import sweep_dead_sessions
+
+    sweep_dead_sessions(_GD_MEMO)
 
 
 def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
@@ -1055,28 +1051,12 @@ def _logit_train_frames(docs: DataFrame, iters: int, lr: float):
     frames CANNOT be keyed safely (see below) and retrain per build —
     acceptable in unit tests, and the reason plan-only tooling over
     the registry still pays one training run per head query."""
-    try:
-        # Data identity needs BOTH halves: the canonicalized plan pins
-        # the OPERATOR structure (filters, projections — attribute
-        # indices and literals survive canonicalization) but prints
-        # file relations as a bare `Relation [...] parquet` with NO
-        # path, so every documents table at every scale factor collides
-        # on it; inputFiles() pins the actual data files but not the
-        # operators. In-memory frames (LogicalRDD / LocalRelation)
-        # carry neither — inputFiles() is empty — and are never
-        # memoized (two different test corpora with the same schema
-        # would otherwise share a trained head, twice observed in the
-        # full suite: in-memory collisions first, then the edge-corpus
-        # clone colliding with sf0.001 through the path-less plan).
-        files = tuple(sorted(docs.inputFiles()))
-        plan = docs._jdf.queryExecution().analyzed().canonicalized().toString()
-        key = (
-            None
-            if not files
-            else (id(docs.sparkSession), plan, files, int(iters), float(lr))
-        )
-    except Exception:  # noqa: BLE001 — memo is an optimization, never a dependency
-        key = None
+    # Data-identity key recipe (plan + inputFiles, in-memory frames never
+    # memoized) documented in operators/_memo.py — shared with the BPE
+    # merge-chain memo since r14.
+    from yamon_spark.operators._memo import plan_data_key
+
+    key = plan_data_key(docs, int(iters), float(lr))
     _gd_memo_sweep()
     if key is not None and key in _GD_MEMO:
         return _GD_MEMO[key]

@@ -436,6 +436,79 @@ def bpe_merge_step(docs: DataFrame, top_n: int = 20) -> DataFrame:
 BPE_APPLY_MARKERS = "ǄǅǆǇǈǉǊǋ"
 
 
+# Session-scoped BPE memo: bpe_apply and tokenizer_fertility share the
+# exact same n_merges learning chain over the same corpus; within one
+# SparkSession the chain runs once and the second query reuses its
+# artifacts. Key discipline and sweep: operators/_memo.py (the GD memo
+# recipe). Stored value = (persisted distinct-word vocab frame, learned
+# merge list — plain Python strings). Recompute-safe by construction:
+# the vocab is persist()ed (worst case a re-scan), the merges live in
+# the driver — NO localCheckpoint survives into the memo (the r12
+# eviction hazard that kept this memo out of r13; an evicted persist
+# block recomputes, an evicted localCheckpoint block errors).
+_BPE_MEMO: dict[tuple, tuple] = {}
+
+
+def _bpe_vocab_merges(docs: DataFrame, n_merges: int):
+    """(persisted (w, cnt) distinct-word frame over lowered words,
+    learned merge pairs [<= n_merges strings]) — the shared BPE learning
+    core of bpe_apply and tokenizer_fertility.
+
+    Each learning round recounts pairs over the vocabulary with all
+    previous merges applied (map-side literal replaces over the
+    PERSISTED vocab — the replay is O(round) string replaces per word,
+    cheaper than materializing each round's table) and collects the
+    top-1 pair to the driver (one bounded TakeOrdered job per round —
+    the GD chain's collect-the-artifact shape). A round with no
+    mergeable pair ends learning: every later round would recount the
+    same unmergeable vocabulary and stay a no-op (replaces only shrink
+    words; once no length>=2 word exists none reappears)."""
+    from yamon_spark.operators._memo import plan_data_key, sweep_dead_sessions
+
+    key = plan_data_key(docs, int(n_merges))
+    sweep_dead_sessions(_BPE_MEMO)
+    if key is not None and key in _BPE_MEMO:
+        return _BPE_MEMO[key]
+    vocab = (
+        docs.select(F.explode(words_col(F.lower(F.col("text")))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    merges: list[str] = []
+    for i in range(n_merges):
+        cur = vocab.select(_bpe_replay(F.col("w"), merges).alias("w"), "cnt")
+        top = (
+            cur.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+                ).alias("pair"),
+                F.col("cnt"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        merges.append(top[0]["pair"])
+    if key is not None:
+        _BPE_MEMO[key] = (vocab, merges)
+    return vocab, merges
+
+
+def _bpe_replay(w: Column, merges: list[str]) -> Column:
+    """Apply the learned merge list in order as literal replaces —
+    merge i rewrites its pair to BPE_APPLY_MARKERS[i], exactly the
+    per-round replace of the learning loop."""
+    for i, pair in enumerate(merges):
+        w = F.replace(w, F.lit(pair), F.lit(BPE_APPLY_MARKERS[i]))
+    return w
+
+
 def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     """Tokenize the corpus with a LEARNED merge table: run n_merges true
     BPE training iterations (each round recounts pairs over the already-
@@ -450,68 +523,27 @@ def bpe_apply(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     compression the merge table buys on each doc.
 
     Scale shape: every round is vocabulary-sized, not corpus-sized (the
-    corpus collapses to its distinct-word frequency table once); each
-    round's top-1 merge is a 1-row broadcast and the replace is
-    map-side. The unrolled chain is n_merges rounds — bounded compile-
-    time depth like mmr_topk's greedy unroll. The final doc encoding is
-    one join of the exploded words against the |vocab|-row merge map
-    (hash join on uniform word keys), then a per-doc partial agg."""
+    corpus collapses to its distinct-word frequency table once, persisted
+    and memoized per session — see _bpe_vocab_merges); each round's top-1
+    merge is a bounded 1-row collect and the replays are map-side literal
+    replaces. r13 shape (7 localCheckpoints + 6 per-round broadcast
+    joins) replaced in r14: the learned pairs become driver-side
+    literals, so the final vocab map is ONE map-side projection over the
+    persisted vocab with no checkpoint chain, and tokenizer_fertility
+    (same corpus, same session) skips the learning entirely. The final
+    doc encoding is one join of the exploded words against the
+    |vocab|-row merge map (hash join on uniform word keys), then a
+    per-doc partial agg. Learning executes at BUILD time (the bounded
+    per-round collects — the mmr_topk eager-build precedent)."""
     if n_merges > len(BPE_APPLY_MARKERS):
         raise ValueError(f"n_merges must be <= {len(BPE_APPLY_MARKERS)}")
 
-    def pair_counts(vocab: DataFrame) -> DataFrame:
-        return (
-            vocab.where(F.length("w") >= 2)
-            .select(
-                F.explode(
-                    F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-                ).alias("pair"),
-                F.col("cnt"),
-            )
-            .groupBy("pair")
-            .agg(F.sum("cnt").cast("bigint").alias("n"))
-        )
-
+    vocab, merges = _bpe_vocab_merges(docs, n_merges)
     words = docs.select("doc_id", F.explode(words_col(F.lower(F.col("text")))).alias("w"))
-    cur = (
-        words.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(F.col("w").alias("orig"), "w", "cnt")
-        # each round reads `cur` twice (pair recount + merge apply), so
-        # without truncation the plan tree DOUBLES per round (2^n_merges
-        # subtrees / 63 BNL joins at 6 rounds, measured by plan_audit);
-        # eager localCheckpoint materializes the vocab-sized table once
-        # per round — same idiom as dedup_clusters / mmr_topk
-        .localCheckpoint()
+    vocab_map = vocab.select(
+        F.col("w").alias("orig"),
+        F.length(_bpe_replay(F.col("w"), merges)).cast("bigint").alias("n_tok"),
     )
-    for i in range(n_merges):
-        top = (
-            pair_counts(cur)
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .select(F.col("pair").alias("top_pair"))
-        )
-        # left join against the 1-row top (not crossJoin): when a round
-        # finds NO mergeable pair (vocabulary already fully merged /
-        # single-char), top is EMPTY and a crossJoin would annihilate the
-        # vocabulary — every doc silently vanishing from the output. The
-        # left join keeps the round a no-op instead (top_pair NULL ->
-        # w unchanged); plan shape stays the same 1-row BNL broadcast.
-        cur = (
-            cur.join(F.broadcast(top), F.lit(True), "left")
-            .select(
-                "orig",
-                F.when(
-                    F.col("top_pair").isNotNull(),
-                    F.replace(F.col("w"), F.col("top_pair"), F.lit(BPE_APPLY_MARKERS[i])),
-                )
-                .otherwise(F.col("w"))
-                .alias("w"),
-                "cnt",
-            )
-            .localCheckpoint()
-        )
-    vocab_map = cur.select("orig", F.length("w").cast("bigint").alias("n_tok"))
     return (
         words.join(vocab_map, words.w == vocab_map.orig)
         .groupBy("doc_id")
