@@ -89,6 +89,42 @@ def fresh_headline_walls(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def cpu_scale_probe(spark) -> dict:
+    """Core-count witness: one fixed CPU-bound job (pure compute — no
+    shuffle, no input I/O, no Python) whose wall scales ~1/cores.
+
+    Why it exists (PERF_r13 scaling block): at sf0.1 every QUERY wall is
+    dominated by fixed overhead (0.4-0.6 s of build/scheduling against
+    ~17 MB of input), so the driver's 8-vs-32-core bench ratios all come
+    out ≈1 and the artifact cannot distinguish "honors $SPARK_GRAFT_CPUS
+    but overhead-bound at this SF" from "ignores the env var". This
+    probe is the in-artifact witness: its wall separates cleanly with
+    the core count (measured ~4x between local[8] and local[32]), and it
+    rides the contract line next to the cpus/master fields.
+    """
+    from pyspark.sql import functions as F
+
+    # fixed row and TASK count (not cpus-derived): both sides of an
+    # 8-vs-32-core comparison run the identical job, so the wall ratio
+    # isolates concurrency
+    n, parts = 10_000_000, 128
+    # two chained sha2 rounds per row: enough per-task compute that the
+    # wall is CPU-bound, not scheduling-bound (calibrated: ~0.3 s of the
+    # wall is fixed overhead, the rest splits by core count)
+    job = (
+        spark.range(0, n, 1, parts)
+        .select(F.sha2(F.sha2(F.col("id").cast("string"), 256), 512).alias("h"))
+        .select(F.sum(F.length("h")).alias("s"))
+    )
+    job.write.format("noop").mode("overwrite").save()  # JIT warm-up
+    walls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        job.write.format("noop").mode("overwrite").save()
+        walls.append(round(time.perf_counter() - t0, 2))
+    return {"wall": min(walls), "rows": n}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -202,6 +238,24 @@ def main() -> None:
     fresh: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_FRESH_HEADLINE", "1") != "0":
         fresh = fresh_headline_walls(sf_dir)
+    # CPUS-contract legibility (PERF_r13 "suspect_cpus_ignored"): the
+    # effective master / core count / AQE wide start ride the contract
+    # line, plus one pure-compute probe whose wall actually scales with
+    # cores at this SF (per-query walls don't — they are overhead-bound
+    # at 17 MB input; directly measured, see OPTIMIZATION_r14.md).
+    try:
+        cpu_probe = cpu_scale_probe(spark)
+    except Exception as e:  # noqa: BLE001 - the witness must not kill the bench
+        cpu_probe = {"error": f"{type(e).__name__}: {e}"[:120]}
+    init_parts = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
+    )
+    env = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "master": spark.sparkContext.master,
+        "init_partitions": int(init_parts) if init_parts else None,
+        "cpu_probe": cpu_probe,
+    }
     result = {
         "metric": "declared_queries_total_wall",
         "value": total,
@@ -211,6 +265,7 @@ def main() -> None:
         "sweep_passes": {"pass1": pass1, "pass2": pass2},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest": ingest,
+        "env": env,
     }
     if fresh:
         result["fresh_headline"] = fresh
@@ -261,12 +316,18 @@ def main() -> None:
     # bench_out.json regardless).
     encoded = json.dumps(line, separators=(",", ":"))
     if len(encoded) > 1950:
-        # failed queries (sentinel -1.0) stay named — never fold a failure
+        # failed queries (sentinel -1.0) stay named — never fold a failure.
+        # "_rest_n" counts the folded queries so a growing fold reads as
+        # fold growth, not as dropped queries (PERF_r13 reported the 21
+        # newly folded cheapest timings as "dropped_from_bench"); full
+        # per-query detail is always in bench_out.json.
         by_cost = sorted((n for n in short if short[n] >= 0), key=short.get)
-        folded = 0.0
+        folded, n_folded = 0.0, 0
         while len(encoded) > 1950 and by_cost:
             folded += short.pop(by_cost.pop(0))
+            n_folded += 1
             line["queries"] = dict(short, _rest=round(folded, 2))
+            line["_rest_n"] = n_folded
             encoded = json.dumps(line, separators=(",", ":"))
     print(encoded)
 

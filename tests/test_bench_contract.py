@@ -58,6 +58,12 @@ def test_bench_main_emits_contract_line(spark, monkeypatch, tmp_path):
         assert len(line["ingest"]["attempts"]) >= 3
         # fresh-JVM anchor rides the line short-named, never folded
         assert line["fresh_headline"] == {"mh": 1.23, "20": 0.45}
+        # CPUS-contract legibility (r14): effective master/cores/wide
+        # start plus the core-count witness ride the line
+        env = line["env"]
+        assert env["master"].startswith("local")
+        assert env["cpus"] == int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        assert env["cpu_probe"]["wall"] > 0
 
         with open(art_path) as f:
             full_art = json.load(f)
