@@ -557,15 +557,22 @@ def simhash(docs: DataFrame, bits: int = 16, ordered: bool = True) -> DataFrame:
         for k in range(n_half)
     ]
     decoded = exploded.select("doc_id", *halves)
-    bit_sums = []
-    for j in range(bits):
-        bit = F.shiftright(F.col(f"hf{j // 32}"), 31 - (j % 32)).bitwiseAND(F.lit(1))
-        bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    # per-bit vote/fingerprint expressions built as SQL strings (r14):
+    # identical expressions to the Column-API form (same literals, same
+    # coercions — plan-normalized diff empty), but ONE py4j round trip
+    # per expression instead of ~6 per bit x 64 bits of driver<->JVM
+    # socket latency (the overhead decomposition's build cost)
+    bit_sums = [
+        F.expr(f"sum((shiftright(hf{j // 32}, {31 - (j % 32)}) & 1) * 2 - 1)").alias(f"b{j}")
+        for j in range(bits)
+    ]
     votes = decoded.groupBy("doc_id").agg(*bit_sums)
-    fp = None
-    for j in range(bits):
-        term = F.when(F.col(f"b{j}") > 0, 2 ** (bits - 1 - j)).otherwise(0)
-        fp = term if fp is None else fp + term
+    fp = F.expr(
+        " + ".join(
+            f"(CASE WHEN b{j} > 0 THEN {2 ** (bits - 1 - j)} ELSE 0 END)"
+            for j in range(bits)
+        )
+    )
     out = votes.select("doc_id", fp.cast("bigint").alias("simhash"))
     return out.orderBy("doc_id") if ordered else out
 
@@ -823,20 +830,20 @@ def simhash64(docs: DataFrame, ordered: bool = True) -> DataFrame:
         for k in range(2)
     ]
     decoded = exploded.select("doc_id", *halves)
-    bit_sums = []
-    for j in range(64):
-        bit = F.shiftright(F.col(f"hf{j // 32}"), 31 - (j % 32)).bitwiseAND(F.lit(1))
-        bit_sums.append(F.sum(bit * 2 - 1).alias(f"b{j}"))
+    # SQL-string expression build — same rationale and equivalence
+    # argument as simhash() above (r14)
+    bit_sums = [
+        F.expr(f"sum((shiftright(hf{j // 32}, {31 - (j % 32)}) & 1) * 2 - 1)").alias(f"b{j}")
+        for j in range(64)
+    ]
     votes = decoded.groupBy("doc_id").agg(*bit_sums)
-    hi = lo = None
-    for j in range(32):
-        t = F.when(F.col(f"b{j}") > 0, 2 ** (31 - j)).otherwise(0)
-        hi = t if hi is None else hi + t
-    for j in range(32, 64):
-        t = F.when(F.col(f"b{j}") > 0, 2 ** (63 - j)).otherwise(0)
-        lo = t if lo is None else lo + t
+    word = lambda js: F.expr(  # noqa: E731
+        " + ".join(f"(CASE WHEN b{j} > 0 THEN {1 << (31 - j % 32)} ELSE 0 END)" for j in js)
+    )
     out = votes.select(
-        "doc_id", hi.cast("bigint").alias("sim_hi"), lo.cast("bigint").alias("sim_lo")
+        "doc_id",
+        word(range(32)).cast("bigint").alias("sim_hi"),
+        word(range(32, 64)).cast("bigint").alias("sim_lo"),
     )
     return out.orderBy("doc_id") if ordered else out
 
