@@ -459,3 +459,23 @@ def test_gd_memo_sweeps_dead_session_entries(spark):
     _gd_memo_sweep()
     f2, _ = _logit_train_frames(docs, 6, 4.0)
     assert f1 is f2
+
+
+def test_head_score_rejects_reserved_qh_columns(spark):
+    """ADVICE r13: quality_head_score stages temp columns in the _qh_*
+    namespace; a caller whose frame already carries one must get a loud
+    ValueError, not an ambiguous-reference failure downstream."""
+    import pytest
+
+    from yamon_spark.operators.curation import quality_head_fit, quality_head_score
+    from yamon_spark.queries import table as load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    model = quality_head_fit(docs, iters=6, lr=4.0)
+    from pyspark.sql import functions as F
+
+    bad = docs.withColumn("_qh_w", F.lit(1))
+    with pytest.raises(ValueError, match="_qh_"):
+        quality_head_score(bad, model)
+    # clean frames keep working
+    assert quality_head_score(docs.limit(5), model).count() == 5

@@ -1233,6 +1233,13 @@ def quality_head_score(docs: DataFrame, model: DataFrame, threshold: float = 0.5
     multiplied). Multiple non-cheap references block CollapseProject,
     so the staged projections survive optimization. Same expressions,
     same 4dp round — bit-identical scores."""
+    # the staging columns live in the reserved _qh_* namespace; a caller
+    # whose frame already carries one would get a duplicate-name frame
+    # and an ambiguous-reference error downstream (ADVICE r13) — refuse
+    # loudly instead
+    clash = [c for c in docs.columns if c in ("_qh_w", "_qh_n", "_qh_x1", "_qh_x2", "_qh_x3")]
+    if clash:
+        raise ValueError(f"docs columns collide with reserved _qh_* staging names: {clash}")
     wcol = F.col("_qh_w")
     n_words = F.size(wcol).cast("double")
     base = docs.select(*docs.columns, words_col(F.col("text")).alias("_qh_w"))

@@ -754,8 +754,12 @@ def substring_dup_stats(docs: DataFrame, k: int = 64, stride: int = 16) -> DataF
     once, each window's doc frequency attaches as a COUNT WINDOW over
     that pair table (distinct by construction, so rows-per-window IS
     countDistinct(doc)), and one per-doc partial agg emits both the
-    total and the repeated coverage. Identical counts. A production
-    pass would follow with span-merge trimming per doc (map-only)."""
+    total and the repeated coverage. Identical counts. Hot-key caveat
+    (ADVICE r13): a window present in most documents lands its whole
+    pair-row group on one WindowExec task (bounded at ≤ |docs| small
+    rows per key — see boilerplate_report's note for the scale
+    threshold and the groupBy+broadcast fallback). A production pass
+    would follow with span-merge trimming per doc (map-only)."""
     from pyspark.sql import Window
 
     base = _spread(docs.select("doc_id", "text"), "doc_id")

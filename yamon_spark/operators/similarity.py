@@ -1921,6 +1921,14 @@ def ivf_pareto(
     # label, cs) — 16x corpus rows of ~32 bytes, smaller than the
     # 64-double embedding table it replaces in every consumer; the same
     # bounded-eval-op trade as the simhash pairs fps checkpoint.
+    # CALLER-VISIBLE SIDE EFFECT (ADVICE r13): the localCheckpoint is
+    # EAGER — merely CONSTRUCTING this report frame runs the full
+    # |queries| x |corpus| cosine job; and the checkpoint lives in
+    # non-reliable executor-local storage (unrecomputable on executor
+    # loss — curation.py's GD-memo comment documents the failure mode).
+    # Acceptable for a bounded EVAL op consumed by one query in one
+    # session; long eval runs under executor churn should persist()
+    # instead (recompute-safe, same dedup of the three consumers).
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("q_id"))

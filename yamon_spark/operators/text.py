@@ -932,12 +932,21 @@ def boilerplate_report(docs: DataFrame, seg_words: int = 8, min_docs: int = 2) -
     of mostly-identical docs, this finds the shared scaffolding inside
     otherwise-distinct docs.
 
-    Scale shape: segments hash to uniform md5 keys, so the doc-frequency
-    groupBy partial-aggregates map-side and never skews; the flag join is
-    a key-hash join of the segment table against the (much smaller)
-    boilerplate key set, and per-doc totals are one |docs|-row aggregate.
-    Docs shorter than one segment are excluded (they have no unit to
-    score, and keeping them would divide by zero).
+    Scale shape: segments hash to uniform md5 keys; occurrences fold to
+    per-(doc, segment) multiplicities map-side, and per-doc totals are
+    one |docs|-row aggregate. Hot-key caveat (ADVICE r13): the per-seg
+    doc frequency is a COUNT WINDOW over the pair table, so a segment
+    present in MOST documents puts all its (doc, seg) rows in one
+    WindowExec group — that group buffers (and can spill) on a single
+    task, a skew profile the pre-r13 groupBy+join shape spread with
+    map-side partials. Acceptable because the window input is the
+    DEDUPLICATED pair table (≤ |docs| rows per segment, ~16 bytes each
+    — a full-corpus boilerplate segment at 10B docs is ~160 GB spilled
+    on one task, so for corpora at that scale with near-universal
+    chrome, switch the frequency attach back to groupBy(seg).count() +
+    broadcast/merge join). Docs shorter than one segment are excluded
+    (they have no unit to score, and keeping them would divide by
+    zero).
 
     Relation to the stop-shingle cap: this operator never expands pairs,
     so a hot segment costs one groupBy row — no cap needed HERE. But its
