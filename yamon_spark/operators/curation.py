@@ -1631,10 +1631,19 @@ def psi_from_histograms(
     Both histograms are materialized to literal frames first (bounded
     ≤ n_bins-row collects): the psi arithmetic references the joined
     frame twice (totals + terms), which would otherwise re-run each
-    histogram's upstream scoring scan once per reference."""
+    histogram's upstream scoring scan once per reference. The two
+    collects are INDEPENDENT scoring jobs over different slices, so
+    they run concurrently (guide §2.6 overlap-independent-jobs: the
+    second job's tasks back-fill executors freed by the first's tail —
+    measured ~0.6 s off the monitor's wall at sf0.1, and at scale the
+    two corpus scans overlap instead of serializing)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     spark = ref_hist.sparkSession
-    ref_hist = spark.createDataFrame(ref_hist.collect(), ref_hist.schema)
-    new_hist = spark.createDataFrame(new_hist.collect(), new_hist.schema)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ref_rows, new_rows = pool.map(lambda df: df.collect(), (ref_hist, new_hist))
+    ref_hist = spark.createDataFrame(ref_rows, ref_hist.schema)
+    new_hist = spark.createDataFrame(new_rows, new_hist.schema)
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     j = (
         bins.join(F.broadcast(ref_hist), "bin", "left")
